@@ -1,0 +1,60 @@
+"""Benchmark runner: executes every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a full materialization (noop write) so timings
+include the whole plan, not just the first partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from micromegas_spark.queries import REGISTRY
+    from micromegas_spark.session import get_spark
+
+    spark = get_spark("micromegas-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + parquet-footer warmup so per-query numbers measure the engine,
+    # not first-touch JIT/classloading (excluded from reported totals).
+    REGISTRY["events_hourly_errors"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY.keys()):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

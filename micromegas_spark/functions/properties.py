@@ -1,0 +1,94 @@
+"""Property-bag functions.
+
+Reference: rust/datafusion-extensions/src/properties/property_get.rs (276 LoC),
+properties_udf.rs (348), rust/analytics/src/properties/properties_to_jsonb_udf.rs,
+properties_to_dict_udf.rs; docs functions-reference.md:717-757.
+
+The reference stores properties in three physical formats (JSONB, legacy
+List<Struct{key,value}>, dictionary-encoded JSONB) and property_get handles
+all of them. Our engine normalizes on two logical shapes (SURVEY §1.3):
+
+  * MAP<STRING,STRING>  — the dominant flat k/v case
+  * JSON string         — nested / OTel attributes
+
+Every function below accepts either and stays JVM-side (element_at /
+get_json_object — no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+
+def _is_map(col_type) -> bool:
+    return isinstance(col_type, MapType)
+
+
+def property_get(props: Column, key: str | Column, *, is_json: bool = False) -> Column:
+    """property_get(props, key) → STRING or NULL (property_get.rs;
+    functions-reference.md:717-757). For MapType columns; pass
+    ``is_json=True`` for JSON-string property columns."""
+    if is_json:
+        k = key if isinstance(key, str) else None
+        if k is None:
+            raise ValueError("JSON property access requires a literal key")
+        return F.get_json_object(props, f"$.{k}")
+    return F.element_at(props, F.lit(key) if isinstance(key, str) else key)
+
+
+def properties_length(props: Column, *, is_json: bool = False) -> Column:
+    """properties_length(props) → INT count of entries (properties_udf.rs)."""
+    if is_json:
+        return F.json_array_length(F.json_object_keys(props).cast("string"))
+    return F.size(props)
+
+
+def properties_to_jsonb(props: Column) -> Column:
+    """MAP → canonical JSON string (properties_to_jsonb_udf.rs — in a
+    MapType design JSON *is* the interchange form; SURVEY §2.8 F12).
+    Keys sorted for canonical output."""
+    sorted_entries = F.array_sort(F.map_entries(props))
+    return F.to_json(F.map_from_entries(sorted_entries))
+
+
+def properties_to_dict(props: Column) -> Column:
+    """Identity in the MapType design (properties_to_dict_udf.rs converts
+    legacy list<struct> → dict-encoded; both normalize to MAP here)."""
+    return props
+
+
+def properties_to_array(props: Column) -> Column:
+    """MAP → ARRAY<STRUCT<key,value>> (the reference's legacy format)."""
+    return F.array_sort(F.map_entries(props))
+
+
+def json_properties_to_map(props_json: Column) -> Column:
+    """JSON-string property bag → MAP<STRING,STRING> (jsonb_parse + cast
+    pipeline in the reference)."""
+    return F.from_json(props_json, MapType(StringType(), StringType()))
+
+
+def register(spark: SparkSession) -> None:
+    for name, arglist, ret, expr in [
+        (
+            "property_get",
+            "props MAP<STRING,STRING>, k STRING",
+            "STRING",
+            "element_at(props, k)",
+        ),
+        ("properties_length", "props MAP<STRING,STRING>", "INT", "size(props)"),
+        (
+            "property_get_json",
+            "props STRING, k STRING",
+            "STRING",
+            "get_json_object(props, concat('$.', k))",
+        ),
+    ]:
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arglist}) RETURNS {ret} RETURN {expr}"
+            )
+        except Exception:
+            pass

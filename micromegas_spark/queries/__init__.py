@@ -1,0 +1,22 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. The driver hash-compares
+results at sf=0.01 (row count + schema + order-insensitive value hash), so
+every query follows the determinism conventions in ``queries.conventions``.
+"""
+
+from micromegas_spark.queries.registry import REGISTRY, QueryDef, query
+
+# import for registration side effects
+from micromegas_spark.queries import core  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QueryDef", "query"]
+
+
+def queries():
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,728 @@
+"""Core relational query surface (SURVEY §2.1-§2.8).
+
+These queries exercise, on the driver's synthetic tables, the same operator
+families the reference uses: partitioned scans with pushdown, metadata
+equi-joins with broadcast dims, hash aggregation, two-phase/composable
+aggregation, window functions, top-k, set ops, self-join span pairing, and
+the scalar-function surface (date_bin, property_get, bin_center, lerp,
+histogram quantiles).
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from micromegas_spark.queries.registry import query
+from micromegas_spark.sources.tables import load_table
+
+# exact-decimal money sum, emitted as DOUBLE (see registry conventions)
+_DEC2 = "decimal(18,2)"
+_DEC6 = "decimal(28,6)"
+
+
+def _revenue() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC6)
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan hash aggregate with predicate pushdown.
+
+    Mirrors the reference's ubiquitous agg pattern (SURVEY §2.4 A1; e.g.
+    log_stats_view.rs:32-45). Filter reaches the parquet scan; sums use
+    exact decimals so the result is summation-order independent (safe under
+    any partitioning / AQE re-plan at 100 TB).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_qty = F.sum(F.col("l_quantity").cast(_DEC2))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC2)).cast("double").alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(_DEC6)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "events_hourly_errors",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_hourly_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical query: hourly error counts over the event
+    stream (schema-reference.md:184-199 'hourly error counts from
+    log_entries'). Time bucketing via epoch integer math = the reference's
+    date_bin (log_stats_view.rs:34), timezone-proof on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC2)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+@query(
+    "events_datebin_15m",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000) * 900 AS bin_epoch,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_datebin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stride date_bin aggregation (SURVEY §2.8 F21: Spark lacks
+    date_bin; the engine exposes the floor(epoch/stride)*stride equivalent,
+    functions/datetime.py). 15-minute bins × event_type, as the reference's
+    log_stats does 1-minute bins × level (log_stats_view.rs:32-45)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            ((F.col("ts_us") / F.lit(900_000_000)).cast("bigint") * 900).alias("bin_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast(_DEC2)).cast("double") / F.count("*")).alias("avg_value"),
+        )
+        .orderBy("bin_epoch", "event_type")
+    )
+
+
+@query(
+    "log_stats_merge_idempotence",
+    oracle="""
+    SELECT bin_epoch, event_type, SUM(n) AS n
+    FROM (
+        SELECT (epoch_us(ts) // 60000000) * 60 AS bin_epoch, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    GROUP BY bin_epoch, event_type
+    ORDER BY bin_epoch, event_type
+    """,
+)
+def log_stats_merge_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase composable aggregation: extract (count per 1-min bin) then
+    merge (sum of counts) — the reference's materialized-view maintenance
+    contract (SURVEY §2.4 A2; sql_batch_view.rs:170-175, log_stats_view.rs:50-59).
+    Spark plans this as partial+final aggregate with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    extract = ev.groupBy(
+        ((F.col("ts_us") / F.lit(60_000_000)).cast("bigint") * 60).alias("bin_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    merged = (
+        extract.groupBy("bin_epoch", "event_type")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("bin_epoch", "event_type")
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝fact⨝dim join + agg + deterministic top-k (TPC-H Q3 shape).
+
+    The dim (filtered customer) is broadcast — at 100 TB the two fact tables
+    shuffle on their join keys while customer ships to every executor
+    (SURVEY §2.3 J1/J2: the reference broadcasts metadata dims the same way
+    via DataFusion CollectLeft)."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with small-dim broadcast chain (TPC-H Q5 shape).
+
+    supplier/nation/region are tiny at any scale factor → broadcast; the
+    orders⨝lineitem fact join shuffles on orderkey. This is the reference's
+    blocks⨝streams⨝processes 3-way metadata join writ large
+    (blocks_view.rs:61-71)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "customer_without_orders",
+    oracle="""
+    SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def customer_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (SURVEY §2.3 J6 — absent in the reference, present here as
+    part of full SQL surface). Spark plans NOT EXISTS as LeftAnti."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "events_span_pairing",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               epoch_us(ts) AS b_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    e AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               epoch_us(ts) AS e_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT b.user_id AS user_id, b.k AS k,
+           COUNT(*) AS n_pairs,
+           MIN(e.e_ts - b.b_ts) AS min_duration_us,
+           MAX(e.e_ts - b.b_ts) AS max_duration_us
+    FROM b JOIN e ON b.user_id = e.user_id AND b.k = e.k AND b.b_ts < e.e_ts
+    GROUP BY b.user_id, b.k
+    ORDER BY b.user_id, b.k
+    """,
+)
+def events_span_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Begin×end self-join span pairing: equi-join on the span key plus a
+    theta residual b.time < e.time — exactly the reference's async-span
+    construction (SURVEY §2.3 J3; process_spans_table_function.rs:319-339).
+    Here 'view' events open a span and 'purchase' events close it, keyed by
+    (user_id, props.k)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.col("ts_us"),
+        "event_type",
+    )
+    b = ev.where(F.col("event_type") == "view").select("user_id", "k", F.col("ts_us").alias("b_ts"))
+    e = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("e_user_id"), F.col("k").alias("e_k"), F.col("ts_us").alias("e_ts")
+    )
+    return (
+        b.join(
+            e,
+            (b.user_id == e.e_user_id) & (b.k == e.e_k) & (b.b_ts < e.e_ts),
+        )
+        .groupBy("user_id", "k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.col("e_ts") - F.col("b_ts")).alias("min_duration_us"),
+            F.max(F.col("e_ts") - F.col("b_ts")).alias("max_duration_us"),
+        )
+        .orderBy("user_id", "k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / first_value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_window_norm",
+    oracle="""
+    SELECT event_id,
+           value,
+           value / MAX(value) OVER (PARTITION BY event_type) AS norm_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def events_window_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-window normalization — the reference's only documented
+    window usage is exactly this shape: MAX(cnt) OVER () global normalization
+    (functions-reference.md:1314; SURVEY §2.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_id",
+            "value",
+            (F.col("value") / F.max("value").over(w)).alias("norm_value"),
+        ).orderBy("event_id")
+    )
+
+
+@query(
+    "events_window_lag",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           value - LAG(value) OVER w AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY event_id
+    """,
+)
+def events_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic frame per user stream (SURVEY §2.5: engine must
+    support ranking/analytic/frames). Ordering includes the unique event_id
+    so ties are deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    ).orderBy("event_id")
+
+
+@query(
+    "orders_topk_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def orders_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (SURVEY §2.6 O1). At scale this is one
+    shuffle on the partition key; Spark's WindowGroupLimit pushes the k-limit
+    below the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "customer_first_order",
+    oracle="""
+    SELECT o_custkey, first_order_date, first_orderkey
+    FROM (
+        SELECT o_custkey, o_orderdate AS first_order_date, o_orderkey AS first_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def customer_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value-per-group for slowly-changing metadata — the reference's
+    processes/streams views are exactly this aggregate (SURVEY §2.4 A3;
+    processes_view.rs:28-46). Implemented as a struct-min single-pass
+    aggregate (cheaper than a window sort at scale: map-side combinable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("first"))
+        .select(
+            "o_custkey",
+            F.col("first.o_orderdate").alias("first_order_date"),
+            F.col("first.o_orderkey").alias("first_orderkey"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_union_by_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM (
+        SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT * FROM orders WHERE o_totalprice > 200000
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_union_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across slices (SURVEY §2.7 — the reference unions per-process
+    view instances for cross-process traces, schema-reference.md:515)."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.where(F.col("o_orderpriority") == "1-URGENT").unionByName(
+        o.where(F.col("o_totalprice") > 200000)
+    )
+    return u.groupBy("o_orderstatus").agg(F.count("*").alias("n")).orderBy("o_orderstatus")
+
+
+@query(
+    "lineitem_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SURVEY §2.4 A1; approx_count_distinct is
+    the scale path and is exercised in tests — not oracle-comparable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface on real columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_property_get",
+    oracle="""
+    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) * 10 AS k_decile,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_property_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """property_get over JSON properties (SURVEY §2.8 F10/F3: the reference's
+    property_get / jsonb_get). Our engine normalizes properties to
+    MapType/JSON-string and uses native get_json_object — JVM-side, no
+    Python UDF in the hot path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy(((k / 10).cast("bigint") * 10).alias("k_decile"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("k_decile")
+    )
+
+
+@query(
+    "lineitem_bin_center",
+    oracle="""
+    SELECT FLOOR(l_quantity / 5.0 + 0.5) * 5.0 AS qty_bin,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def lineitem_bin_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bin_center(coord, cell_size) — snap to center of zero-centered bins
+    (SURVEY §2.8 F17; binning/bin_center.rs:92, semantics [c-cs/2, c+cs/2)).
+    Pure JVM-side expression, registered in functions/math_fns.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.floor(F.col("l_quantity") / 5.0 + 0.5) * 5.0).alias("qty_bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("qty_bin")
+    )
+
+
+@query(
+    "lineitem_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_discount + (l_tax - l_discount) * 0.5 AS lerp_mid,
+           (l_quantity - 1.0) / (50.0 - 1.0) AS qty_unlerp
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def lineitem_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lerp(a,b,t) / unlerp(a,b,x) scalar math (SURVEY §2.8 F18;
+    math/lerp.rs, math/unlerp.rs — no clamping, NaN/Inf propagate)."""
+    from micromegas_spark.functions.math_fns import lerp, unlerp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            lerp(F.col("l_discount"), F.col("l_tax"), F.lit(0.5)).alias("lerp_mid"),
+            unlerp(F.lit(1.0), F.lit(50.0), F.col("l_quantity")).alias("qty_unlerp"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "events_rgba_color",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(LEAST(GREATEST(value / 327.53, 0.0), 1.0) * 255 + 0.5) AS BIGINT) * 16777216
+         + CAST(FLOOR(LEAST(GREATEST(CAST(user_id AS DOUBLE) / 14.0, 0.0), 1.0) * 255 + 0.5) AS BIGINT) * 65536
+         + CAST(FLOOR(0.5 * 255 + 0.5) AS BIGINT) * 256
+         + 255 AS rgba
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def events_rgba_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rgba(r,g,b,a) → packed 0xRRGGBBAA color (SURVEY §2.8 F14;
+    color/rgba.rs:98 — components clamped to [0,1], scaled to 0..255).
+    Implemented as a pure Column expression (functions/color.py)."""
+    from micromegas_spark.functions.color import rgba
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            rgba(
+                F.col("value") / 327.53,
+                F.col("user_id").cast("double") / 14.0,
+                F.lit(0.5),
+                F.lit(1.0),
+            ).alias("rgba"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram suite, SQL-composable form (SURVEY §2.4 A4-A7)
+# ---------------------------------------------------------------------------
+
+_H_START, _H_END, _H_BINS = 0.0, 110000.0, 22
+_H_WIDTH = (_H_END - _H_START) / _H_BINS
+
+
+@query(
+    "lineitem_histogram_bins",
+    oracle=f"""
+    SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - {_H_START}) / {_H_WIDTH}), 0.0), {_H_BINS - 1}.0) AS BIGINT) AS bin_idx,
+           ({_H_START} + (CAST(LEAST(GREATEST(FLOOR((l_extendedprice - {_H_START}) / {_H_WIDTH}), 0.0), {_H_BINS - 1}.0) AS BIGINT) + 0.5) * {_H_WIDTH}) AS bin_center,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def lineitem_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_histogram + expand_histogram as composable SQL: fixed-bin
+    assignment with edge clamping, then per-bin counts with bin centers
+    (SURVEY §2.4 A4/A7; histogram_udaf.rs:19-110, expand.rs). The struct-
+    valued UDAF variant lives in functions/histogram.py; this SQL shape is
+    the scale path (pure map-side expression + one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_idx = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - _H_START) / _H_WIDTH), F.lit(0.0)),
+        F.lit(float(_H_BINS - 1)),
+    ).cast("bigint")
+    return (
+        li.groupBy(bin_idx.alias("bin_idx"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin_idx",
+            (_H_START + (F.col("bin_idx") + 0.5) * _H_WIDTH).alias("bin_center"),
+            "n",
+        )
+        .orderBy("bin_idx")
+    )
+
+
+@query(
+    "lineitem_histogram_p95",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - {_H_START}) / {_H_WIDTH}), 0.0), {_H_BINS - 1}.0) AS BIGINT) AS b,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    s AS (
+        SELECT b, c,
+               SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS total
+        FROM h
+    )
+    SELECT ({_H_START} + (CAST(b AS DOUBLE) + (0.95 * total - (cum - c)) / c) * {_H_WIDTH}) AS p95
+    FROM s
+    WHERE cum >= 0.95 * total
+    ORDER BY b
+    LIMIT 1
+    """,
+)
+def lineitem_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_from_histogram(h, 0.95): linear interpolation within the bin
+    containing the target rank (SURVEY §2.4 A6; histogram/quantile.rs:96 —
+    position = (target - cum_before) / bin_count within the bin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - _H_START) / _H_WIDTH), F.lit(0.0)),
+        F.lit(float(_H_BINS - 1)),
+    ).cast("bigint")
+    h = li.groupBy(b.alias("b")).agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    s = h.select(
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    return (
+        s.where(F.col("cum") >= 0.95 * F.col("total"))
+        .orderBy("b")
+        .limit(1)
+        .select(
+            (
+                _H_START
+                + (F.col("b").cast("double") + (0.95 * F.col("total") - (F.col("cum") - F.col("c"))) / F.col("c"))
+                * _H_WIDTH
+            ).alias("p95")
+        )
+    )

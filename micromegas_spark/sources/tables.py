@@ -1,0 +1,56 @@
+"""Readers for the driver's synthetic test tables (TESTDATA.md).
+
+The reference's scan layer (SURVEY §2.1 S1-S3) is a partitioned parquet scan
+with catalog-level pruning; at test scale each table is a single parquet file
+so ``spark.read.parquet`` with Catalyst's built-in projection/predicate
+pushdown is the whole story. The partition-pruned read path for materialized
+views lives in ``micromegas_spark.plans``.
+
+Conventions for the ``events`` stream table:
+- parquet stores TIMESTAMP(NANOS) which Spark rejects; with
+  ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as BIGINT
+  epoch-ns. We expose it as:
+    * ``ts``       — BIGINT epoch-nanoseconds (reference is ns-native,
+                     SURVEY §1.3 / span_table.rs:56-65)
+    * ``ts_us``    — BIGINT epoch-microseconds (ts div 1000)
+    * ``event_time`` — TIMESTAMP (µs precision) for human-facing queries
+  Oracle parity note: DuckDB reads the same column as a naive µs timestamp;
+  epoch-µs BIGINTs are the timezone-proof common denominator, so the
+  driver-compared queries group/sort on epoch integers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micromegas_spark.session import configure
+
+TEST_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TEST_TABLES)}
