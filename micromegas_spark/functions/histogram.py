@@ -148,7 +148,10 @@ def quantile_from_histogram(h: Column, ratio: Column | float) -> Column:
     """
     r = F.lit(ratio) if not isinstance(ratio, Column) else ratio
     # acc: struct(cum BIGINT, found INT, cum_before BIGINT)
-    zipped = F.arrays_zip(h.getField("bins"), F.sequence(F.lit(0), F.size(h.getField("bins")) - 1))
+    zipped = F.arrays_zip(
+        h.getField("bins").alias("b"),
+        F.sequence(F.lit(0), F.size(h.getField("bins")) - 1).alias("i"),
+    )
     target = h.getField("count").cast("double") * r
     init = F.struct(
         F.lit(0).cast("bigint").alias("cum"),
@@ -157,8 +160,8 @@ def quantile_from_histogram(h: Column, ratio: Column | float) -> Column:
     )
 
     def step(acc, x):
-        bin_cnt = x.getField("0").cast("bigint")
-        idx = x.getField("1").cast("int")
+        bin_cnt = x.getField("b").cast("bigint")
+        idx = x.getField("i").cast("int")
         new_cum = acc.getField("cum") + bin_cnt
         hit = (new_cum.cast("double") >= target) & (bin_cnt > 0)
         return F.when(acc.getField("found") >= 0, acc).otherwise(

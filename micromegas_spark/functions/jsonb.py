@@ -58,12 +58,12 @@ def jsonb_as_string(j: Column) -> Column:
 
 def jsonb_as_f64(j: Column) -> Column:
     """JSONB → Float64 or NULL if not numeric (cast.rs)."""
-    return F.try_cast(F.trim(j), "double")
+    return F.trim(j).try_cast("double")
 
 
 def jsonb_as_i64(j: Column) -> Column:
     """JSONB → Int64 or NULL if not an integer (cast.rs)."""
-    return F.try_cast(F.trim(j), "bigint")
+    return F.trim(j).try_cast("bigint")
 
 
 def jsonb_object_keys(j: Column) -> Column:

@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines: exact (hash),
+MinHash+LSH near-dup, SimHash, blocked n-gram Jaccard.
+
+Scale design (the point of every choice here):
+
+- *Exact*: one md5 per doc, one groupBy shuffle on the 16-byte fingerprint.
+- *MinHash+LSH*: per-doc signatures are computed map-side from distinct
+  shingles (no shuffle); banding turns the O(n²) pair space into
+  per-bucket joins — the only shuffle is on (band, bucket-key), and bucket
+  sizes stay bounded because identical signatures collapse. This is the
+  textbook MMDS ch.3 pipeline expressed as DataFrame ops.
+- *SimHash*: 32 conditional-sum aggregates over exploded (doc, token-hash)
+  pairs — map-side combinable, one shuffle on doc_id.
+- *Blocked Jaccard*: exact n-gram Jaccard restricted to candidate blocks
+  (length buckets) — the brute-force fallback with an explicit blocking key
+  so it stays a bounded self-join, never a cross join.
+
+Hash definitions are deterministic and engine-portable (md5 hex), so every
+operator is differentially tested against a DuckDB oracle (queries/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from micromegas_spark.operators.text import fingerprint, shingles, token_hash32, tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (canonicalized) documents: fingerprint,
+    member count, representative (min id). count>1 ⇒ duplicates."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per fingerprint (the min id): the standard
+    exact-dedup pass. Implemented as min-id semi-join, not row_number —
+    one aggregate + one broadcast-able join at typical dup rates."""
+    keep = exact_duplicates(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, k: int = 5
+) -> list[Column]:
+    """n_hashes MinHash values over distinct character k-shingles.
+
+    h_j(doc) = min over shingles s of int(md5(j || ':' || s)[0:8], 16)
+    — seed-prefixed md5, reproducible in any engine. Computed fully
+    map-side (transform + array_min), no shuffle."""
+    sh = shingles(text, k)
+
+    def _hasher(prefix: str):
+        # HOF lambdas must be unary (a 2-arg lambda would receive the array
+        # index as its second argument) — bind the seed via closure.
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+        ).cast("bigint")
+
+    return [
+        F.array_min(F.transform(sh, _hasher(f"{j}:"))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """LSH banding: rows/band = n_hashes/bands; docs sharing any band's
+    composite key become candidate pairs (id_a < id_b, distinct).
+
+    With 4 bands × 2 rows, P(candidate) = 1-(1-j²)⁴: ≈0.98 at j=0.8,
+    ≈0.9996 at j=0.9 — the curve to cite when tuning for a corpus."""
+    rows = n_hashes // bands
+    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, k))
+    banded = []
+    for b in range(bands):
+        key = F.concat_ws(":", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        banded.append(sig.select(F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col)))
+    all_bands = banded[0]
+    for extra in banded[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    return (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return inter / union
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verification
+    ≥ threshold. Output: (id_a, id_b, jaccard). The shingle re-join keeps
+    signatures small through the shuffle; shingle arrays travel only for
+    the (few) candidate pairs."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, k)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    return (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit i is set iff
+    Σ_tokens (bit_i(h32(token)) ? +1 : −1) ≥ 0.
+
+    Explode → 32 conditional sums (map-side combinable) → bit assembly.
+    Near-dup search then bands the 32 bits into chunks and joins on chunk
+    equality (Hamming-distance LSH)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select(F.col(id_col), token_hash32(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band 32 bits into `chunks` 8-bit chunks; by
+    pigeonhole, any pair within max_hamming ≤ chunks-1 shares ≥1 chunk →
+    join per chunk, verify exact Hamming distance via bit_count(xor)."""
+    sh = simhash32(df, text_col, id_col)
+    parts = []
+    for c in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), c * (32 // chunks)).bitwiseAND(
+            F.lit((1 << (32 // chunks)) - 1)
+        )
+        parts.append(sh.select(F.lit(c).alias("chunk"), chunk.alias("ckey"), id_col, "simhash"))
+    allc = parts[0]
+    for extra in parts[1:]:
+        allc = allc.unionByName(extra)
+    a, b = allc.alias("a"), allc.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "n_chars",
+    block_width: int = 50,
+    threshold: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard within length-bucket blocks — the brute-force
+    verifier with an explicit blocking key (near-identical docs have
+    near-identical lengths). Self-join is bounded per block, never O(n²)
+    over the corpus."""
+    sh = df.select(
+        F.col(id_col),
+        (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, "blk")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against a query vector — the
+  correctness baseline. One broadcast of the query vector, one map-side
+  pass, one TakeOrdered: at 100 TB this is a full scan but no shuffle.
+- ``lsh_ann_topk``: sign-LSH bucketed approximate search — hyperplane signs
+  (here: fixed coordinate subsets, deterministic and engine-portable) bucket
+  the corpus; only the query's bucket is scanned. The scale path: candidate
+  generation is a partition-pruned read when the table is written bucketed
+  by ``bucket``.
+- ``centroids``: per-label mean vectors (posexplode + avg — the IVF
+  coarse-quantizer training step).
+
+Dot products stay JVM-side via higher-order functions (zip_with +
+aggregate) with explicit float→double casts so results are deterministic
+and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(norm2(a)) * F.sqrt(norm2(b)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_id``. The query row
+    is a 1-row broadcast cross join; ranking is TakeOrderedAndProject (no
+    full sort). Ties broken by id for determinism."""
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    return (
+        df.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            *(extra_cols or []),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, dims: list[int]) -> Column:
+    """Deterministic sign-LSH bucket: bit j = (vec[dims[j]] >= 0).
+    1-based dims (Spark element_at). Engine-portable: the oracle recomputes
+    it with list indexing."""
+    out = F.lit(0).cast("bigint")
+    for j, d in enumerate(dims):
+        out = out + F.when(F.element_at(vec, d) >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+DEFAULT_LSH_DIMS = [1, 17, 33, 49]
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only vectors sharing the query's sign-LSH
+    bucket. With the table bucketed/partitioned by the bucket value this
+    becomes a pruned read of 1/2^|dims| of the corpus."""
+    dims = dims or DEFAULT_LSH_DIMS
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+    )
+    q = with_b.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb")
+    )
+    return (
+        with_b.where(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
+        .select(id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Per-label mean vector, exploded form: (label, dim, centroid).
+    posexplode → one (label, dim)-keyed shuffle of scalars; re-assembly to
+    array form is a collect_list sorted by dim when needed."""
+    return (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("centroid"))
+    )

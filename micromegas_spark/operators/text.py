@@ -1,0 +1,117 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language identification,
+document fingerprinting, shingling.
+
+All pure Column expressions (JVM-side, codegen) — the deterministic
+definitions below are mirrored 1:1 in the DuckDB oracle SQL of
+queries/llm.py, so both engines produce byte-identical results:
+
+- tokens      : split(trim(text), '\\s+')  (no empty tokens on trimmed text)
+- token hash  : first 8 hex chars of md5 → 32-bit unsigned int
+- fingerprint : md5 of whitespace-collapsed lowercased text
+- shingles    : distinct character k-grams of the raw text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic;
+# ties resolve in this order (first wins)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "y", "las", "es"],
+    "zh": ["的", "了", "是"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; trimmed first so no empty tokens appear."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash: int(md5(token)[0:8], 16). Used by
+    simhash and minhash so the oracle can recompute it exactly."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the canonicalized text (lowercase,
+    whitespace collapsed). The reference has no doc-level dedup — this is
+    part of the training-data-pipeline surface."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams (the MinHash input set)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(text)
+    sw = stopwords or STOPWORDS
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-whitespace chars / token count."""
+    nonws = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return nonws.cast("double") / token_count(text).cast("double")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature bundle (length / punctuation / stopword
+    ratios) — the standard cheap pre-filters of LLM data pipelines."""
+    length = F.length(text)
+    punct = length - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    return {
+        "n_chars_measured": length.cast("bigint"),
+        "n_tokens": token_count(text).cast("bigint"),
+        "n_uniq_tokens": F.size(F.array_distinct(tokens(text))).cast("bigint"),
+        "avg_token_len": avg_token_len(text),
+        "stopword_ratio": stopword_ratio(text),
+        "punct_ratio": punct.cast("double") / length.cast("double"),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-token occurrence counts per language over the token stream."""
+    toks = tokens(text)
+
+    def _count(markers: list[str]):
+        # note: HOF lambdas must be unary — bind the marker list via closure
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+    return {lang: _count(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax of marker scores via a deterministic
+    CASE cascade — earlier language wins ties (mirrored 1:1 in SQL):
+
+        CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+             WHEN s_de >= greatest(s_fr, s_es, s_zh)       THEN 'de'
+             ... ELSE 'zh' END
+    """
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS.keys())
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        rest = [scores[o] for o in langs[i + 1 :]]
+        rest_max = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        expr = F.when(scores[langs[i]] >= rest_max, F.lit(langs[i])).otherwise(expr)
+    return expr

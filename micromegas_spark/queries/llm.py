@@ -1,0 +1,358 @@
+"""Training-data-pipeline queries over the documents/embeddings tables:
+deduplication (exact, MinHash+LSH, SimHash, blocked n-gram Jaccard),
+similarity search (brute-force + sign-LSH ANN, centroids), text analysis
+(token stats, quality, language-ID, fingerprinting).
+
+Every operator has a DuckDB oracle that recomputes the SAME deterministic
+definitions (md5-based hashes, identical shingling, identical rounding), so
+the driver's hash comparison is exact. The Spark implementations live in
+micromegas_spark.operators.{text,dedup,similarity} — this module wires them
+to the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micromegas_spark.operators import dedup, similarity, text
+from micromegas_spark.queries.registry import query
+from micromegas_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with operators/text.py definitions)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5)))"
+)
+_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+
+def _mh_sql(j: int) -> str:
+    return (
+        f"list_min(list_transform(s, x -> ('0x' || substr(md5('{j}:' || x), 1, 8))::BIGINT))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE / len(toks) AS avg_token_len,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks) AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+               / length(text) AS punct_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-scoring features (length/punct/stopword
+    ratios) — the cheap pre-filters of every LLM data pipeline, all
+    JVM-side expressions (operators/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_uniq_tokens"].alias("n_uniq_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    markers = text.LANG_MARKERS
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in markers.items()
+    }
+    langs = list(markers.keys())
+    lines = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"s_{o}" for o in langs[i + 1 :])
+        guard = f"greatest({rest})" if "," in rest else rest
+        lines.append(f"WHEN s_{lang} >= {guard} THEN '{lang}'")
+    case = "CASE " + " ".join(lines) + f" ELSE '{langs[-1]}' END"
+    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return selects, case
+
+
+_LANG_SELECTS, _LANG_CASE = _lang_case_sql()
+
+
+@query(
+    "docs_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_LANG_SELECTS} FROM t)
+    SELECT lang, {_LANG_CASE} AS pred_lang, COUNT(*) AS n
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via marker-token scores with a deterministic
+    argmax cascade; output is the (labeled, predicted) confusion matrix.
+    (On the synthetic corpus all langs share one word pool — the mechanism,
+    not accuracy, is under test.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@query(
+    "docs_dedup_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_FP}) AS n_unique,
+           MIN({_FP}) AS min_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source: total vs distinct canonical
+    fingerprints (md5 over lowercased whitespace-collapsed text,
+    operators/text.fingerprint). n_docs > n_unique ⇒ exact dups present."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(fp).alias("n_unique"),
+            F.min(fp).alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_fingerprint_dups",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {_FP} AS fp FROM documents)
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM f
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+)
+def docs_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (operators/dedup.exact_duplicates): the
+    representative-selection half of dedup_exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_duplicates(d)
+        .where(F.col("n_docs") > 1)
+        .select("fp", "n_docs", "keep_id")
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS band, mh{2 * b}::VARCHAR || ':' || mh{2 * b + 1}::VARCHAR AS bkey, doc_id FROM sig"
+    for b in range(4)
+)
+
+
+@query(
+    "docs_minhash_neardup",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+    sig AS (SELECT doc_id, s,
+                   {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
+            FROM sh),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.s, y.s))::DOUBLE
+                     / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection: 8 seeded-md5 minhashes over
+    distinct 5-char shingles, 4 bands × 2 rows, candidate pairs verified
+    with exact Jaccard ≥ 0.8 (operators/dedup.minhash_near_duplicates —
+    the MMDS banding pipeline, one (band,key) shuffle instead of O(n²))."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, n_chars // 50 AS blk, {_SHINGLES} AS s FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: length-bucket blocking (width 50 chars)
+    bounds the self-join; pairs ≥ 0.5 reported
+    (operators/dedup.blocked_jaccard_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.blocked_jaccard_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}" for i in range(32)
+)
+_SIMHASH_BITS = " + ".join(f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+
+
+@query(
+    "docs_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (operators/dedup.simhash32): bit i set
+    iff the signed vote of token-hash bits is ≥ 0. The Hamming-banded
+    near-dup join over these is simhash_near_duplicates (tested in
+    tests/test_operators.py; pair search shares the banding shape with
+    MinHash-LSH)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash32(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    z AS (SELECT vec_id, label,
+                 unnest(embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+          FROM embeddings, q WHERE vec_id <> 0),
+    s AS (SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+          FROM z GROUP BY vec_id, label)
+"""
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_COS_SQL}
+    SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM s
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k to a query vector (vec_id=0): the
+    ANN correctness baseline (operators/similarity.cosine_topk). Dot
+    products via zip_with/aggregate in double precision, JVM-side; ranking
+    on the rounded score with id tie-break for determinism."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, query_id=0, k=20, extra_cols=["label"]).select(
+        "vec_id", "label", "cos_sim"
+    )
+
+
+@query(
+    "emb_ann_lsh",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[17] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[33] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    z AS (SELECT vec_id,
+                 unnest(b.embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+          FROM b, q WHERE b.bucket = q.qb AND vec_id <> 0),
+    s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+          FROM z GROUP BY vec_id)
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM s
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate nearest neighbors: 4 deterministic hyperplane
+    signs (coordinate subset) bucket the corpus into 16 cells; only the
+    query's cell is scanned (operators/similarity.lsh_ann_topk). The scale
+    path: with the table bucketed by this key the read itself prunes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(e, query_id=0, k=10)
+
+
+@query(
+    "emb_centroids",
+    oracle="""
+    SELECT label, dim, round(avg(x), 5) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding)::DOUBLE AS x,
+               unnest(range(0, len(embedding))) AS dim
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors in exploded (label, dim, centroid) form — the
+    IVF coarse-quantizer training step (operators/similarity.centroids)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.centroids(e)
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,241 @@
+"""Semantic tests for the operator layer — properties the duckdb oracle
+can't express (recall of approximate algorithms, struct-UDAF invariants,
+pandas-UDF paths)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from micromegas_spark.functions import histogram as H
+from micromegas_spark.functions import jsonb as J
+from micromegas_spark.operators import dedup, similarity, text
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from micromegas_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "HELLO WORLD"), (3, "other doc"), (4, "hello world")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    # 1, 2, 4 canonicalize identically (lowercase, whitespace collapsed)
+    assert kept == [1, 3]
+
+
+def test_minhash_lsh_recall_against_ground_truth(spark, docs):
+    """Every pair with true Jaccard ≥ 0.9 must be caught by 4x2 banding
+    (P(miss) = (1-j²)⁴ ≤ 0.001 at j=0.9; the fixture near-dups are ≥0.9)."""
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.blocked_jaccard_pairs(docs, threshold=0.9, block_width=10**9).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    found = {
+        (r.id_a, r.id_b) for r in dedup.minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    missed = set(truth) - found
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_duplicates_pigeonhole_complete(spark, docs):
+    """The banded join's guarantee: with 4 chunks, EVERY pair at true
+    Hamming distance ≤ 3 is found (pigeonhole: ≤3 differing bits can't
+    touch all 4 chunks). Ground truth via brute-force simhash cross-join."""
+    sh = dedup.simhash32(docs).cache()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    truth = {
+        (r.id_a, r.id_b): r.ham
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("ham")
+        )
+        .where(F.col("ham") <= 3)
+        .collect()
+    }
+    assert truth, "fixture should contain close simhash pairs"
+    found = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert found == truth
+    # discriminative sanity: only a minority of all pairs are this close
+    # (the synthetic corpus shares one small vocabulary, so simhashes are
+    # globally similar — ~13% of pairs sit within distance 3; real corpora
+    # are far sparser)
+    n_docs = sh.count()
+    assert len(found) < 0.2 * (n_docs * (n_docs - 1) / 2)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    got = [r.vec_id for r in similarity.cosine_topk(df, query_id=0, k=5).collect()]
+    q = vecs[0]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    sims[0] = -2
+    want = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+    assert got == [int(w) for w in want]
+
+
+def test_lsh_ann_subset_of_bucket(spark):
+    from micromegas_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ann = similarity.lsh_ann_topk(emb, query_id=0, k=10).collect()
+    assert 0 < len(ann) <= 10
+    # every ANN result must be a true member of the query's sign bucket
+    b = emb.select(
+        "vec_id", similarity.sign_bucket(F.col("embedding"), similarity.DEFAULT_LSH_DIMS).alias("bkt")
+    )
+    qb = b.where(F.col("vec_id") == 0).collect()[0].bkt
+    members = {r.vec_id for r in b.where(F.col("bkt") == qb).collect()}
+    assert {r.vec_id for r in ann} <= members
+
+
+# ---------------------------------------------------------------------------
+# histogram struct aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_agg_struct_fields(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 3, 9, 15, -5]], ["v"])
+    h = df.agg(H.histogram_agg(F.col("v"), 0.0, 10.0, 5).alias("h")).collect()[0].h
+    assert h["count"] == 7
+    assert h["min"] == -5 and h["max"] == 15
+    assert h["sum"] == 27
+    # values: -5(clamp→bin0), 1(bin0), 2,2,3(bin1), 9(bin4), 15(clamp→bin4)
+    assert list(h["bins"]) == [2, 3, 0, 0, 2]
+
+
+def test_histogram_quantile_matches_reference_formula(spark):
+    # uniform values 0..99 in [0,100) with 10 bins: p50 → exactly 50.0
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    hdf = df.agg(H.histogram_agg(F.col("v"), 0.0, 100.0, 10).alias("h"))
+    row = hdf.select(
+        H.quantile_from_histogram(F.col("h"), 0.5).alias("p50"),
+        H.quantile_from_histogram(F.col("h"), 0.95).alias("p95"),
+        H.variance_from_histogram(F.col("h")).alias("var"),
+        H.count_from_histogram(F.col("h")).alias("cnt"),
+    ).collect()[0]
+    assert row.p50 == 50.0
+    assert row.p95 == 95.0
+    assert row.cnt == 100
+    # sample variance of 0..99 = 841.66...
+    assert abs(row.var - 841.6666666) < 1e-4
+
+
+def test_histogram_merge_equals_direct(spark):
+    """Composable-aggregate contract (sql_batch_view.rs:170-175): building
+    per-partition histograms then merging equals one global histogram."""
+    data = [(i % 7, float(i % 23)) for i in range(500)]
+    df = spark.createDataFrame(data, ["part", "v"])
+    direct = df.agg(H.histogram_agg(F.col("v"), 0.0, 25.0, 5).alias("h")).collect()[0].h
+    partial = df.groupBy("part").agg(H.histogram_agg(F.col("v"), 0.0, 25.0, 5).alias("h"))
+    merged = H.merge_histograms(partial.withColumn("g", F.lit(1)), "h", ["g"]).collect()[0].h
+    assert list(merged["bins"]) == list(direct["bins"])
+    assert merged["count"] == direct["count"]
+    assert abs(merged["sum"] - direct["sum"]) < 1e-9
+
+
+def test_expand_histogram(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(10)], ["v"])
+    hdf = df.agg(H.histogram_agg(F.col("v"), 0.0, 10.0, 5).alias("h"))
+    rows = H.expand_histogram(hdf, "h").collect()
+    assert [(r.bin_center, r["count"]) for r in rows] == [
+        (1.0, 2), (3.0, 2), (5.0, 2), (7.0, 2), (9.0, 2),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# jsonb family
+# ---------------------------------------------------------------------------
+
+
+def test_jsonb_scalars(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x", "c": [1, 2, 3]}',), ("not json",), (None,)], ["j"]
+    )
+    out = df.select(
+        J.jsonb_get(F.col("j"), "a").alias("a"),
+        J.jsonb_as_i64(J.jsonb_get(F.col("j"), "a")).alias("a_i"),
+        J.jsonb_object_keys(F.col("j")).alias("keys"),
+        J.jsonb_array_length(J.jsonb_get(F.col("j"), "c")).alias("clen"),
+    ).collect()
+    assert out[0].a == "1" and out[0].a_i == 1
+    assert list(out[0].keys) == ["a", "b", "c"] and out[0].clen == 3
+    assert out[1].a is None and out[2].a is None
+
+
+def test_jsonb_path_query_filter_predicate(spark):
+    """The JSONPath filter form the reference supports
+    (functions-reference.md:349-392): $[*] ? (@.f == "x")."""
+    df = spark.createDataFrame(
+        [('[{"name":"a","v":1},{"name":"b","v":2},{"name":"a","v":3}]',)], ["j"]
+    )
+    out = df.select(
+        J.jsonb_path_query(F.col("j"), '$[*] ? (@.name == "a")').alias("m"),
+        J.jsonb_path_query_first(F.col("j"), "$[1].name").alias("first"),
+    ).collect()[0]
+    assert out.m == '[{"name":"a","v":1},{"name":"a","v":3}]'
+    assert out.first == '"b"'
+
+
+def test_jsonb_each_and_array_elements(spark):
+    df = spark.createDataFrame([(1, '{"x": 1, "y": "s"}'), (2, '["p", "q"]')], ["id", "j"])
+    each = {(r.id, r.key): r.value for r in J.jsonb_each(df, "j", ["id"]).collect()}
+    assert each[(1, "x")] == "1" and each[(1, "y")] == "s"
+    assert each[(2, "0")] == "p" and each[(2, "1")] == "q"
+    arr = [r.value for r in J.jsonb_array_elements(df, "j", ["id"]).collect()]
+    assert arr == ["p", "q"]
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat of the house and a dog",),
+            ("der hund und die katze ist das",),
+            ("le chat et la maison est les",),
+        ],
+        ["text"],
+    )
+    out = [r.lang for r in df.select(text.lang_id(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr"]
+
+
+def test_quality_features_consistency(spark, docs):
+    feats = text.quality_features(F.col("text"))
+    row = docs.select(
+        feats["n_tokens"].alias("nt"),
+        feats["n_uniq_tokens"].alias("nu"),
+        feats["stopword_ratio"].alias("sr"),
+        feats["avg_token_len"].alias("al"),
+    ).agg(
+        F.min("nt"), F.min(F.col("nu") <= F.col("nt")), F.min("sr"), F.max("sr"), F.min("al")
+    ).collect()[0]
+    assert row[0] >= 1  # every doc tokenizes
+    assert row[1] is True  # uniq ≤ total
+    assert 0.0 <= row[2] <= row[3] <= 1.0
+    assert row[4] > 0
