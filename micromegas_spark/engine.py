@@ -1,0 +1,150 @@
+"""Engine facade — the analogue of the reference's query service session
+(rust/analytics/src/lakehouse/query.rs:207-256 make_session_context +
+flight_sql_service_impl.rs query-range headers).
+
+``Engine.query(sql, begin_ns, end_ns)`` is the client surface: every
+registered view is (re)registered as a temp view bounded to the query range
+before ``spark.sql`` runs — the Spark-idiomatic equivalent of the
+reference's TableScanRewrite analyzer rule (table_scan_rewrite.rs:59-72,
+SURVEY §4: option (a), bake the range into the view DataFrames).
+
+``Engine.view_instance(view_set, instance, begin, end)`` is the JIT path
+(SURVEY §3.2): a manifest-checked lazy materialization keyed by
+(view_set, instance, insert-bucket) whose staleness hash is the source
+event count — stale or missing buckets are rebuilt by the view's builder
+(e.g. the thread-span call-tree job) before the partition-pruned read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micromegas_spark.functions import register_all
+from micromegas_spark.session import configure
+
+# builder(begin_ns|None, end_ns|None) -> DataFrame
+ViewBuilder = Callable[[int | None, int | None], DataFrame]
+
+
+@dataclass
+class JitViewSet:
+    """Per-instance lazily-materialized view set (thread_spans-style).
+
+    - ``source(instance)``      → the instance's raw event DataFrame
+    - ``count(instance, b, e)`` → source hash for staleness (object count)
+    - ``build(instance, b, e)`` → the decoded/derived DataFrame to cache
+    """
+
+    name: str
+    source_count: Callable[[str, int, int], int]
+    build: Callable[[str, int, int], DataFrame]
+    time_column: str
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = configure(spark)
+        register_all(spark)
+        self.warehouse = warehouse or os.path.join(os.getcwd(), ".warehouse")
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._views: dict[str, ViewBuilder] = {}
+        self._time_columns: dict[str, str] = {}
+        self._jit: dict[str, JitViewSet] = {}
+
+    # -- global views --------------------------------------------------------
+
+    def register_view(
+        self, name: str, builder: ViewBuilder, time_column: str | None = None
+    ) -> None:
+        """Register a view-set builder. ``time_column`` (epoch-ns BIGINT)
+    enables the per-view time filter (P5: point views get
+    ``time BETWEEN``; the builder itself may prune partitions)."""
+        self._views[name] = builder
+        if time_column:
+            self._time_columns[name] = time_column
+
+    def register_table(self, name: str, df: DataFrame, time_column: str | None = None) -> None:
+        self.register_view(name, lambda b, e, _df=df: _df, time_column)
+
+    def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
+        """Full SQL over all registered views, range-bounded out-of-band —
+        the reference's ``client.query(sql, begin, end)``
+        (python/micromegas/micromegas/flightsql/client.py:312-370)."""
+        for name, builder in self._views.items():
+            df = builder(begin_ns, end_ns)
+            tc = self._time_columns.get(name)
+            if tc is not None:
+                if begin_ns is not None:
+                    df = df.where(F.col(tc) >= begin_ns)
+                if end_ns is not None:
+                    df = df.where(F.col(tc) < end_ns)
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(sql)
+
+    # -- JIT view instances ----------------------------------------------------
+
+    def register_jit_view_set(self, vs: JitViewSet) -> None:
+        self._jit[vs.name] = vs
+
+    def _jit_manifest(self, view_set: str, instance: str) -> str:
+        d = os.path.join(self.warehouse, "_jit", view_set)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{instance}.json")
+
+    def view_instance(
+        self, view_set: str, instance: str, begin_ns: int, end_ns: int,
+        bucket_ns: int = 3_600 * 10**9,
+    ) -> DataFrame:
+        """JIT materialization (materialized_view.rs:69-72, log_view.rs:
+        148-210, jit_partitions.rs:59-95): bucket the range by insert time,
+        rebuild stale/missing buckets (source-count hash), then read the
+        union of cached parquet partitions filtered to the range."""
+        vs = self._jit[view_set]
+        mpath = self._jit_manifest(view_set, instance)
+        manifest: dict[str, dict] = {}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+
+        paths = []
+        b = begin_ns - begin_ns % bucket_ns
+        changed = False
+        while b < end_ns:
+            key = str(b)
+            cur = vs.source_count(instance, b, b + bucket_ns)
+            ent = manifest.get(key)
+            pdir = os.path.join(
+                self.warehouse, view_set, f"instance={instance}", f"bucket={b}"
+            )
+            if cur > 0 and (ent is None or ent["hash"] != cur):
+                df = vs.build(instance, b, b + bucket_ns)
+                tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
+                df.write.mode("overwrite").parquet(tmp)
+                if os.path.exists(pdir):
+                    import shutil
+
+                    shutil.rmtree(pdir)
+                os.rename(tmp, pdir)
+                manifest[key] = {"hash": cur, "path": pdir}
+                changed = True
+            if cur > 0:
+                paths.append(manifest[key]["path"])
+            b += bucket_ns
+        if changed:
+            tmp = mpath + f".tmp{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, mpath)
+        if not paths:
+            return self.spark.range(0).select()
+        df = self.spark.read.parquet(*paths)
+        return df.where(
+            (F.col(vs.time_column) >= begin_ns) & (F.col(vs.time_column) < end_ns)
+        )

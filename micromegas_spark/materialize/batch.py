@@ -1,0 +1,244 @@
+"""Incremental batch materialization — the reference's SqlBatchView +
+batch_update machinery (SURVEY §3.3) rebuilt on plain Spark + parquet.
+
+Semantics preserved from the reference:
+
+- A view is a (count_query, extract_query, merge_query) triple with
+  {begin}/{end} placeholders (sql_batch_view.rs:243-293; log_stats_view.rs
+  is the canonical instance).
+- Data is bucketed by **insert_time**; late events land in new insert
+  buckets — freshness is re-checked by comparing the count_query result
+  (source hash ≈ sum of source object counts) against the hash recorded for
+  the partition; mismatch → recreate (batch_update.rs:23-100, esp. 81-88).
+  There is NO watermark-style row dropping (SURVEY §2.9).
+- Each partition also records min/max **event time** for query-range
+  pruning (migration.rs:117-131): reads prune partitions whose event-time
+  range doesn't overlap the query range, then re-apply the row-level filter
+  (the 'inexact pushdown' contract, materialized_view.rs:99-107).
+- merge_query re-aggregates N small partitions into one; aggregates must be
+  composable — sum(count), not count(*) (sql_batch_view.rs:170-175).
+- Views carry an update_group so derived views materialize after their
+  sources (blocks=1000 → log/measures=2000 → log_stats=3000,
+  log_stats_view.rs:75).
+
+Spark-first choices: partitions are parquet directories under
+``<warehouse>/<view>/<begin>_<end>/`` written to a tmp path and atomically
+renamed; the partition catalog is a JSON manifest per view (the reference
+uses Postgres rows — at cluster scale this becomes a Delta table, same
+contract). Reads are ``spark.read.parquet(selected partition dirs)`` so
+Catalyst still sees plain parquet with full pushdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BatchViewSpec:
+    """(count, extract, merge) SQL triple. Queries may reference any table
+    registered in the session; {begin}/{end} are epoch-ns integers splicing
+    the insert-time bucket bounds."""
+
+    name: str
+    count_query: str
+    extract_query: str
+    merge_query: str  # over a temp view named `source`
+    time_column: str  # event-time column of the extract output (ns BIGINT)
+    update_group: int = 2000
+
+
+# The canonical instance: log_stats = 1-minute pre-aggregation of
+# log_entries (log_stats_view.rs:18-59). count_query hashes source state by
+# insert_time; merge re-aggregates with sum(count).
+LOG_STATS = BatchViewSpec(
+    name="log_stats",
+    count_query="""
+        SELECT COALESCE(SUM(nb_objects), 0) AS src
+        FROM blocks
+        WHERE array_contains(tags, 'log')
+          AND insert_time_ns >= {begin} AND insert_time_ns < {end}
+    """,
+    extract_query="""
+        SELECT time_ns - time_ns % 60000000000 AS time_bin_ns,
+               process_id, level, target, COUNT(*) AS count
+        FROM log_entries
+        WHERE insert_time_ns >= {begin} AND insert_time_ns < {end}
+        GROUP BY 1, 2, 3, 4
+    """,
+    merge_query="""
+        SELECT time_bin_ns, process_id, level, target, SUM(count) AS count
+        FROM source
+        GROUP BY time_bin_ns, process_id, level, target
+    """,
+    time_column="time_bin_ns",
+    update_group=3000,
+)
+
+
+@dataclass
+class Partition:
+    begin_insert_ns: int
+    end_insert_ns: int
+    source_hash: int
+    min_event_ns: int
+    max_event_ns: int
+    path: str
+    updated_unix: float = field(default_factory=time.time)
+
+
+class Lakehouse:
+    """Partition catalog + materialization driver for BatchViewSpecs."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(os.path.join(warehouse, "_partitions"), exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self, view: str) -> str:
+        return os.path.join(self.warehouse, "_partitions", f"{view}.json")
+
+    def list_partitions(self, view: str) -> list[Partition]:
+        p = self._manifest_path(view)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [Partition(**row) for row in json.load(f)]
+
+    def _save_manifest(self, view: str, parts: list[Partition]) -> None:
+        tmp = self._manifest_path(view) + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump([vars(p) for p in parts], f)
+        os.replace(tmp, self._manifest_path(view))  # atomic retire+insert
+
+    # -- materialization ---------------------------------------------------
+
+    def _source_hash(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> int:
+        row = self.spark.sql(
+            spec.count_query.format(begin=begin_ns, end=end_ns)
+        ).collect()[0]
+        return int(row[0] or 0)
+
+    def materialize_bucket(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
+        """Create/refresh one insert-time bucket. Returns 'up_to_date' |
+        'created' | 'empty' (batch_update.rs:12-100 decision)."""
+        current = self._source_hash(spec, begin_ns, end_ns)
+        parts = self.list_partitions(spec.name)
+        existing = [
+            p for p in parts if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
+        ]
+        if existing and existing[0].source_hash == current:
+            return "up_to_date"
+        if current == 0 and not existing:
+            return "empty"
+
+        df = self.spark.sql(spec.extract_query.format(begin=begin_ns, end=end_ns))
+        bounds = df.agg(
+            F.min(spec.time_column).alias("mn"), F.max(spec.time_column).alias("mx")
+        ).collect()[0]
+        out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
+        tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp_dir, out_dir)
+
+        parts = [p for p in parts if not (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)]
+        parts.append(
+            Partition(
+                begin_insert_ns=begin_ns,
+                end_insert_ns=end_ns,
+                source_hash=current,
+                min_event_ns=int(bounds.mn) if bounds.mn is not None else begin_ns,
+                max_event_ns=int(bounds.mx) if bounds.mx is not None else end_ns,
+                path=out_dir,
+            )
+        )
+        self._save_manifest(spec.name, parts)
+        return "created"
+
+    def materialize_range(
+        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int
+    ) -> dict[str, int]:
+        """Tick over aligned insert-time buckets (maintenance.rs:140-212
+        cadence loop): skip fresh, rebuild stale."""
+        stats: dict[str, int] = {}
+        b = begin_ns - begin_ns % bucket_ns
+        while b < end_ns:
+            status = self.materialize_bucket(spec, b, b + bucket_ns)
+            stats[status] = stats.get(status, 0) + 1
+            b += bucket_ns
+        return stats
+
+    def merge_partitions(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
+        """MergeExisting (batch_update.rs): re-aggregate the N up-to-date
+        partitions inside [begin, end) into one via merge_query."""
+        parts = self.list_partitions(spec.name)
+        inside = [
+            p for p in parts if p.begin_insert_ns >= begin_ns and p.end_insert_ns <= end_ns
+        ]
+        if len(inside) <= 1:
+            return "abort"
+        src = self.spark.read.parquet(*[p.path for p in inside])
+        src.createOrReplaceTempView("source")
+        merged = self.spark.sql(spec.merge_query)
+        out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
+        tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        bounds_mn = min(p.min_event_ns for p in inside)
+        bounds_mx = max(p.max_event_ns for p in inside)
+        src_hash = sum(p.source_hash for p in inside)
+        old_paths = [p.path for p in inside]
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp_dir, out_dir)
+        rest = [p for p in parts if p not in inside]
+        rest.append(
+            Partition(
+                begin_insert_ns=begin_ns,
+                end_insert_ns=end_ns,
+                source_hash=src_hash,
+                min_event_ns=bounds_mn,
+                max_event_ns=bounds_mx,
+                path=out_dir,
+            )
+        )
+        self._save_manifest(spec.name, rest)
+        for p in old_paths:  # retire after the manifest swap
+            if p != out_dir and os.path.exists(p):
+                shutil.rmtree(p)
+        return "merged"
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(
+        self, view: str, begin_event_ns: int | None = None, end_event_ns: int | None = None,
+        time_column: str | None = None,
+    ) -> DataFrame:
+        """Partition-pruned read: catalog-level event-time overlap test
+        (partition_cache.rs:329-466), then the row-level filter re-applied
+        above the scan (inexact pushdown, materialized_view.rs:99-107)."""
+        parts = self.list_partitions(view)
+        if begin_event_ns is not None:
+            parts = [p for p in parts if p.max_event_ns >= begin_event_ns]
+        if end_event_ns is not None:
+            parts = [p for p in parts if p.min_event_ns < end_event_ns]
+        if not parts:
+            return self.spark.range(0).select()  # empty, schema-less guard
+        df = self.spark.read.parquet(*[p.path for p in parts])
+        if time_column:
+            if begin_event_ns is not None:
+                df = df.where(F.col(time_column) >= begin_event_ns)
+            if end_event_ns is not None:
+                df = df.where(F.col(time_column) < end_event_ns)
+        return df

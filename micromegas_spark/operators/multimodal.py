@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The reference stores raw binary payloads and image blobs the same way
+(images_table.rs; payload BinaryType, SURVEY §1.3/§1.4). For the
+training-data-pipeline surface we add the decode / feature-extract /
+resize / frame-sample stages a 100 TB multimodal pipeline needs.
+
+IMPORTANT — decode backends: the real decoders (PIL/libvips/ffmpeg) are
+NOT in this container, so ``decode_media`` is stubbed: with
+``backend='fake'`` (default) it produces deterministic pseudo-decodes from
+the payload bytes (stable across engines and runs — used by the tests to
+validate the Spark-side plumbing: schema, batching, 1→N row fan-out);
+``backend='pil'`` raises NotImplementedError unless PIL is importable.
+The mapInPandas signatures, schemas, and partitioning are the real,
+tested contract — swapping the inner function for a real decoder changes
+no plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    h = hashlib.md5(payload or b"").digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode stage: BINARY payload → typed metadata rows. mapInPandas so a
+    real decoder amortizes setup per Arrow batch, not per row."""
+    if backend == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - container has no PIL
+            raise NotImplementedError(
+                "PIL backend requires pillow; this environment ships none — "
+                "use backend='fake' for plumbing tests"
+            ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "content_hash": [
+                        hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage: payload → float vector (deterministic
+    pseudo-embedding from the content hash; a real model swaps in behind
+    the same Arrow-batched signature). Output feeds the similarity-search
+    operators (operators/similarity.py) unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                seed = int.from_bytes(hashlib.md5(p or b"").digest()[:8], "big")
+                rng = np.random.RandomState(seed % (2**32))
+                feats.append(rng.randn(dim).astype("float32").tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage (video): 1 row → n_frames rows, the fan-out UDF
+    shape (payload sliced deterministically as the stand-in for ffmpeg
+    keyframe extraction)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for mid, mtype, p in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mtype != "video":
+                    continue
+                p = p or b""
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(p[i * step : (i + 1) * step])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage: metadata-only in the fake backend (real backend would
+    re-encode payloads); demonstrates pass-through of binary columns with
+    derived columns added JVM-side where possible."""
+    decoded = decode_media(df)
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        max_side / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("new_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("new_height"),
+    )

@@ -1,0 +1,250 @@
+"""Span machinery: thread-span call trees, async span pairing, process_spans.
+
+Reference semantics ported (not translated — the stack machine is pure
+imperative logic and lives in a Python function applied per group):
+
+- Call-tree construction: rust/analytics/src/call_tree.rs:100-207 —
+  begin/end events processed in time order per thread stream:
+    * begin before the query range → ignored; after the range → stop;
+    * a begin pushes an open span (end defaults to range end = healing for
+      spans never closed);
+    * an end closes the top span when hashes match; an end with no open
+      span creates a span clamped to the range begin (healing);
+    * hash mismatch on close is a data error (call_tree.rs:186-193);
+- Flattening: rust/analytics/src/span_table.rs:126-187 — depth-first
+  emission with (id, parent, depth, hash, begin, end, duration=end-begin,
+  name, target, filename, line); top-level spans have parent = -1
+  (we omit the synthetic whole-range root row the reference may emit when
+  several top-level spans exist — its id is always -1/None and carries no
+  scope; FIXTURES.md §6 uses the same convention).
+- Async span pairing: process_spans_table_function.rs:319-339 /
+  schema-reference.md:373-386 — begin×end equi-join on span_id with
+  b.time < e.time residual; LEFT JOIN variant keeps unclosed spans with
+  NULL end.
+
+Scale shape: ``build_thread_spans`` is ``applyInPandas`` over stream_id
+groups — each thread's event stream is independent, so the shuffle key is
+the natural parallelism unit and state never crosses groups (this is the
+reference's per-stream JIT partitioning, SURVEY §3.2). The pairing join is
+a plain shuffled equi-join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_SCHEMA = StructType(
+    [
+        StructField("stream_id", StringType()),
+        StructField("id", LongType()),
+        StructField("parent", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("hash", LongType()),
+        StructField("begin_ns", LongType()),
+        StructField("end_ns", LongType()),
+        StructField("duration", LongType()),
+        StructField("name", StringType()),
+        StructField("target", StringType()),
+        StructField("filename", StringType()),
+        StructField("line", IntegerType()),
+    ]
+)
+
+
+class ScopeMismatch(ValueError):
+    """Raised when an end event closes a scope other than the open one
+    (call_tree.rs:186-193)."""
+
+
+def build_call_tree_rows(
+    events: list[dict], begin_range_ns: int, end_range_ns: int
+) -> list[dict]:
+    """Pure-Python stack machine over ONE stream's time-sorted begin/end
+    events → flattened span rows. Unit-testable against the reference
+    semantics; wrapped by applyInPandas below."""
+    # each frame: [id, hash, begin, end, children:list, scope]
+    stack: list[list] = []
+    top_level: list[list] = []
+
+    def close_into_parent(node: list) -> None:
+        if stack:
+            stack[-1][4].append(node)
+        else:
+            top_level.append(node)
+
+    for ev in events:
+        t = ev["time_ns"]
+        if t < begin_range_ns:
+            continue
+        if t > end_range_ns:
+            break
+        if ev["event_type"] == "begin":
+            stack.append([ev["event_id"], ev["hash"], t, end_range_ns, [], ev])
+        else:  # end
+            if stack:
+                top = stack.pop()
+                if top[1] != ev["hash"]:
+                    raise ScopeMismatch(
+                        f"closing scope hash {ev['hash']} but {top[1]} is open"
+                    )
+                top[3] = t
+                close_into_parent(top)
+            else:
+                # end without begin: span clamped to the range start
+                close_into_parent([ev["event_id"], ev["hash"], begin_range_ns, t, [], ev])
+
+    # unclosed begins: heal with end = range end, nesting preserved
+    while stack:
+        top = stack.pop()
+        close_into_parent(top)
+
+    rows: list[dict] = []
+
+    def emit(node: list, parent_id: int, depth: int) -> None:
+        nid, nhash, b, e, children, ev = node
+        rows.append(
+            {
+                "id": nid,
+                "parent": parent_id,
+                "depth": depth,
+                "hash": nhash,
+                "begin_ns": b,
+                "end_ns": e,
+                "duration": e - b,
+                "name": ev["name"],
+                "target": ev.get("target"),
+                "filename": ev.get("filename"),
+                "line": ev.get("line", 0),
+            }
+        )
+        for c in children:
+            emit(c, nid, depth + 1)
+
+    for node in top_level:
+        emit(node, -1, 0)
+    return rows
+
+
+def build_thread_spans(
+    events: DataFrame,
+    begin_range_ns: int,
+    end_range_ns: int,
+) -> DataFrame:
+    """thread_spans view builder (SURVEY §1.4, §3.2): per-stream call trees
+    from begin/end event rows.
+
+    Input columns: stream_id, event_id, event_type ('begin'|'end'),
+    time_ns, hash, name, target, filename, line.
+
+    applyInPandas keyed by stream_id — per-stream state, Arrow transfer,
+    output sorted by begin within each stream (the reference certifies this
+    scan order, thread_spans_view.rs:131; we sort explicitly)."""
+
+    def process(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        (stream_id,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["time_ns", "event_id"], kind="mergesort")
+        rows = build_call_tree_rows(
+            pdf.to_dict("records"), begin_range_ns, end_range_ns
+        )
+        out = pd.DataFrame(rows, columns=[f.name for f in SPAN_SCHEMA.fields if f.name != "stream_id"])
+        out.insert(0, "stream_id", stream_id)
+        if len(out):
+            out = out.sort_values("begin_ns", kind="mergesort")
+        yield out
+
+    cols = ["stream_id", "event_id", "event_type", "time_ns", "hash", "name", "target", "filename", "line"]
+    return (
+        events.select(*cols)
+        .groupBy("stream_id")
+        .applyInPandas(process, schema=SPAN_SCHEMA)
+    )
+
+
+def pair_async_spans(events: DataFrame, keep_unclosed: bool = True) -> DataFrame:
+    """Async span pairing (J3): begins LEFT JOIN ends on span_id with
+    begin.time < end.time; unmatched begins survive with NULL end when
+    keep_unclosed (schema-reference.md:373-386). Duplicate end candidates
+    resolve to the EARLIEST end after the begin (min over matches).
+
+    Input columns: span_id, parent_span_id, event_type, time_ns, name,
+    depth, ... (async_events_table.rs:43-84 shape)."""
+    b = events.where(F.col("event_type") == "begin").select(
+        "span_id",
+        "parent_span_id",
+        "name",
+        "depth",
+        F.col("time_ns").alias("begin_ns"),
+    )
+    e = events.where(F.col("event_type") == "end").select(
+        F.col("span_id").alias("e_span_id"), F.col("time_ns").alias("end_ns")
+    )
+    how = "left" if keep_unclosed else "inner"
+    joined = b.join(e, (b.span_id == e.e_span_id) & (b.begin_ns < e.end_ns), how)
+    return (
+        joined.groupBy("span_id", "parent_span_id", "name", "depth", "begin_ns")
+        .agg(F.min("end_ns").alias("end_ns"))
+        .select(
+            "span_id",
+            "parent_span_id",
+            "name",
+            "depth",
+            "begin_ns",
+            "end_ns",
+            (F.col("end_ns") - F.col("begin_ns")).alias("duration"),
+        )
+    )
+
+
+def process_spans(
+    thread_spans: DataFrame | None,
+    async_spans: DataFrame | None,
+    span_types: str = "both",
+) -> DataFrame:
+    """process_spans(process_id, types) analogue
+    (process_spans_table_function.rs:34-75): union of per-thread spans and
+    paired async spans with a span_type discriminator column."""
+    parts = []
+    if thread_spans is not None and span_types in ("thread", "both"):
+        parts.append(
+            thread_spans.select(
+                F.lit("thread").alias("span_type"),
+                F.col("id").alias("span_id"),
+                F.col("parent").alias("parent_span_id"),
+                "name",
+                "depth",
+                "begin_ns",
+                "end_ns",
+                "duration",
+            )
+        )
+    if async_spans is not None and span_types in ("async", "both"):
+        parts.append(
+            async_spans.select(
+                F.lit("async").alias("span_type"),
+                "span_id",
+                "parent_span_id",
+                "name",
+                "depth",
+                "begin_ns",
+                "end_ns",
+                "duration",
+            )
+        )
+    if not parts:
+        raise ValueError("no span sources for the requested types")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

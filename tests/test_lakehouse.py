@@ -1,0 +1,183 @@
+"""Materialization pipeline + Engine facade semantics (SURVEY §3.2-3.3):
+freshness (source-count hash), insert-time bucketing with late data,
+extract→merge composability, partition-pruned reads, query-range
+injection, JIT view instances."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.engine import Engine, JitViewSet
+from micromegas_spark.materialize import LOG_STATS, Lakehouse
+from micromegas_spark.operators.spans import build_thread_spans
+from micromegas_spark.sources.synthetic import generate
+from micromegas_spark.views import telemetry as V
+
+HOUR = 3_600 * 10**9
+
+
+@pytest.fixture(scope="module")
+def telemetry(spark):
+    data = generate(seed=42)
+    dfs = {
+        "processes": spark.createDataFrame(data["processes"]),
+        "streams": spark.createDataFrame(data["streams"]),
+        "blocks": spark.createDataFrame(data["blocks"]),
+        "log_entries": spark.createDataFrame(data["log_entries"]),
+        "measures": spark.createDataFrame(data["measures"]),
+    }
+    return data, dfs
+
+
+def _register(spark, dfs, log_entries=None, blocks=None):
+    (blocks if blocks is not None else dfs["blocks"]).join(
+        dfs["streams"].select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    (log_entries if log_entries is not None else dfs["log_entries"]).createOrReplaceTempView(
+        "log_entries"
+    )
+
+
+def _window(data):
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    return lo, hi
+
+
+def test_materialize_freshness_and_late_data(spark, telemetry, tmp_path):
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lo, hi = _window(data)
+
+    first = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert first.get("created", 0) > 0
+    # second pass: everything up to date — no rebuilds (batch_update.rs:81-88)
+    second = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert second.get("created", 0) == 0
+    assert second.get("up_to_date", 0) == first.get("created", 0)
+
+    # late arrival: one more log block lands in an old insert bucket
+    some = data["log_entries"][0]
+    late_block = dict(data["blocks"][0])
+    late_block["block_id"] = "late-block"
+    late_block["nb_objects"] = 2
+    late_rows = [
+        dict(some, block_id="late-block", msg="late!", level=2, properties={"error_code": "9"}),
+        dict(some, block_id="late-block", msg="late2", level=2, properties={"error_code": "9"}),
+    ]
+    _register(
+        spark,
+        dfs,
+        log_entries=dfs["log_entries"].unionByName(spark.createDataFrame(late_rows)),
+        blocks=dfs["blocks"].unionByName(spark.createDataFrame([late_block])),
+    )
+    third = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert third.get("created", 0) == 1  # only the touched bucket rebuilt
+    assert third.get("up_to_date", 0) == first.get("created", 0) - 1
+
+
+def test_extract_merge_equals_direct(spark, telemetry, tmp_path):
+    """Composable-aggregate contract: hourly extracts merged == one-shot
+    aggregation (sql_batch_view.rs:170-175)."""
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh2"))
+    lo, hi = _window(data)
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    lake.merge_partitions(LOG_STATS, lo, hi)
+    assert len(lake.list_partitions("log_stats")) == 1
+
+    merged = lake.read("log_stats").groupBy("time_bin_ns", "process_id", "level", "target").agg(
+        F.sum("count").alias("count")
+    )
+    direct = V.log_stats_extract(
+        dfs["log_entries"].withColumnRenamed("time_ns", "time_ns"), 60
+    )
+    m = {tuple(r)[:4]: r["count"] for r in merged.collect()}
+    d = {tuple(r)[:4]: r["count"] for r in direct.collect()}
+    assert m == d
+
+
+def test_partition_pruned_read(spark, telemetry, tmp_path):
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh3"))
+    lo, hi = _window(data)
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    mid = (lo + hi) // 2
+    pruned = lake.read("log_stats", lo, mid, time_column="time_bin_ns")
+    full = lake.read("log_stats")
+    assert pruned.count() == full.where(
+        (F.col("time_bin_ns") >= lo) & (F.col("time_bin_ns") < mid)
+    ).count()
+
+
+def test_engine_query_range_injection(spark, telemetry):
+    data, dfs = telemetry
+    eng = Engine(spark)
+    eng.register_table("log_entries", dfs["log_entries"], time_column="time_ns")
+    eng.register_table("processes", dfs["processes"])
+
+    times = sorted(r["time_ns"] for r in data["log_entries"])
+    b, e = times[len(times) // 4], times[3 * len(times) // 4]
+    n_all = eng.query("SELECT COUNT(*) AS n FROM log_entries").collect()[0].n
+    n_rng = eng.query("SELECT COUNT(*) AS n FROM log_entries", b, e).collect()[0].n
+    expect = sum(1 for t in times if b <= t < e)
+    assert n_rng == expect and n_rng < n_all
+
+    # the enrichment-join query of the docs (schema-reference.md:669-685)
+    out = eng.query(
+        """
+        SELECT p.exe, COUNT(*) AS n
+        FROM log_entries l JOIN processes p ON l.process_id = p.process_id
+        WHERE l.level <= 3 GROUP BY p.exe ORDER BY n DESC
+        """,
+        b,
+        e,
+    )
+    assert out.count() >= 1
+
+
+def test_engine_jit_view_instance(spark, tmp_path):
+    from tests.test_spans import _gen_stream_events
+
+    events = []
+    for i in range(3):
+        events.extend(_gen_stream_events(f"s{i}", seed=50 + i))
+    edf = spark.createDataFrame(events).cache()
+    builds: list[tuple] = []
+
+    def source_count(instance, b, e):
+        return edf.where(
+            (F.col("stream_id") == instance)
+            & (F.col("time_ns") >= b)
+            & (F.col("time_ns") < e)
+        ).count()
+
+    def build(instance, b, e):
+        builds.append((instance, b))
+        return build_thread_spans(
+            edf.where(F.col("stream_id") == instance), b, e
+        ).drop("stream_id")
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh4"))
+    eng.register_jit_view_set(
+        JitViewSet("thread_spans", source_count, build, time_column="begin_ns")
+    )
+
+    lo, hi = 0, 10**9
+    df1 = eng.view_instance("thread_spans", "s0", lo, hi, bucket_ns=10**9)
+    n1 = df1.count()
+    assert n1 > 0
+    n_builds = len(builds)
+    # cached: no rebuild on re-query (jit freshness, log_view.rs:189-199)
+    df2 = eng.view_instance("thread_spans", "s0", lo, hi, bucket_ns=10**9)
+    assert df2.count() == n1
+    assert len(builds) == n_builds
+    # other instance: its own partitions
+    df3 = eng.view_instance("thread_spans", "s1", lo, hi, bucket_ns=10**9)
+    assert df3.count() > 0
+    assert len(builds) == n_builds + 1

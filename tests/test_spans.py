@@ -1,0 +1,179 @@
+"""Call-tree and span-pairing semantics (reference: call_tree.rs:100-207,
+span_table.rs:126-187, process_spans_table_function.rs:319-339)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.operators.spans import (
+    ScopeMismatch,
+    build_call_tree_rows,
+    build_thread_spans,
+    pair_async_spans,
+    process_spans,
+)
+
+
+def ev(eid, etype, t, h, name="f"):
+    return {
+        "event_id": eid,
+        "event_type": etype,
+        "time_ns": t,
+        "hash": h,
+        "name": name,
+        "target": "mod",
+        "filename": "a.rs",
+        "line": 1,
+    }
+
+
+def test_simple_nesting():
+    events = [
+        ev(1, "begin", 10, 100, "outer"),
+        ev(2, "begin", 20, 200, "inner"),
+        ev(3, "end", 30, 200, "inner"),
+        ev(4, "end", 40, 100, "outer"),
+    ]
+    rows = build_call_tree_rows(events, 0, 1000)
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["outer"]["parent"] == -1 and by_name["outer"]["depth"] == 0
+    assert by_name["inner"]["parent"] == 1 and by_name["inner"]["depth"] == 1
+    assert by_name["inner"]["begin_ns"] == 20 and by_name["inner"]["end_ns"] == 30
+    assert by_name["outer"]["duration"] == 30
+
+
+def test_unclosed_begin_healed_to_range_end():
+    rows = build_call_tree_rows([ev(1, "begin", 10, 100)], 0, 500)
+    assert rows[0]["end_ns"] == 500 and rows[0]["begin_ns"] == 10
+
+
+def test_end_without_begin_healed_to_range_begin():
+    rows = build_call_tree_rows([ev(1, "end", 50, 100)], 5, 500)
+    assert rows[0]["begin_ns"] == 5 and rows[0]["end_ns"] == 50
+
+
+def test_scope_mismatch_raises():
+    with pytest.raises(ScopeMismatch):
+        build_call_tree_rows(
+            [ev(1, "begin", 10, 100), ev(2, "end", 20, 999)], 0, 100
+        )
+
+
+def test_range_clamping():
+    events = [
+        ev(1, "begin", 10, 100),  # before range → ignored
+        ev(2, "begin", 150, 200),
+        ev(3, "end", 160, 200),
+        ev(4, "begin", 900, 300),  # after range → stop
+    ]
+    rows = build_call_tree_rows(events, 100, 800)
+    assert [r["hash"] for r in rows] == [200]
+
+
+def _gen_stream_events(stream_id: str, seed: int, n_frames: int = 30):
+    """Deterministic well-formed begin/end stream with depth ≤ 4."""
+    rng = random.Random(seed)
+    events, stack = [], []
+    t, eid = 1000, 0
+    scopes = [(h, f"fn{h}") for h in (11, 22, 33, 44, 55)]
+    for _ in range(n_frames):
+        t += rng.randint(1, 50)
+        if stack and (len(stack) >= 4 or rng.random() < 0.5):
+            h, name = stack.pop()
+            events.append(dict(ev(eid, "end", t, h, name), stream_id=stream_id))
+        else:
+            h, name = rng.choice(scopes)
+            stack.append((h, name))
+            events.append(dict(ev(eid, "begin", t, h, name), stream_id=stream_id))
+        eid += 1
+    while stack:  # close remaining for well-formedness
+        t += rng.randint(1, 50)
+        h, name = stack.pop()
+        events.append(dict(ev(eid, "end", t, h, name), stream_id=stream_id))
+        eid += 1
+    return events
+
+
+def test_thread_spans_spark_matches_pure_python(spark):
+    all_events = []
+    for i in range(6):
+        all_events.extend(_gen_stream_events(f"s{i}", seed=100 + i))
+    df = spark.createDataFrame(all_events)
+    got = build_thread_spans(df, 0, 10**9).collect()
+
+    # differential: the same pure function per stream
+    want = []
+    for i in range(6):
+        sid = f"s{i}"
+        evs = sorted(
+            (e for e in all_events if e["stream_id"] == sid),
+            key=lambda e: (e["time_ns"], e["event_id"]),
+        )
+        for r in build_call_tree_rows(evs, 0, 10**9):
+            want.append((sid, r["id"], r["parent"], r["depth"], r["begin_ns"], r["end_ns"]))
+    got_set = {(r.stream_id, r.id, r.parent, r.depth, r.begin_ns, r.end_ns) for r in got}
+    assert got_set == set(want)
+
+
+def test_thread_spans_invariants(spark):
+    all_events = []
+    for i in range(4):
+        all_events.extend(_gen_stream_events(f"s{i}", seed=7 + i))
+    df = spark.createDataFrame(all_events)
+    spans = build_thread_spans(df, 0, 10**9).collect()
+    by_key = {(r.stream_id, r.id): r for r in spans}
+    for r in spans:
+        assert r.end_ns >= r.begin_ns
+        assert r.duration == r.end_ns - r.begin_ns
+        if r.parent != -1:
+            p = by_key[(r.stream_id, r.parent)]
+            # child nested within parent; depth consistent
+            assert p.begin_ns <= r.begin_ns and r.end_ns <= p.end_ns
+            assert r.depth == p.depth + 1
+        else:
+            assert r.depth == 0
+    # per-stream output sorted by begin
+    for sid in {r.stream_id for r in spans}:
+        begins = [r.begin_ns for r in spans if r.stream_id == sid]
+        assert begins == sorted(begins)
+
+
+def test_async_pairing_with_unclosed(spark):
+    rows = [
+        # span 1: normal pair; span 2: unclosed; span 3: two ends → min wins
+        (1, -1, "a", 0, "begin", 100),
+        (1, -1, "a", 0, "end", 200),
+        (2, 1, "b", 1, "begin", 150),
+        (3, 1, "c", 1, "begin", 160),
+        (3, 1, "c", 1, "end", 300),
+        (3, 1, "c", 1, "end", 400),
+    ]
+    df = spark.createDataFrame(
+        rows, ["span_id", "parent_span_id", "name", "depth", "event_type", "time_ns"]
+    )
+    out = {r.span_id: r for r in pair_async_spans(df).collect()}
+    assert out[1].end_ns == 200 and out[1].duration == 100
+    assert out[2].end_ns is None and out[2].duration is None
+    assert out[3].end_ns == 300  # earliest end after begin
+    strict = {r.span_id for r in pair_async_spans(df, keep_unclosed=False).collect()}
+    assert strict == {1, 3}
+
+
+def test_process_spans_union(spark):
+    tdf = build_thread_spans(
+        spark.createDataFrame(_gen_stream_events("s0", seed=3)), 0, 10**9
+    )
+    adf = pair_async_spans(
+        spark.createDataFrame(
+            [(1, -1, "x", 0, "begin", 10), (1, -1, "x", 0, "end", 20)],
+            ["span_id", "parent_span_id", "name", "depth", "event_type", "time_ns"],
+        )
+    )
+    both = process_spans(tdf, adf, "both")
+    types = {r.span_type for r in both.collect()}
+    assert types == {"thread", "async"}
+    only_async = process_spans(tdf, adf, "async")
+    assert {r.span_type for r in only_async.collect()} == {"async"}

@@ -1,0 +1,124 @@
+"""Structured-Streaming incremental materialization (exactly-once via
+checkpoint, composable partial aggregates) and multimodal mapInPandas
+plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from micromegas_spark.operators import multimodal as MM
+from micromegas_spark.sources.synthetic import generate
+from micromegas_spark.streaming.incremental import materialize_stream, read_log_stats
+
+LOG_SCHEMA = StructType(
+    [
+        StructField("process_id", StringType()),
+        StructField("time_ns", LongType()),
+        StructField("level", IntegerType()),
+        StructField("target", StringType()),
+    ]
+)
+
+
+def test_stream_materialize_incremental_exactly_once(spark, tmp_path):
+    data = generate(seed=11)
+    rows = [
+        (r["process_id"], r["time_ns"], r["level"], r["target"]) for r in data["log_entries"]
+    ]
+    half = len(rows) // 2
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1 lands → one availableNow tick
+    spark.createDataFrame(rows[:half], LOG_SCHEMA).write.mode("append").parquet(src)
+    q = materialize_stream(spark, src, LOG_SCHEMA, out, ckpt)
+    q.awaitTermination()
+
+    # batch 2 lands → a second tick processes ONLY the new files
+    spark.createDataFrame(rows[half:], LOG_SCHEMA).write.mode("append").parquet(src)
+    q2 = materialize_stream(spark, src, LOG_SCHEMA, out, ckpt)
+    q2.awaitTermination()
+
+    merged = {
+        (r.time_bin_ns, r.process_id, r.level, r.target): r["count"]
+        for r in read_log_stats(spark, out).collect()
+    }
+    direct = {
+        tuple(r)[:4]: r["n"]
+        for r in spark.createDataFrame(rows, LOG_SCHEMA)
+        .groupBy(
+            (F.col("time_ns") - F.col("time_ns") % (60 * 10**9)).alias("time_bin_ns"),
+            "process_id",
+            "level",
+            "target",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # exactly-once: no double counting across ticks
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i * 13), {"src": f"s{i%4}"})
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_decode_media_deterministic(spark, media):
+    a = {r.media_id: (r.width, r.height, r.content_hash) for r in MM.decode_media(media).collect()}
+    b = {r.media_id: (r.width, r.height, r.content_hash) for r in MM.decode_media(media).collect()}
+    assert a == b and len(a) == 30
+    assert all(64 <= w <= 255 and 64 <= h <= 255 for w, h, _ in a.values())
+
+
+def test_decode_media_pil_backend_stubbed(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(media, backend="pil")
+
+
+def test_extract_features_feeds_similarity(spark, media):
+    from micromegas_spark.operators.similarity import cosine_topk
+
+    feats = MM.extract_features(media).withColumnRenamed("features", "embedding")
+    out = cosine_topk(feats, query_id=0, k=5, id_col="media_id")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+
+def test_sample_frames_fanout(spark, media):
+    frames = MM.sample_frames(media, n_frames=4).collect()
+    vids = {r.media_id for r in frames}
+    assert vids == {i for i in range(30) if i % 3 == 2}
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+
+
+def test_resize_images_scale(spark, media):
+    out = MM.resize_images(media, max_side=100).collect()
+    for r in out:
+        assert max(r.new_width, r.new_height) <= 100
+        if max(r.width, r.height) <= 100:
+            assert (r.new_width, r.new_height) == (r.width, r.height)
