@@ -24,7 +24,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from micromegas_spark.operators.text import fingerprint, shingles, token_hash32, tokens
+from micromegas_spark.operators.text import (
+    fingerprint,
+    token_hash32,
+    tokens,
+    word_shingles,
+)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition expression-heavy pipelines to full cluster parallelism.
+
+    Small dimension-like inputs often arrive as 1-2 parquet splits (file
+    size < maxPartitionBytes); the md5/shingle stages are CPU-bound, so a
+    single input split would serialize them on one core. At 100 TB the
+    source has thousands of splits and this becomes a cheap no-op-ish
+    round-robin; at test scale it is the difference between 1 and 32 cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 32-bit ints (int(md5(gram)[0:8], 16)) —
+    integer set ops are ~10x cheaper through the verify joins than
+    15-char strings, and the hash is engine-portable for the oracle."""
+    return F.transform(
+        word_shingles(text, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,14 +75,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(
-    text: Column, n_hashes: int = 8, k: int = 5
+    text: Column, n_hashes: int = 8, shingle_n: int = 3
 ) -> list[Column]:
-    """n_hashes MinHash values over distinct character k-shingles.
+    """n_hashes MinHash values over distinct word n-gram shingles.
 
     h_j(doc) = min over shingles s of int(md5(j || ':' || s)[0:8], 16)
     — seed-prefixed md5, reproducible in any engine. Computed fully
     map-side (transform + array_min), no shuffle."""
-    sh = shingles(text, k)
+    sh = word_shingles(text, shingle_n)
 
     def _hasher(prefix: str):
         # HOF lambdas must be unary (a 2-arg lambda would receive the array
@@ -74,7 +103,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
-    k: int = 5,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: rows/band = n_hashes/bands; docs sharing any band's
     composite key become candidate pairs (id_a < id_b, distinct).
@@ -82,14 +111,39 @@ def minhash_lsh_candidates(
     With 4 bands × 2 rows, P(candidate) = 1-(1-j²)⁴: ≈0.98 at j=0.8,
     ≈0.9996 at j=0.9 — the curve to cite when tuning for a corpus."""
     rows = n_hashes // bands
-    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, k))
-    banded = []
-    for b in range(bands):
-        key = F.concat_ws(":", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        banded.append(sig.select(F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col)))
-    all_bands = banded[0]
-    for extra in banded[1:]:
-        all_bands = all_bands.unionByName(extra)
+    # shingle set computed ONCE into a column; per-seed minhashes derive
+    # from it; bands explode from one struct array (no 4x re-computation
+    # of the signature subtree through a union)
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+
+    def _hasher(prefix: str):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
+        ).cast("bigint")
+
+    sig = sh.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_sh"), _hasher(f"{j}:"))).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                    "bkey"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    all_bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
     return (
@@ -101,9 +155,10 @@ def minhash_lsh_candidates(
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
-    """Exact Jaccard over distinct shingle arrays."""
+    """Exact Jaccard over distinct shingle arrays. |A∪B| computed as
+    |A|+|B|−|A∩B| — one set pass per pair instead of two."""
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
     return inter / union
 
 
@@ -114,14 +169,16 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     n_hashes: int = 8,
     bands: int = 4,
-    k: int = 5,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verification
-    ≥ threshold. Output: (id_a, id_b, jaccard). The shingle re-join keeps
-    signatures small through the shuffle; shingle arrays travel only for
-    the (few) candidate pairs."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, k)
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    ≥ threshold. Output: (id_a, id_b, jaccard). Signatures travel through
+    the banding shuffle; the (few) candidate pairs re-join int-hashed
+    shingle sets for the exact verify."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     return (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -137,7 +194,7 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Explode → 32 conditional sums (map-side combinable) → bit assembly.
     Near-dup search then bands the 32 bits into chunks and joins on chunk
     equality (Hamming-distance LSH)."""
-    toks = df.select(
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).select(F.col(id_col), token_hash32(F.col("tok")).alias("h"))
@@ -197,16 +254,16 @@ def blocked_jaccard_pairs(
     block_col: str = "n_chars",
     block_width: int = 50,
     threshold: float = 0.5,
-    k: int = 5,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard within length-bucket blocks — the brute-force
     verifier with an explicit blocking key (near-identical docs have
     near-identical lengths). Self-join is bounded per block, never O(n²)
-    over the corpus."""
-    sh = df.select(
+    over the corpus; shingle sets are int-hashed for cheap set ops."""
+    sh = _spread(df.select(F.col(id_col), F.col(text_col), F.col(block_col))).select(
         F.col(id_col),
         (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
-        shingles(F.col(text_col), k).alias("sh"),
+        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

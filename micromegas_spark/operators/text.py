@@ -53,11 +53,28 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Distinct character k-grams (the MinHash input set)."""
+    """Distinct character k-grams."""
     n = F.greatest(F.length(text) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams — the preferred MinHash/Jaccard input set.
+
+    Char k-grams over a small vocabulary make *every* doc pair ~50% similar
+    (all docs share most 5-char fragments), which floods LSH banding with
+    false candidates; word n-grams key on n-token *sequences*, so unrelated
+    docs sit near Jaccard 0 and true near-dups stay ≥0.8. Docs with fewer
+    than n tokens use the whole trimmed text as their single shingle."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.trim(text))))
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:

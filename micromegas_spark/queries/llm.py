@@ -24,11 +24,22 @@ from micromegas_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+# distinct word trigram shingles (operators/text.word_shingles): docs with
+# <3 tokens fall back to the whole trimmed text as their single shingle
 _SHINGLES = (
-    "list_distinct(list_transform("
-    "range(1, greatest(length(text) - 4, 1) + 1), i -> substring(text, i, 5)))"
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) "
+    "ELSE [trim(text)] END"
 )
+# the same set as 32-bit int hashes (operators/dedup.hashed_shingles)
+_HSH = "list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)"
 _FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+# exact jaccard with |A∪B| = |A|+|B|−|A∩B| over int shingle sets
+_JACCARD = (
+    "round(len(list_intersect(x.hs, y.hs))::DOUBLE"
+    " / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6)"
+)
 
 
 def _mh_sql(j: int) -> str:
@@ -184,8 +195,10 @@ _BANDS_SQL = " UNION ALL ".join(
 @query(
     "docs_minhash_neardup",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
-    sig AS (SELECT doc_id, s,
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
+    sig AS (SELECT doc_id,
                    {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
             FROM sh),
     bands AS ({_BANDS_SQL}),
@@ -195,12 +208,10 @@ _BANDS_SQL = " UNION ALL ".join(
         WHERE a.doc_id < b.doc_id
     ),
     j AS (
-        SELECT id_a, id_b,
-               round(len(list_intersect(x.s, y.s))::DOUBLE
-                     / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        SELECT id_a, id_b, {_JACCARD} AS jaccard
         FROM cand
-        JOIN sh x ON x.doc_id = cand.id_a
-        JOIN sh y ON y.doc_id = cand.id_b
+        JOIN hsh x ON x.doc_id = cand.id_a
+        JOIN hsh y ON y.doc_id = cand.id_b
     )
     SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
     ORDER BY id_a, id_b
@@ -208,9 +219,10 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection: 8 seeded-md5 minhashes over
-    distinct 5-char shingles, 4 bands × 2 rows, candidate pairs verified
-    with exact Jaccard ≥ 0.8 (operators/dedup.minhash_near_duplicates —
-    the MMDS banding pipeline, one (band,key) shuffle instead of O(n²))."""
+    distinct word-trigram shingles, 4 bands × 2 rows, candidate pairs
+    verified with exact Jaccard ≥ 0.8
+    (operators/dedup.minhash_near_duplicates — the MMDS banding pipeline,
+    one (band,key) shuffle instead of O(n²))."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(d, threshold=0.8).orderBy("id_a", "id_b")
 
@@ -218,12 +230,12 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, n_chars // 50 AS blk, {_SHINGLES} AS s FROM documents),
+    WITH t AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, n_chars // 50 AS blk, {_SHINGLES} AS s FROM t),
+    hsh AS (SELECT doc_id, blk, {_HSH} AS hs FROM sh),
     p AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, {_JACCARD} AS jaccard
+        FROM hsh x JOIN hsh y ON x.blk = y.blk AND x.doc_id < y.doc_id
     )
     SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
     ORDER BY id_a, id_b
@@ -231,8 +243,8 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: length-bucket blocking (width 50 chars)
-    bounds the self-join; pairs ≥ 0.5 reported
-    (operators/dedup.blocked_jaccard_pairs)."""
+    bounds the self-join; word-trigram shingles as int hashes; pairs ≥ 0.5
+    reported (operators/dedup.blocked_jaccard_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.blocked_jaccard_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
