@@ -219,6 +219,37 @@ class Lakehouse:
                 shutil.rmtree(p)
         return "merged"
 
+    # -- admin ops (SURVEY §2.10: list_partitions / retire_partitions /
+    # materialize_partitions / regenerate_partitions; gated admin UDFs in
+    # the reference, query.rs:150-175 — here plain Python API) -------------
+
+    def list_view_sets(self) -> list[str]:
+        d = os.path.join(self.warehouse, "_partitions")
+        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+
+    def retire_partitions(self, view: str, begin_ns: int, end_ns: int) -> int:
+        """retire_partition_by_metadata (F20): drop partitions whose insert
+        bucket lies inside [begin, end) — manifest swap first, then file
+        cleanup (same ordering as write_partition.rs retire+insert)."""
+        parts = self.list_partitions(view)
+        keep, drop = [], []
+        for p in parts:
+            (drop if p.begin_insert_ns >= begin_ns and p.end_insert_ns <= end_ns else keep).append(p)
+        if drop:
+            self._save_manifest(view, keep)
+            for p in drop:
+                if os.path.exists(p.path):
+                    shutil.rmtree(p.path)
+        return len(drop)
+
+    def regenerate_partitions(
+        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int
+    ) -> dict[str, int]:
+        """Force-rebuild aligned buckets bypassing the freshness check
+        (batch_update.rs:278-356)."""
+        self.retire_partitions(spec.name, begin_ns - begin_ns % bucket_ns, end_ns)
+        return self.materialize_range(spec, begin_ns, end_ns, bucket_ns)
+
     # -- reads ---------------------------------------------------------------
 
     def read(

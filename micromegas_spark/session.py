@@ -33,6 +33,37 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers regardless of
+    the driver's cwd/sys.path (worker processes don't inherit driver
+    sys.path mutations). Ships a zip via addPyFile once per session; only
+    needed by the pandas-UDF operators (spans, multimodal, parse_block,
+    jsonb_path_query) — the pure-expression query surface never leaves the
+    JVM."""
+    marker = "_micromegas_spark_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.gettempdir(), "micromegas_spark_pkg.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            z.write(full, rel)
+        sc.addPyFile(zpath)
+        setattr(sc, marker, True)
+    except Exception:
+        pass  # best-effort; driver-side-only usage is unaffected
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply dynamic confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -42,6 +73,7 @@ def configure(spark: SparkSession) -> SparkSession:
             # conf may be static/readonly in exotic deployments; queries are
             # written to degrade gracefully where possible.
             pass
+    _ship_package(spark)
     return spark
 
 
