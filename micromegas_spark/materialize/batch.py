@@ -219,6 +219,17 @@ class Lakehouse:
                 shutil.rmtree(p)
         return "merged"
 
+    def materialize_all(
+        self, specs: list[BatchViewSpec], begin_ns: int, end_ns: int, bucket_ns: int
+    ) -> dict[str, dict[str, int]]:
+        """One maintenance tick over many views, ordered by update_group so
+        derived views read fresh upstreams (maintenance.rs:309-346;
+        blocks=1000 → log/measures=2000 → log_stats=3000, SURVEY §2.9)."""
+        out: dict[str, dict[str, int]] = {}
+        for spec in sorted(specs, key=lambda s: s.update_group):
+            out[spec.name] = self.materialize_range(spec, begin_ns, end_ns, bucket_ns)
+        return out
+
     # -- admin ops (SURVEY §2.10: list_partitions / retire_partitions /
     # materialize_partitions / regenerate_partitions; gated admin UDFs in
     # the reference, query.rs:150-175 — here plain Python API) -------------

@@ -141,6 +141,20 @@ def test_engine_query_range_injection(spark, telemetry):
     assert out.count() >= 1
 
 
+def test_materialize_all_respects_update_groups(spark, tmp_path):
+    """Derived views materialize after their sources (maintenance.rs:309-346)."""
+    from dataclasses import replace
+
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "whx"))
+    order: list[str] = []
+    lake.materialize_range = lambda spec, b, e, w: order.append(spec.name) or {}
+    mk = lambda n, g: BatchViewSpec(n, "", "", "", "t", update_group=g)
+    lake.materialize_all([mk("log_stats", 3000), mk("blocks", 1000), mk("log", 2000)], 0, 1, 1)
+    assert order == ["blocks", "log", "log_stats"]
+
+
 def test_engine_jit_view_instance(spark, tmp_path):
     from tests.test_spans import _gen_stream_events
 

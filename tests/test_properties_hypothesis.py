@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — the rigor layer the reference lacks
+(SURVEY §5: no property testing upstream; we add it for the pure-Python
+kernels that back the Spark operators)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from micromegas_spark.operators.spans import build_call_tree_rows
+
+
+@st.composite
+def well_formed_events(draw):
+    """Random well-formed begin/end streams (balanced, nested)."""
+    rng = random.Random(draw(st.integers(0, 2**32)))
+    n = draw(st.integers(1, 60))
+    events, stack = [], []
+    t, eid = 0, 0
+    for _ in range(n):
+        t += rng.randint(1, 10)
+        if stack and (len(stack) > 5 or rng.random() < 0.45):
+            h = stack.pop()
+            events.append(
+                {"event_id": eid, "event_type": "end", "time_ns": t, "hash": h,
+                 "name": f"f{h}", "target": "m", "filename": "x", "line": 1}
+            )
+        else:
+            h = rng.randint(1, 6)
+            stack.append(h)
+            events.append(
+                {"event_id": eid, "event_type": "begin", "time_ns": t, "hash": h,
+                 "name": f"f{h}", "target": "m", "filename": "x", "line": 1}
+            )
+        eid += 1
+    while stack:
+        t += rng.randint(1, 10)
+        h = stack.pop()
+        events.append(
+            {"event_id": eid, "event_type": "end", "time_ns": t, "hash": h,
+             "name": f"f{h}", "target": "m", "filename": "x", "line": 1}
+        )
+        eid += 1
+    return events
+
+
+@given(well_formed_events())
+@settings(max_examples=120, deadline=None)
+def test_call_tree_invariants_hold_for_all_well_formed_streams(events):
+    """For ANY well-formed stream: every begin yields exactly one span;
+    children nest inside parents with depth+1; durations non-negative."""
+    rows = build_call_tree_rows(events, 0, 10**9)
+    n_begins = sum(1 for e in events if e["event_type"] == "begin")
+    assert len(rows) == n_begins
+    by_id = {r["id"]: r for r in rows}
+    for r in rows:
+        assert r["end_ns"] >= r["begin_ns"]
+        assert r["duration"] == r["end_ns"] - r["begin_ns"]
+        if r["parent"] == -1:
+            assert r["depth"] == 0
+        else:
+            p = by_id[r["parent"]]
+            assert p["begin_ns"] <= r["begin_ns"] and r["end_ns"] <= p["end_ns"]
+            assert r["depth"] == p["depth"] + 1
+
+
+@given(well_formed_events(), st.integers(0, 200), st.integers(200, 500))
+@settings(max_examples=60, deadline=None)
+def test_call_tree_range_clamp_bounds_every_span(events, lo, hi):
+    """Clamped build: all spans fall inside [lo, hi] regardless of input."""
+    rows = build_call_tree_rows(events, lo, hi)
+    for r in rows:
+        assert lo <= r["begin_ns"] <= r["end_ns"] <= hi
+
+
+@given(
+    st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=1, max_size=200),
+    st.floats(0.01, 0.99),
+)
+@settings(max_examples=60, deadline=None)
+def test_histogram_quantile_formula_brackets_data(values, q):
+    """The reference's quantile interpolation (quantile.rs:15-41), checked
+    in pure Python against order statistics: the estimate must land within
+    one bin width of the true quantile when values are in range."""
+    start, end, nb = -1000.0, 1000.0, 40
+    width = (end - start) / nb
+    bins = [0] * nb
+    for v in values:
+        idx = min(max(int((v - start) // width), 0), nb - 1)
+        bins[idx] += 1
+    # reference formula
+    target = len(values) * q
+    cum = 0
+    est = end
+    for i, c in enumerate(bins):
+        cum += c
+        if cum >= target and c > 0:
+            r = (target - (cum - c)) / c
+            est = (1 - r) * (start + i * width) + r * (start + (i + 1) * width)
+            break
+    true_q = sorted(values)[min(int(target), len(values) - 1)]
+    assert abs(est - true_q) <= 2 * width
