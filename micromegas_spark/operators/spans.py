@@ -36,7 +36,9 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -205,6 +207,43 @@ def pair_async_spans(events: DataFrame, keep_unclosed: bool = True) -> DataFrame
             (F.col("end_ns") - F.col("begin_ns")).alias("duration"),
         )
     )
+
+
+def trace_chunks(
+    spans: DataFrame, chunk_rows: int = 1000, order_cols: tuple[str, ...] = ("begin_ns", "span_id")
+) -> DataFrame:
+    """perfetto_trace_chunks analogue (SURVEY §2.10;
+    perfetto_trace_execution_plan.rs: streamed `(chunk_id Int32,
+    chunk_data Binary)` protobuf chunks).
+
+    DEVIATION: the reference emits Perfetto protobuf; no protobuf library
+    ships in this environment, so chunk_data is MMSB-framed JSON span
+    records (sources/payload.py framing — a public, self-describing
+    format). The streamed-chunks *shape* (stable chunk ids, bounded chunk
+    size, deterministic span order) is the tested contract; swapping the
+    serializer changes no plan.
+    """
+    import json as _json
+    import struct as _struct
+
+    w = Window.orderBy(*order_cols)
+    numbered = spans.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "_chunk", (F.col("_rn") / chunk_rows).cast("int")
+    )
+    out_schema = StructType(
+        [StructField("chunk_id", IntegerType()), StructField("chunk_data", BinaryType())]
+    )
+
+    def pack(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        (chunk_id,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("_rn")
+        buf = bytearray()
+        for rec in pdf.drop(columns=["_rn", "_chunk"]).to_dict("records"):
+            b = _json.dumps(rec, separators=(",", ":"), sort_keys=True, default=str).encode()
+            buf += _struct.pack(">I", len(b)) + b
+        yield pd.DataFrame({"chunk_id": [chunk_id], "chunk_data": [bytes(buf)]})
+
+    return numbered.groupBy("_chunk").applyInPandas(pack, schema=out_schema)
 
 
 def process_spans(

@@ -162,6 +162,29 @@ def test_async_pairing_with_unclosed(spark):
     assert strict == {1, 3}
 
 
+def test_trace_chunks_export(spark):
+    from micromegas_spark.operators.spans import trace_chunks
+    from micromegas_spark.sources.payload import decode_block
+
+    tdf = build_thread_spans(
+        spark.createDataFrame(
+            [e for i in range(3) for e in _gen_stream_events(f"s{i}", seed=70 + i)]
+        ),
+        0,
+        10**9,
+    ).withColumnRenamed("id", "span_id")
+    n_spans = tdf.count()
+    chunks = sorted(trace_chunks(tdf, chunk_rows=10).collect(), key=lambda r: r.chunk_id)
+    assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+    decoded = [rec for c in chunks for rec in decode_block(bytes(c.chunk_data))]
+    assert len(decoded) == n_spans
+    # deterministic order across the chunk stream
+    begins = [r["begin_ns"] for r in decoded]
+    assert begins == sorted(begins)
+    # bounded chunk size
+    assert all(len(list(decode_block(bytes(c.chunk_data)))) <= 10 for c in chunks)
+
+
 def test_process_spans_union(spark):
     tdf = build_thread_spans(
         spark.createDataFrame(_gen_stream_events("s0", seed=3)), 0, 10**9
