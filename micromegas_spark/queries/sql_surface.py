@@ -141,6 +141,65 @@ def cte_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_us, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        FROM g
+    )
+    SELECT user_id, sess_idx, COUNT(*) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sess_idx
+    ORDER BY user_id, sess_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) as a
+    window composition: new-session flag via lag, session index via
+    running sum, then per-session aggregation. The reference has no
+    session windows (SURVEY §2.9 'sliding/session: not present') — this is
+    the Spark-extra counterpart of Structured Streaming's session_window,
+    expressed deterministically for the batch oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.withColumn("sess_idx", F.sum("new_sess").over(wc))
+    return (
+        s.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "sess_idx")
+    )
+
+
 @query("events_approx_quantiles", oracle=None)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles + approx distinct (SURVEY §2.4 A8/A9;

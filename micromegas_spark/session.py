@@ -88,6 +88,12 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
+        # local-bench profile: the synthetic tables are single small parquet
+        # files; the default 128MB split would run every CPU-heavy scan
+        # stage on one core. A cluster profile keeps the default (at 100 TB
+        # the source has thousands of natural splits).
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
