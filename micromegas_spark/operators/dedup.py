@@ -74,27 +74,55 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+# universal-hash minhash parameters: h_j(x) = (a_j·h32(x) + b_j) mod P with
+# h32 = int(md5(x)[0:8], 16). One md5 per shingle; the j-th hash is two
+# integer ops. P prime > 2^32; a_j < 2^31 keeps a·h < 2^63 (no int64
+# overflow — Spark ANSI mode would raise). Constants are fixed so the
+# DuckDB oracle recomputes identical values.
+MH_P = 4294967311
+MH_AB: list[tuple[int, int]] = [
+    (1610612741, 805306457),
+    (402653189, 201326611),
+    (100663319, 50331653),
+    (25165843, 12582917),
+    (6291469, 3145739),
+    (1572869, 786433),
+    (393241, 196613),
+    (98317, 49157),
+]
+
+
 def minhash_signature(
     text: Column, n_hashes: int = 8, shingle_n: int = 3
-) -> list[Column]:
-    """n_hashes MinHash values over distinct word n-gram shingles.
+) -> Column:
+    """Array of n_hashes MinHash values over distinct word n-gram shingles,
+    computed in ONE fold over the shingle set.
 
-    h_j(doc) = min over shingles s of int(md5(j || ':' || s)[0:8], 16)
-    — seed-prefixed md5, reproducible in any engine. Computed fully
-    map-side (transform + array_min), no shuffle."""
-    sh = word_shingles(text, shingle_n)
-
-    def _hasher(prefix: str):
-        # HOF lambdas must be unary (a 2-arg lambda would receive the array
-        # index as its second argument) — bind the seed via closure.
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
-        ).cast("bigint")
-
-    return [
-        F.array_min(F.transform(sh, _hasher(f"{j}:"))).alias(f"mh{j}")
-        for j in range(n_hashes)
-    ]
+    Why one fold: Spark's higher-order functions are codegen-fallback, so
+    n separate `array_min(transform(...))` columns would each re-evaluate
+    the entire tokenize→shingle→hash subtree (no common-subexpression
+    elimination outside codegen) — measured 8x the work. The fold hashes
+    each shingle once (md5→h32) and updates all n mins via zip_with."""
+    base = F.transform(
+        word_shingles(text, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b")
+            )
+            for a, b in MH_AB[:n_hashes]
+        ]
+    )
+    init = F.array_repeat(F.lit(MH_P).cast("bigint"), n_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, s: F.least(m, (s.getField("a") * h + s.getField("b")) % MH_P)
+        ),
+    )
 
 
 def minhash_lsh_candidates(
@@ -111,32 +139,23 @@ def minhash_lsh_candidates(
     With 4 bands × 2 rows, P(candidate) = 1-(1-j²)⁴: ≈0.98 at j=0.8,
     ≈0.9996 at j=0.9 — the curve to cite when tuning for a corpus."""
     rows = n_hashes // bands
-    # shingle set computed ONCE into a column; per-seed minhashes derive
-    # from it; bands explode from one struct array (no 4x re-computation
-    # of the signature subtree through a union)
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
-
-    def _hasher(prefix: str):
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 8), 16, 10
-        ).cast("bigint")
-
-    sig = sh.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("_sh"), _hasher(f"{j}:"))).alias(f"mh{j}")
-            for j in range(n_hashes)
-        ],
+    # one fold computes the whole signature array; the repartition after it
+    # is an exchange BARRIER that materializes the array before the band
+    # keys fan out (HOFs are codegen-fallback: without the barrier every
+    # band-key expression would re-run the fold)
+    sig = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("mhs"))
+        .repartition(F.col(id_col))
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
-                    "bkey"
-                ),
+                F.concat_ws(
+                    ":",
+                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
+                ).alias("bkey"),
             )
             for b in range(bands)
         ]
@@ -144,14 +163,35 @@ def minhash_lsh_candidates(
     all_bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    a = all_bands.alias("a")
-    b_ = all_bands.alias("b")
-    return (
-        a.join(b_, ["band", "bkey"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # pair generation by bucket-collect, not self-join: a self-join would
+    # recompute the whole signature subtree on both sides (Spark does not
+    # reuse the exchange across deduplicated self-join attributes). One
+    # aggregation materializes each bucket's id list once; in-bucket pairs
+    # come from a higher-order cross of the (small) list. Buckets are small
+    # by construction — they contain only near-duplicate clusters.
+    buckets = (
+        all_bands.groupBy("band", "bkey")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                        lambda p: p.getField("a") < p.getField("b"),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    ).distinct()
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:

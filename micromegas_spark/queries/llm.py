@@ -43,9 +43,11 @@ _JACCARD = (
 
 
 def _mh_sql(j: int) -> str:
-    return (
-        f"list_min(list_transform(s, x -> ('0x' || substr(md5('{j}:' || x), 1, 8))::BIGINT))"
-    )
+    # universal-hash minhash over the int shingle set (dedup.MH_P / MH_AB)
+    from micromegas_spark.operators.dedup import MH_AB, MH_P
+
+    a, b = MH_AB[j]
+    return f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
 
 
 # ---------------------------------------------------------------------------
@@ -147,13 +149,16 @@ def docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (md5 over lowercased whitespace-collapsed text,
     operators/text.fingerprint). n_docs > n_unique ⇒ exact dups present."""
     d = load_table(spark, sf_dir, "documents")
-    fp = text.fingerprint(F.col("text"))
+    # project the fingerprint BEFORE the aggregate: count-distinct plans an
+    # Expand which would otherwise duplicate the regex+md5 expression per
+    # aggregate path (measured 5x slower inline)
+    fps = d.select("source", text.fingerprint(F.col("text")).alias("fp"))
     return (
-        d.groupBy("source")
+        fps.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct(fp).alias("n_unique"),
-            F.min(fp).alias("min_fp"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.min("fp").alias("min_fp"),
         )
         .orderBy("source")
     )
@@ -200,7 +205,7 @@ _BANDS_SQL = " UNION ALL ".join(
     hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
     sig AS (SELECT doc_id,
                    {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
-            FROM sh),
+            FROM hsh),
     bands AS ({_BANDS_SQL}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

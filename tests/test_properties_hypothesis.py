@@ -100,5 +100,10 @@ def test_histogram_quantile_formula_brackets_data(values, q):
             r = (target - (cum - c)) / c
             est = (1 - r) * (start + i * width) + r * (start + (i + 1) * width)
             break
-    true_q = sorted(values)[min(int(target), len(values) - 1)]
+    # the reference stops at the first bin where cum >= target, i.e. the
+    # bin containing the ceil(target)-th smallest element (1-indexed)
+    import math
+
+    rank = max(math.ceil(target), 1)
+    true_q = sorted(values)[min(rank - 1, len(values) - 1)]
     assert abs(est - true_q) <= 2 * width
