@@ -1,0 +1,46 @@
+"""Client facade — parity with the reference's Python client surface
+(python/micromegas/micromegas/flightsql/client.py): SQL in, Arrow/pandas
+out, with the out-of-band query time range.
+
+The reference client talks FlightSQL to a server; here the "server" is the
+Engine in-process, and the Arrow hop is Spark's native Arrow collect path
+(spark.sql.execution.arrow.pyspark.enabled). ``query_stream`` mirrors the
+DoGet record-batch stream with ``toArrow`` batch iteration.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from micromegas_spark.engine import Engine
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+    import pyarrow as pa
+
+
+class Client:
+    """client.query(sql, begin, end) analogue (client.py:312-370)."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+
+    def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> "pd.DataFrame":
+        """SQL → pandas (the reference's default: Arrow table → pandas)."""
+        return self.engine.query(sql, begin_ns, end_ns).toPandas()
+
+    def query_arrow(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> "pa.Table":
+        """SQL → Arrow table (preserve_dictionary-style callers)."""
+        return self.engine.query(sql, begin_ns, end_ns).toArrow()
+
+    def query_stream(
+        self, sql: str, begin_ns: int | None = None, end_ns: int | None = None
+    ) -> Iterator["pa.RecordBatch"]:
+        """SQL → stream of Arrow record batches (FlightSQL DoGet analogue)."""
+        table = self.engine.query(sql, begin_ns, end_ns).toArrow()
+        yield from table.to_batches()
+
+    def view_instance(self, view_set: str, instance: str, begin_ns: int, end_ns: int) -> "pd.DataFrame":
+        """JIT per-instance view (client.py:351-352 'view_instance speedup')."""
+        return self.engine.view_instance(view_set, instance, begin_ns, end_ns).toPandas()

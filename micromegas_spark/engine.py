@@ -88,6 +88,20 @@ class Engine:
             df.createOrReplaceTempView(name)
         return self.spark.sql(sql)
 
+    @classmethod
+    def from_test_tables(cls, spark: SparkSession, sf_dir: str, warehouse: str | None = None) -> "Engine":
+        """Bootstrap an Engine over the driver's synthetic tables
+        (TESTDATA.md) so the full SQL surface works immediately:
+        ``Engine.from_test_tables(spark, sf).query("SELECT ...", b, e)``.
+        The events table gets its epoch-µs column as the range key."""
+        from micromegas_spark.sources.tables import TEST_TABLES, load_table
+
+        eng = cls(spark, warehouse)
+        for name in TEST_TABLES:
+            df = load_table(spark, sf_dir, name)
+            eng.register_table(name, df, time_column="ts_us" if name == "events" else None)
+        return eng
+
     # -- JIT view instances ----------------------------------------------------
 
     def register_jit_view_set(self, vs: JitViewSet) -> None:

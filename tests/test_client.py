@@ -1,0 +1,40 @@
+"""Client facade: SQL → pandas/Arrow/stream with out-of-band range."""
+
+from __future__ import annotations
+
+from micromegas_spark.client import Client
+from micromegas_spark.engine import Engine
+from tests.conftest import SF_SMOKE
+
+
+def test_client_query_surfaces(spark):
+    eng = Engine.from_test_tables(spark, SF_SMOKE)
+    c = Client(eng)
+
+    pdf = c.query("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1")
+    assert set(pdf.columns) == {"event_type", "n"} and len(pdf) == 5
+
+    tbl = c.query_arrow("SELECT COUNT(*) AS n FROM lineitem")
+    assert tbl.column("n")[0].as_py() == 6000
+
+    batches = list(c.query_stream("SELECT event_id FROM events ORDER BY event_id LIMIT 100"))
+    assert sum(b.num_rows for b in batches) == 100
+
+    # out-of-band range bounds the events view
+    lo = c.query("SELECT MIN(ts_us) AS m FROM events")["m"][0]
+    hi = c.query("SELECT MAX(ts_us) AS m FROM events")["m"][0]
+    mid = int((lo + hi) // 2)
+    n_all = c.query("SELECT COUNT(*) AS n FROM events")["n"][0]
+    n_half = c.query("SELECT COUNT(*) AS n FROM events", int(lo), mid)["n"][0]
+    assert 0 < n_half < n_all
+
+    # cross-table join through the same facade
+    j = c.query(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    )
+    assert len(j) == 5

@@ -1,0 +1,59 @@
+"""Scale smoke: a larger synthetic corpus through the full pipeline —
+materialization ticks, merge, thread-span building across many streams.
+Guards against accidental driver-side loops / per-row JVM crossings that
+small fixtures would hide (no timing asserts: correctness + completion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.materialize import LOG_STATS, Lakehouse
+from micromegas_spark.operators.spans import build_thread_spans
+from micromegas_spark.sources.synthetic import generate
+
+HOUR = 3_600 * 10**9
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    data = generate(
+        seed=99, n_processes=6, streams_per_process=3, blocks_per_stream=30, events_per_block=600
+    )
+    return data
+
+
+def test_scale_materialize_and_merge(spark, big, tmp_path):
+    data = big
+    assert len(data["log_entries"]) > 100_000
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    spark.createDataFrame(data["log_entries"]).repartition(32).createOrReplaceTempView(
+        "log_entries"
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    stats = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert stats.get("created", 0) >= 1
+    lake.merge_partitions(LOG_STATS, lo, hi)
+    total = lake.read("log_stats").agg(F.sum("count")).collect()[0][0]
+    assert total == len(data["log_entries"])
+
+
+def test_scale_thread_spans_many_streams(spark):
+    from tests.test_spans import _gen_stream_events
+
+    events = []
+    for i in range(24):
+        events.extend(_gen_stream_events(f"s{i}", seed=1000 + i, n_frames=1500))
+    df = spark.createDataFrame(events).repartition(32, "stream_id")
+    spans = build_thread_spans(df, 0, 10**12)
+    n = spans.count()
+    n_begins = sum(1 for e in events if e["event_type"] == "begin")
+    assert n == n_begins
+    # invariant spot check distributed: no negative durations, depths sane
+    bad = spans.where((F.col("duration") < 0) | (F.col("depth") < 0) | (F.col("depth") > 10)).count()
+    assert bad == 0
