@@ -200,6 +200,109 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_with_lineitems_exists",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def orders_with_lineitems_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join with a correlated theta residual (TPC-H Q4 shape):
+    Catalyst plans LeftSemi with the non-equi condition as join residual —
+    the semi-join counterpart of customer_without_orders."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "lineitem_promo_share",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                         ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           * 100.0 AS promo_share_pct,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-03-01'
+    """,
+)
+def lineitem_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a broadcast dim join (TPC-H Q14 shape):
+    CASE inside SUM, exact decimal accumulation, single output row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+                * 100.0
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "large_orders_having",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice, t.qty AS qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-subquery + HAVING filter + join back (TPC-H Q18 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty"))
+    )
+    return (
+        o.join(t, o.o_orderkey == t.l_orderkey)
+        .select("o_orderkey", "o_totalprice", "qty")
+        .orderBy("o_orderkey")
+    )
+
+
 @query("events_approx_quantiles", oracle=None)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles + approx distinct (SURVEY §2.4 A8/A9;

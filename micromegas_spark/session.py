@@ -45,19 +45,25 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(sc, marker, False):
         return
     try:
+        import hashlib
         import tempfile
         import zipfile
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        zpath = os.path.join(tempfile.gettempdir(), "micromegas_spark_pkg.zip")
+        sources = []
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    sources.append((full, os.path.getmtime(full), os.path.getsize(full)))
+        # content-versioned name: a stale zip from an older package version
+        # must never be reused (addPyFile caches by filename)
+        digest = hashlib.md5(repr(sorted(sources)).encode()).hexdigest()[:12]
+        zpath = os.path.join(tempfile.gettempdir(), f"micromegas_spark_pkg_{digest}.zip")
         if not os.path.exists(zpath):
             with zipfile.ZipFile(zpath, "w") as z:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                            z.write(full, rel)
+                for full, _mt, _sz in sources:
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
         sc.addPyFile(zpath)
         setattr(sc, marker, True)
     except Exception:

@@ -1,0 +1,103 @@
+"""Custom stateful streaming: live thread-span assembly.
+
+The reference materializes thread spans in micro-batches with per-stream
+call-tree state rebuilt from blocks (SURVEY §3.2). The Structured-Streaming
+native counterpart keeps each stream's OPEN-SPAN STACK as keyed state
+(``applyInPandasWithState``): begin events push, end events pop and emit a
+completed span row. State survives micro-batch boundaries and restarts via
+the checkpoint — a span whose begin and end arrive in different batches is
+still assembled exactly once.
+
+Semantic deltas vs the batch builder (operators/spans.py), by necessity of
+unbounded input (documented, tested):
+- no query range ⇒ no clamping; spans stay open in state until closed;
+- end-without-begin events are dropped (the batch path heals them to the
+  range start — streaming has no range);
+- scope mismatch resets the stream's stack (the batch path raises; a
+  streaming query cannot abort per-record) and emits nothing for the
+  broken frame.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STREAM_SPAN_SCHEMA = StructType(
+    [
+        StructField("stream_id", StringType()),
+        StructField("id", LongType()),
+        StructField("parent", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("hash", LongType()),
+        StructField("begin_ns", LongType()),
+        StructField("end_ns", LongType()),
+        StructField("duration", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("stack_json", StringType())])
+
+
+def _process_stream(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    (stream_id,) = key
+    stack: list[list] = json.loads(state.get[0]) if state.exists else []
+    out: list[dict] = []
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["time_ns", "event_id"], kind="mergesort")
+    for ev in pdf.to_dict("records"):
+        if ev["event_type"] == "begin":
+            stack.append([int(ev["event_id"]), int(ev["hash"]), int(ev["time_ns"]), ev["name"]])
+        else:
+            if not stack:
+                continue  # end-without-begin: dropped (see module docstring)
+            top = stack.pop()
+            if top[1] != int(ev["hash"]):
+                stack = []  # scope mismatch: reset stream state
+                continue
+            t = int(ev["time_ns"])
+            out.append(
+                {
+                    "stream_id": stream_id,
+                    "id": top[0],
+                    "parent": stack[-1][0] if stack else -1,
+                    "depth": len(stack),
+                    "hash": top[1],
+                    "begin_ns": top[2],
+                    "end_ns": t,
+                    "duration": t - top[2],
+                    "name": top[3],
+                }
+            )
+    state.update((json.dumps(stack),))
+    yield pd.DataFrame(out, columns=[f.name for f in STREAM_SPAN_SCHEMA.fields])
+
+
+def streaming_thread_spans(events: DataFrame) -> DataFrame:
+    """events (streaming DF: stream_id, event_id, event_type, time_ns,
+    hash, name) → completed spans as they close. Keyed state = the open
+    stack per stream; output mode 'append' (closed spans are final)."""
+    from micromegas_spark.session import configure
+
+    configure(events.sparkSession)  # ship the package to executor workers
+    return (
+        events.groupBy("stream_id")
+        .applyInPandasWithState(
+            _process_stream,
+            outputStructType=STREAM_SPAN_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
