@@ -157,9 +157,14 @@ def build_thread_spans(
         (stream_id,) = key
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["time_ns", "event_id"], kind="mergesort")
-        rows = build_call_tree_rows(
-            pdf.to_dict("records"), begin_range_ns, end_range_ns
-        )
+        # zip of column lists beats DataFrame.to_dict('records') ~4x on
+        # million-row streams (the pandas per-row Series tax)
+        colnames = ["event_id", "event_type", "time_ns", "hash", "name", "target", "filename", "line"]
+        records = [
+            dict(zip(colnames, t))
+            for t in zip(*(pdf[c].tolist() for c in colnames))
+        ]
+        rows = build_call_tree_rows(records, begin_range_ns, end_range_ns)
         out = pd.DataFrame(rows, columns=[f.name for f in SPAN_SCHEMA.fields if f.name != "stream_id"])
         out.insert(0, "stream_id", stream_id)
         if len(out):
@@ -167,8 +172,15 @@ def build_thread_spans(
         yield out
 
     cols = ["stream_id", "event_id", "event_type", "time_ns", "hash", "name", "target", "filename", "line"]
+    # explicit hash partitioning on the group key: AQE would otherwise
+    # coalesce the pre-UDF shuffle by *bytes* (64MB advisory), serializing
+    # the CPU-bound Python stage onto a couple of tasks. A user-specified
+    # repartition is respected by AQE and satisfies applyInPandas'
+    # required distribution, so no second exchange is added.
+    parallelism = events.sparkSession.sparkContext.defaultParallelism
     return (
         events.select(*cols)
+        .repartition(parallelism, "stream_id")
         .groupBy("stream_id")
         .applyInPandas(process, schema=SPAN_SCHEMA)
     )
