@@ -122,9 +122,11 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                seed = int.from_bytes(hashlib.md5(p or b"").digest()[:8], "big")
-                rng = np.random.RandomState(seed % (2**32))
-                feats.append(rng.randn(dim).astype("float32").tolist())
+                # deterministic pseudo-embedding straight from digest bytes
+                # (cheaper than seeding an RNG per row); zero-centered
+                raw = (hashlib.md5(p or b"").digest() * ((dim // 16) + 1))[:dim]
+                v = (np.frombuffer(raw, dtype=np.uint8).astype("float32") - 127.5) / 73.9
+                feats.append(v.tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)

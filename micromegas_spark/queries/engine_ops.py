@@ -60,6 +60,27 @@ def events_color_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_jsonb_each",
+    oracle="""
+    WITH k AS (
+        SELECT event_id, props, unnest(json_keys(props)) AS key FROM events
+    )
+    SELECT event_id, key, json_extract_string(props, '$.' || key) AS value
+    FROM k
+    ORDER BY event_id, key
+    """,
+)
+def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb_each UDTF: JSON object → (key, value) rows (SURVEY §2.10;
+    jsonb/each.rs:273, functions-reference.md:598-641). Explode-based, no
+    Python (functions/jsonb.jsonb_each)."""
+    from micromegas_spark.functions.jsonb import jsonb_each
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    return jsonb_each(ev, "props", ["event_id"]).orderBy("event_id", "key")
+
+
 @query("events_thread_spans", oracle=None)
 def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread-span call-tree building exercised on driver data (rows-only:
