@@ -110,6 +110,60 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate search: probe the nprobe clusters whose
+    centroids are nearest the query, then exact-rank only their members.
+
+    The coarse quantizer here is the per-``cluster_col`` mean (``centroids``)
+    — with a trained k-means the pipeline is identical: assign → probe →
+    in-cluster scan. At 100 TB, write the table partitioned/bucketed by the
+    cluster id and the in-cluster scan becomes a pruned read of
+    nprobe/n_clusters of the corpus.
+
+    Fully deterministic (rounded centroid similarity, id tie-breaks), so
+    the DuckDB oracle reproduces it exactly (queries/llm.py emb_ivf_topk).
+    """
+    cent = (
+        df.select(F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy(cluster_col, "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(F.col(cluster_col), F.col("dc.c").alias("cvec"))
+    )
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    probed = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            cluster_col,
+            F.round(cosine(F.col("cvec"), F.col("_qv")), 6).alias("csim"),
+        )
+        .orderBy(F.desc("csim"), F.asc(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    return (
+        df.join(F.broadcast(probed), cluster_col)
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.col(cluster_col),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -351,6 +351,47 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_topk",
+    oracle="""
+    WITH cent AS (
+        SELECT label, dim, avg(x) AS c
+        FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+                     unnest(range(0, len(embedding))) AS dim
+              FROM embeddings)
+        GROUP BY label, dim
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT unnest(qe)::DOUBLE AS x, unnest(range(0, len(qe))) AS dim FROM q),
+    csim AS (
+        SELECT label,
+               round(SUM(c * x) / (sqrt(SUM(c * c)) * sqrt(SUM(x * x))), 6) AS csim
+        FROM cent JOIN qd USING (dim)
+        GROUP BY label
+    ),
+    probe AS (SELECT label FROM csim ORDER BY csim DESC, label LIMIT 2),
+    z AS (SELECT vec_id, e.label AS label,
+                 unnest(e.embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+          FROM embeddings e JOIN probe USING (label), q
+          WHERE vec_id <> 0),
+    s AS (SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+          FROM z GROUP BY vec_id, label)
+    SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM s
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 2 clusters whose centroids are nearest the
+    query, exact-rank only their members (operators/similarity.ivf_topk).
+    The scale path alongside sign-LSH: with the table bucketed by cluster
+    id, the in-cluster scan is a pruned read of nprobe/n_clusters of the
+    corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, query_id=0, k=10, nprobe=2)
+
+
+@query(
     "emb_centroids",
     oracle="""
     SELECT label, dim, round(avg(x), 5) AS centroid
