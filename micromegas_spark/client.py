@@ -44,3 +44,26 @@ class Client:
     def view_instance(self, view_set: str, instance: str, begin_ns: int, end_ns: int) -> "pd.DataFrame":
         """JIT per-instance view (client.py:351-352 'view_instance speedup')."""
         return self.engine.view_instance(view_set, instance, begin_ns, end_ns).toPandas()
+
+    def prepare(self, sql: str) -> "PreparedStatement":
+        """Prepared statement (the reference's FlightSQL prepared-statement
+        surface; python client prepared_statements.py). Parameters use
+        Spark's named-parameter markers: ``:name``."""
+        return PreparedStatement(self, sql)
+
+
+class PreparedStatement:
+    def __init__(self, client: Client, sql: str):
+        self.client = client
+        self.sql = sql
+
+    def execute(
+        self,
+        params: dict | None = None,
+        begin_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> "pd.DataFrame":
+        eng = self.client.engine
+        # re-register range-bounded views, then run with bound parameters
+        eng.query("SELECT 1", begin_ns, end_ns)
+        return eng.spark.sql(self.sql, args=params or {}).toPandas()

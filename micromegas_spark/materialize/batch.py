@@ -253,6 +253,20 @@ class Lakehouse:
                     shutil.rmtree(p.path)
         return len(drop)
 
+    def retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
+        """Retention: drop partitions whose insert bucket ended before the
+        cutoff (rust/analytics/src/delete.rs:13-60 'delete blocks/partitions
+        older than N days')."""
+        parts = self.list_partitions(view)
+        keep = [p for p in parts if p.end_insert_ns > cutoff_insert_ns]
+        drop = [p for p in parts if p.end_insert_ns <= cutoff_insert_ns]
+        if drop:
+            self._save_manifest(view, keep)
+            for p in drop:
+                if os.path.exists(p.path):
+                    shutil.rmtree(p.path)
+        return len(drop)
+
     def regenerate_partitions(
         self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int
     ) -> dict[str, int]:

@@ -38,3 +38,40 @@ def test_client_query_surfaces(spark):
         """
     )
     assert len(j) == 5
+
+
+def test_prepared_statement(spark):
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+
+    c = Client(Engine.from_test_tables(spark, SF_SMOKE))
+    stmt = c.prepare("SELECT COUNT(*) AS n FROM events WHERE event_type = :et")
+    n_err = stmt.execute({"et": "error"})["n"][0]
+    n_click = stmt.execute({"et": "click"})["n"][0]
+    assert n_err == 201 and n_click == 210
+    # with a range bound, the view re-registration bounds the same statement
+    lo = c.query("SELECT MIN(ts_us) AS m FROM events")["m"][0]
+    hi = c.query("SELECT MAX(ts_us) AS m FROM events")["m"][0]
+    n_half = stmt.execute({"et": "error"}, int(lo), int((lo + hi) // 2))["n"][0]
+    assert 0 < n_half < n_err
+
+
+def test_retention(spark, tmp_path):
+    from micromegas_spark.materialize import LOG_STATS, Lakehouse
+    from micromegas_spark.sources.synthetic import generate
+
+    data = generate(seed=13)
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    spark.createDataFrame(data["log_entries"]).createOrReplaceTempView("log_entries")
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    HOUR = 3600 * 10**9
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    n = len(lake.list_partitions("log_stats"))
+    dropped = lake.retire_older_than("log_stats", lo + HOUR)
+    assert dropped >= 1
+    assert len(lake.list_partitions("log_stats")) == n - dropped
