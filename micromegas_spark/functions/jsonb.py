@@ -84,24 +84,26 @@ def jsonb_each(df, json_col: str, extra_cols: list[str] | None = None):
     objects and arrays (key = index string) — each.rs; docs
     functions-reference.md:598-641. explode over parsed map / array."""
     j = F.col(json_col)
-    # object case: explode keys then extract each value
-    obj = (
-        df.where(F.json_object_keys(j).isNotNull())
-        .select(*(extra_cols or []), j.alias("_j"), F.explode(F.json_object_keys(j)).alias("key"))
-        .withColumn("value", F.expr("get_json_object(_j, concat('$.', key))"))
-        .drop("_j")
+    # single scan: per row, the key list is either the object's keys or the
+    # array's index strings; explode drops nulls/empties. (A union of an
+    # object branch and an array branch would scan the table twice.)
+    alen = F.json_array_length(j)
+    arr_keys = F.when(
+        alen > 0,
+        F.transform(F.sequence(F.lit(0), alen - 1), lambda i: i.cast("string")),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = F.coalesce(F.json_object_keys(j), arr_keys)
+    is_obj = F.json_object_keys(j).isNotNull()
+    exploded = df.select(
+        *(extra_cols or []),
+        j.alias("_j"),
+        is_obj.alias("_isobj"),
+        F.explode(keys).alias("key"),
     )
-    arr = (
-        df.where(F.json_object_keys(j).isNull() & F.json_array_length(j).isNotNull())
-        .select(
-            *(extra_cols or []),
-            F.posexplode(F.from_json(j, "array<string>")).alias("pos", "value"),
-        )
-        .withColumn("key", F.col("pos").cast("string"))
-        .drop("pos")
-        .select(*(extra_cols or []), "key", "value")
-    )
-    return obj.unionByName(arr)
+    value = F.when(
+        F.col("_isobj"), F.expr("get_json_object(_j, concat('$.', key))")
+    ).otherwise(F.expr("get_json_object(_j, concat('$[', key, ']'))"))
+    return exploded.withColumn("value", value).drop("_j", "_isobj")
 
 
 def jsonb_array_elements(df, json_col: str, extra_cols: list[str] | None = None):

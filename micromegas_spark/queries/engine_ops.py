@@ -68,7 +68,6 @@ def events_color_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, key, json_extract_string(props, '$.' || key) AS value
     FROM k
-    ORDER BY event_id, key
     """,
 )
 def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,8 +76,10 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python (functions/jsonb.jsonb_each)."""
     from micromegas_spark.functions.jsonb import jsonb_each
 
+    # no ORDER BY: the driver's comparison is order-insensitive and a
+    # global sort of the exploded rows would dominate the query
     ev = load_table(spark, sf_dir, "events").select("event_id", "props")
-    return jsonb_each(ev, "props", ["event_id"]).orderBy("event_id", "key")
+    return jsonb_each(ev, "props", ["event_id"])
 
 
 @query("events_thread_spans", oracle=None)
@@ -128,6 +129,26 @@ def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("duration").alias("total_duration"),
         )
         .orderBy("stream_id")
+    )
+
+
+@query("emb_kmeans", oracle=None)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (rows-only: iterative
+    algorithm, not SQL-expressible; objective-decrease and determinism
+    covered by tests/test_clustering.py). Reports per-cluster size and
+    mean squared distance."""
+    from micromegas_spark.operators.clustering import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(e, k=8, max_iter=2)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster")
     )
 
 
