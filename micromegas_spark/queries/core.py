@@ -169,6 +169,86 @@ def log_stats_merge_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+@query(
+    "events_value_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+           sqrt((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per metric family — the measures-view statistics
+    shape (SURVEY §2.4 A1, stddev). Sample stddev computed from exact
+    decimal Σv and Σv² so both engines agree bit-for-bit (native stddev
+    accumulates doubles in engine-specific order)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(_DEC2)
+    n = F.count("*")
+    s = F.sum(v).cast("double")
+    ss = F.sum(v * v).cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.min(v).cast("double").alias("min_value"),
+            F.max(v).cast("double").alias("max_value"),
+            (s / n).alias("avg_value"),
+            F.sqrt((ss - s * s / n) / (n - F.lit(1))).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_us(ts)) // 3600000000) * 3600 AS lo,
+               (MAX(epoch_us(ts)) // 3600000000) * 3600 AS hi
+        FROM events
+    ),
+    grid AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_epoch FROM bounds),
+    agg AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, COUNT(*) AS n
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT g.hour_epoch AS hour_epoch, COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a ON g.hour_epoch = a.hour_epoch
+    ORDER BY g.hour_epoch
+    """,
+)
+def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series with zero-filled gaps — the observability
+    dashboard shape (Grafana panels over the reference's views): bucket
+    grid via sequence() + left join + coalesce. The grid generation is a
+    one-row explode, not a driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = ((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch")
+    agg = ev.where(F.col("event_type") == "signup").groupBy(hour).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        ((F.min("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("lo"),
+        ((F.max("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("hour_epoch")
+    )
+    return (
+        grid.join(agg, "hour_epoch", "left")
+        .select("hour_epoch", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .orderBy("hour_epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
