@@ -35,11 +35,34 @@ class Client:
         return self.engine.query(sql, begin_ns, end_ns).toArrow()
 
     def query_stream(
-        self, sql: str, begin_ns: int | None = None, end_ns: int | None = None
+        self,
+        sql: str,
+        begin_ns: int | None = None,
+        end_ns: int | None = None,
+        batch_rows: int = 10_000,
     ) -> Iterator["pa.RecordBatch"]:
-        """SQL → stream of Arrow record batches (FlightSQL DoGet analogue)."""
-        table = self.engine.query(sql, begin_ns, end_ns).toArrow()
-        yield from table.to_batches()
+        """SQL → stream of Arrow record batches (FlightSQL DoGet analogue).
+
+        Incremental: rows are pulled partition-by-partition via
+        toLocalIterator (executors keep later partitions until requested),
+        so driver memory holds one batch, not the whole result."""
+        import pandas as pd
+        import pyarrow as pa
+
+        df = self.engine.query(sql, begin_ns, end_ns)
+        schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_rows:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(buf), schema=schema, preserve_index=False
+                )
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(buf), schema=schema, preserve_index=False
+            )
 
     def view_instance(self, view_set: str, instance: str, begin_ns: int, end_ns: int) -> "pd.DataFrame":
         """JIT per-instance view (client.py:351-352 'view_instance speedup')."""

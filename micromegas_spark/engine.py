@@ -99,7 +99,9 @@ class Engine:
         eng = cls(spark, warehouse)
         for name in TEST_TABLES:
             df = load_table(spark, sf_dir, name)
-            eng.register_table(name, df, time_column="ts_us" if name == "events" else None)
+            # range key must match query()'s documented epoch-ns units:
+            # events.ts is the raw ns column (ts_us is the µs convenience)
+            eng.register_table(name, df, time_column="ts" if name == "events" else None)
         return eng
 
     # -- JIT view instances ----------------------------------------------------

@@ -15,20 +15,24 @@ from pyspark.sql import functions as F
 
 def date_bin(stride_seconds: int, ts: Column, origin_epoch: int = 0) -> Column:
     """Floor ``ts`` (TimestampType) to a stride-aligned bucket, like
-    DataFusion's date_bin(INTERVAL, ts, origin). Returns TimestampType."""
+    DataFusion's date_bin(INTERVAL, ts, origin). Returns TimestampType.
+
+    pmod (not %) so pre-origin timestamps floor to the earlier bucket —
+    Spark's % follows the dividend's sign (DataFusion date_bin floors)."""
     us = F.unix_micros(ts)
     stride_us = int(stride_seconds) * 1_000_000
     origin_us = int(origin_epoch) * 1_000_000
-    binned = ((us - origin_us) - ((us - origin_us) % stride_us)) + origin_us
+    binned = ((us - origin_us) - F.pmod(us - origin_us, F.lit(stride_us))) + origin_us
     return F.timestamp_micros(binned)
 
 
 def date_bin_epoch(stride_seconds: int, ts_us: Column) -> Column:
     """Same, over epoch-µs BIGINT columns (the ns-native event tables);
-    returns the bucket start as epoch seconds BIGINT. This is the
-    timezone-proof shape the driver-compared queries use."""
+    returns the bucket start as epoch seconds BIGINT (exact: the bucket
+    start is stride-aligned, so the µs→s division is integral)."""
     stride_us = int(stride_seconds) * 1_000_000
-    return (ts_us - (ts_us % stride_us)) / F.lit(1_000_000)
+    binned_us = ts_us - F.pmod(ts_us, F.lit(stride_us))
+    return (binned_us / F.lit(1_000_000)).cast("bigint")
 
 
 def register(spark: SparkSession) -> None:

@@ -100,8 +100,11 @@ def jsonb_each(df, json_col: str, extra_cols: list[str] | None = None):
         is_obj.alias("_isobj"),
         F.explode(keys).alias("key"),
     )
+    # bracket-quoted member paths: a key like "a.b" must address the
+    # literal member, not a nested path (keys containing a single quote
+    # are the remaining unsupported edge of Spark's path syntax)
     value = F.when(
-        F.col("_isobj"), F.expr("get_json_object(_j, concat('$.', key))")
+        F.col("_isobj"), F.expr("get_json_object(_j, concat('$[\\'', key, '\\']'))")
     ).otherwise(F.expr("get_json_object(_j, concat('$[', key, ']'))"))
     return exploded.withColumn("value", value).drop("_j", "_isobj")
 

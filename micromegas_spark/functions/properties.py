@@ -41,7 +41,9 @@ def property_get(props: Column, key: str | Column, *, is_json: bool = False) -> 
 def properties_length(props: Column, *, is_json: bool = False) -> Column:
     """properties_length(props) → INT count of entries (properties_udf.rs)."""
     if is_json:
-        return F.json_array_length(F.json_object_keys(props).cast("string"))
+        # size of the parsed key array (casting the array to string would
+        # produce '[a, b]' — not JSON — and always fail to re-parse)
+        return F.size(F.json_object_keys(props))
     return F.size(props)
 
 
@@ -83,7 +85,9 @@ def register(spark: SparkSession) -> None:
             "property_get_json",
             "props STRING, k STRING",
             "STRING",
-            "get_json_object(props, concat('$.', k))",
+            # bracket-quoted path so keys containing '.' or '$' resolve as
+            # literal member names, not nested paths
+            "get_json_object(props, concat('$[\\'', k, '\\']'))",
         ),
     ]:
         try:

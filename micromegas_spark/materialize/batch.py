@@ -131,7 +131,12 @@ class Lakehouse:
 
     def materialize_bucket(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
         """Create/refresh one insert-time bucket. Returns 'up_to_date' |
-        'created' | 'empty' (batch_update.rs:12-100 decision)."""
+        'covered' | 'created' | 'empty' (the verify_overlapping_partitions
+        decision, batch_update.rs:12-100): an exact-bounds fresh partition
+        aborts; a fresh *covering* partition (e.g. the output of
+        merge_partitions) also aborts — re-creating the fine buckets under
+        it would double the data; a stale covering/misaligned overlap is
+        retired and recreated at this bucket granularity."""
         current = self._source_hash(spec, begin_ns, end_ns)
         parts = self.list_partitions(spec.name)
         existing = [
@@ -139,6 +144,35 @@ class Lakehouse:
         ]
         if existing and existing[0].source_hash == current:
             return "up_to_date"
+        overlapping = [
+            p
+            for p in parts
+            if p.begin_insert_ns < end_ns
+            and p.end_insert_ns > begin_ns
+            and not (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)
+        ]
+        if overlapping:
+            covering = [
+                p
+                for p in overlapping
+                if p.begin_insert_ns <= begin_ns and p.end_insert_ns >= end_ns
+            ]
+            if covering:
+                cov = covering[0]
+                cov_hash = self._source_hash(spec, cov.begin_insert_ns, cov.end_insert_ns)
+                if cov.source_hash == cov_hash:
+                    return "covered"
+            # stale covering partition or misaligned partial overlaps:
+            # retire them, then recreate this bucket from source
+            keep = [p for p in parts if p not in overlapping]
+            self._save_manifest(spec.name, keep)
+            for p in overlapping:
+                if os.path.exists(p.path):
+                    shutil.rmtree(p.path)
+            parts = keep
+            existing = [
+                p for p in parts if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
+            ]
         if current == 0 and not existing:
             return "empty"
 

@@ -50,6 +50,9 @@ def skew_safe_topk(
     )
 
 
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,7 +63,15 @@ def salted_join(
     """Equi-join with hot-key salting: left rows get a deterministic salt
     bucket (hash of the whole row modulo `salt`); right rows replicate
     across all buckets. The join key becomes (keys…, salt) so a hot key's
-    rows spread over `salt` tasks instead of one."""
+    rows spread over `salt` tasks instead of one.
+
+    Only left-preserving joins are salt-safe: under right/full outer an
+    unmatched right row would survive once per salt replica."""
+    if how.lower() not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r} "
+            "(an unmatched right row would be duplicated per salt bucket)"
+        )
     l_salted = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
     )

@@ -66,7 +66,8 @@ def events_color_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (
         SELECT event_id, props, unnest(json_keys(props)) AS key FROM events
     )
-    SELECT event_id, key, json_extract_string(props, '$.' || key) AS value
+    SELECT event_id, key,
+           json_extract_string(props, '$."' || key || '"') AS value
     FROM k
     """,
 )

@@ -20,9 +20,10 @@ def test_client_query_surfaces(spark):
     batches = list(c.query_stream("SELECT event_id FROM events ORDER BY event_id LIMIT 100"))
     assert sum(b.num_rows for b in batches) == 100
 
-    # out-of-band range bounds the events view
-    lo = c.query("SELECT MIN(ts_us) AS m FROM events")["m"][0]
-    hi = c.query("SELECT MAX(ts_us) AS m FROM events")["m"][0]
+    # out-of-band range bounds the events view — in epoch-NANOSECONDS,
+    # the engine's documented unit (events.ts is the ns column)
+    lo = c.query("SELECT MIN(ts) AS m FROM events")["m"][0]
+    hi = c.query("SELECT MAX(ts) AS m FROM events")["m"][0]
     mid = int((lo + hi) // 2)
     n_all = c.query("SELECT COUNT(*) AS n FROM events")["n"][0]
     n_half = c.query("SELECT COUNT(*) AS n FROM events", int(lo), mid)["n"][0]
@@ -50,8 +51,8 @@ def test_prepared_statement(spark):
     n_click = stmt.execute({"et": "click"})["n"][0]
     assert n_err == 201 and n_click == 210
     # with a range bound, the view re-registration bounds the same statement
-    lo = c.query("SELECT MIN(ts_us) AS m FROM events")["m"][0]
-    hi = c.query("SELECT MAX(ts_us) AS m FROM events")["m"][0]
+    lo = c.query("SELECT MIN(ts) AS m FROM events")["m"][0]
+    hi = c.query("SELECT MAX(ts) AS m FROM events")["m"][0]
     n_half = stmt.execute({"et": "error"}, int(lo), int((lo + hi) // 2))["n"][0]
     assert 0 < n_half < n_err
 

@@ -1,0 +1,104 @@
+"""Regression tests for the round-1 code-review findings."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.functions import datetime_fns as DT
+from micromegas_spark.functions import properties as P
+from micromegas_spark.functions.jsonb import jsonb_each
+
+
+def test_properties_length_json(spark):
+    df = spark.createDataFrame([('{"a": "1", "b": "2"}',), ("{}",), ("not json",)], ["j"])
+    out = [r.n for r in df.select(P.properties_length(F.col("j"), is_json=True).alias("n")).collect()]
+    assert out == [2, 0, None]
+
+
+def test_jsonb_each_key_with_metacharacters(spark):
+    df = spark.createDataFrame([(1, '{"a.b": 1, "c$d": "x"}')], ["id", "j"])
+    rows = {r.key: r.value for r in jsonb_each(df, "j", ["id"]).collect()}
+    assert rows == {"a.b": "1", "c$d": "x"}
+
+
+def test_date_bin_pre_origin_floors(spark):
+    # 1969-12-31 23:59:58 must floor DOWN to the earlier bucket
+    df = spark.createDataFrame([(datetime.datetime(1969, 12, 31, 23, 59, 58),)], ["t"])
+    row = df.select(
+        DT.date_bin(60, F.col("t")).alias("b"),
+        DT.date_bin_epoch(60, F.lit(-2_500_000)).alias("e"),
+    ).collect()[0]
+    assert row.b == datetime.datetime(1969, 12, 31, 23, 59, 0)
+    assert row.e == -60  # floor(-2.5s / 60s) bucket start, BIGINT
+    assert isinstance(row.e, int)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from micromegas_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "a")], ["k", "v"])
+    r = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    with pytest.raises(ValueError):
+        salted_join(l, r, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(l, r, ["k"], how="right")
+    # left outer stays correct: unmatched LEFT rows survive exactly once
+    l2 = spark.createDataFrame([(1, "a"), (3, "z")], ["k", "v"])
+    got = sorted((r_.k, r_.v, r_.w) for r_ in salted_join(l2, r, ["k"], how="left").collect())
+    assert got == [(1, "a", "x"), (3, "z", None)]
+
+
+def test_materialize_after_merge_no_duplication(spark, tmp_path):
+    """A fresh covering partition (merge output) must abort bucket
+    re-creation — re-materializing after merge previously doubled data."""
+    from micromegas_spark.materialize import LOG_STATS, Lakehouse
+    from micromegas_spark.sources.synthetic import generate
+
+    data = generate(seed=21)
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    ledf = spark.createDataFrame(data["log_entries"])
+    ledf.createOrReplaceTempView("log_entries")
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    HOUR = 3600 * 10**9
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    lake.merge_partitions(LOG_STATS, lo, hi)
+    total_before = lake.read("log_stats").agg(F.sum("count")).collect()[0][0]
+
+    stats = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert stats.get("created", 0) == 0 and stats.get("covered", 0) > 0
+    total_after = lake.read("log_stats").agg(F.sum("count")).collect()[0][0]
+    assert total_after == total_before == len(data["log_entries"])
+
+    # late data invalidates the covering partition → buckets recreated once
+    some = data["log_entries"][0]
+    late_block = dict(data["blocks"][0], block_id="late", nb_objects=1)
+    late_row = dict(some, block_id="late", properties={"error_code": "1"})
+    spark.createDataFrame(data["blocks"] + [late_block]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    ledf.unionByName(spark.createDataFrame([late_row])).createOrReplaceTempView("log_entries")
+    stats2 = lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    assert stats2.get("created", 0) >= 1
+    total_late = lake.read("log_stats").agg(F.sum("count")).collect()[0][0]
+    assert total_late == len(data["log_entries"]) + 1
+
+
+def test_query_stream_is_incremental(spark):
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    c = Client(Engine.from_test_tables(spark, SF_SMOKE))
+    gen = c.query_stream("SELECT event_id, value FROM events", batch_rows=100)
+    first = next(gen)
+    assert first.num_rows == 100
+    total = first.num_rows + sum(b.num_rows for b in gen)
+    assert total == 1000
