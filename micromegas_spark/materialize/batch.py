@@ -268,6 +268,32 @@ class Lakehouse:
     # materialize_partitions / regenerate_partitions; gated admin UDFs in
     # the reference, query.rs:150-175 — here plain Python API) -------------
 
+    def partitions_df(self, view: str | None = None) -> DataFrame:
+        """list_partitions as a DataFrame/SQL surface (the reference's
+        list_partitions UDTF, query.rs:104-176): one row per live
+        partition with insert/event-time bounds, source hash and path."""
+        views = [view] if view else self.list_view_sets()
+        rows = [
+            (
+                v,
+                p.begin_insert_ns,
+                p.end_insert_ns,
+                p.min_event_ns,
+                p.max_event_ns,
+                p.source_hash,
+                p.path,
+                float(p.updated_unix),
+            )
+            for v in views
+            for p in self.list_partitions(v)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "view_set STRING, begin_insert_ns BIGINT, end_insert_ns BIGINT, "
+            "min_event_ns BIGINT, max_event_ns BIGINT, source_hash BIGINT, "
+            "path STRING, updated_unix DOUBLE",
+        )
+
     def list_view_sets(self) -> list[str]:
         d = os.path.join(self.warehouse, "_partitions")
         return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))

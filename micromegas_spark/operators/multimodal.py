@@ -154,6 +154,22 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+def images_view(media: DataFrame, processes: DataFrame | None = None) -> DataFrame:
+    """The reference's `images` view shape (images_table.rs; SURVEY §1.4):
+    binary image payloads with decoded metadata, optionally enriched with
+    process identity. Media rows with media_type='image' only."""
+    imgs = media.where(F.col("media_type") == "image")
+    decoded = decode_media(imgs).drop("media_type")
+    out = imgs.select("media_id", "payload", "metadata").join(decoded, "media_id")
+    if processes is not None:
+        out = out.join(
+            F.broadcast(processes.select("process_id", "exe")),
+            F.element_at(F.col("metadata"), "process_id") == F.col("process_id"),
+            "left",
+        )
+    return out
+
+
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize stage: metadata-only in the fake backend (real backend would
     re-encode payloads); demonstrates pass-through of binary columns with

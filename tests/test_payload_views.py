@@ -147,6 +147,46 @@ def test_net_tree_invariants_catch_violation(spark):
 # -- admin ops ---------------------------------------------------------------
 
 
+def test_partitions_df_sql_surface(spark, tmp_path):
+    from micromegas_spark.materialize import LOG_STATS, Lakehouse
+    from micromegas_spark.sources.synthetic import generate
+
+    data = generate(seed=8)
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    spark.createDataFrame(data["log_entries"]).createOrReplaceTempView("log_entries")
+    lake = Lakehouse(spark, str(tmp_path / "whp"))
+    HOUR = 3600 * 10**9
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+
+    pdf = lake.partitions_df()
+    pdf.createOrReplaceTempView("lakehouse_partitions")
+    out = spark.sql(
+        "SELECT view_set, COUNT(*) AS n FROM lakehouse_partitions GROUP BY view_set"
+    ).collect()
+    assert out[0].view_set == "log_stats" and out[0].n == len(lake.list_partitions("log_stats"))
+
+
+def test_images_view(spark):
+    from micromegas_spark.operators import multimodal as MM
+
+    rows = [
+        (1, "image", b"img-bytes-1", {"process_id": "p1"}),
+        (2, "video", b"vid-bytes", {"process_id": "p1"}),
+        (3, "image", b"img-bytes-3", {"process_id": "p2"}),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    procs = spark.createDataFrame([("p1", "game-client"), ("p2", "web-srv")], ["process_id", "exe"])
+    out = {r.media_id: r for r in MM.images_view(media, procs).collect()}
+    assert set(out) == {1, 3}  # images only
+    assert out[1].exe == "game-client" and out[3].exe == "web-srv"
+    assert out[1].n_bytes == len(b"img-bytes-1")
+
+
 def test_admin_retire_and_regenerate(spark, tmp_path):
     from micromegas_spark.materialize import LOG_STATS, Lakehouse
     from micromegas_spark.sources.synthetic import generate
