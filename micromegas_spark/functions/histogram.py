@@ -62,20 +62,33 @@ def histogram_agg(v: Column, start: float, end: float, nb_bins: int) -> Column:
     )
 
 
-def sum_histograms(h: Column) -> Column:
-    """Re-aggregable merge of histogram structs (sum_histograms_udaf.rs):
-    elementwise bin sums + min/max/sum/sum_sq/count recombination.
+def sum_histograms(h: Column, nb_bins: int) -> Column:
+    """Re-aggregable merge of histogram structs as a single aggregate
+    expression (sum_histograms_udaf.rs): elementwise bin sums +
+    min/max/sum/sum_sq/count recombination.
 
-    Bin merge uses posexplode-free array aggregation: aggregate over the
-    collected array column via higher-order zip. Implemented as an aggregate
-    expression: per-bin sums via transform over a collected list would not be
-    map-side combinable, so instead we sum each bin position with
-    element_at — requires a known bin count, taken from ``first(h)``.
+    Spark has no native 'elementwise array sum' aggregate, but with a
+    statically-known bin count each position is one map-side-combinable
+    SUM(element_at(...)) — the same conditional-aggregate trick as
+    histogram_agg, so the merge composes with groupBy/AQE like any other
+    agg. For unknown/huge bin counts use merge_histograms() (exploded
+    two-shuffle shape). Usage::
+
+        df.groupBy(...).agg(sum_histograms(F.col("h"), 20).alias("h"))
     """
-    # Spark cannot express "elementwise array sum" as a single native
-    # aggregate; the scalable spelling keeps bins exploded until the final
-    # assembly. See merge_histograms() below for the DataFrame-level merge.
-    raise NotImplementedError("use merge_histograms(df, 'h', group_cols) — see docstring")
+    bins = F.array(
+        *[F.sum(F.element_at(h.getField("bins"), i + 1)) for i in range(nb_bins)]
+    )
+    return F.struct(
+        F.first(h.getField("start")).alias("start"),
+        F.first(h.getField("end")).alias("end"),
+        F.min(h.getField("min")).alias("min"),
+        F.max(h.getField("max")).alias("max"),
+        F.sum(h.getField("sum")).alias("sum"),
+        F.sum(h.getField("sum_sq")).alias("sum_sq"),
+        F.sum(h.getField("count")).alias("count"),
+        bins.alias("bins"),
+    )
 
 
 def merge_histograms(df: DataFrame, hist_col: str, group_cols: list[str]) -> DataFrame:

@@ -142,6 +142,19 @@ def test_histogram_quantile_matches_reference_formula(spark):
     assert abs(row.var - 841.6666666) < 1e-4
 
 
+def test_sum_histograms_aggregate_expression(spark):
+    """The single-expression merge (A5) equals the direct global histogram."""
+    data = [(i % 5, float(i % 17)) for i in range(300)]
+    df = spark.createDataFrame(data, ["part", "v"])
+    direct = df.agg(H.histogram_agg(F.col("v"), 0.0, 20.0, 4).alias("h")).collect()[0].h
+    partial = df.groupBy("part").agg(H.histogram_agg(F.col("v"), 0.0, 20.0, 4).alias("h"))
+    merged = partial.agg(H.sum_histograms(F.col("h"), 4).alias("h")).collect()[0].h
+    assert list(merged["bins"]) == list(direct["bins"])
+    assert merged["count"] == direct["count"]
+    assert merged["min"] == direct["min"] and merged["max"] == direct["max"]
+    assert abs(merged["sum"] - direct["sum"]) < 1e-9
+
+
 def test_histogram_merge_equals_direct(spark):
     """Composable-aggregate contract (sql_batch_view.rs:170-175): building
     per-partition histograms then merging equals one global histogram."""
