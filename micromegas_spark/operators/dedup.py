@@ -132,12 +132,19 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """LSH banding: rows/band = n_hashes/bands; docs sharing any band's
     composite key become candidate pairs (id_a < id_b, distinct).
 
     With 4 bands × 2 rows, P(candidate) = 1-(1-j²)⁴: ≈0.98 at j=0.8,
-    ≈0.9996 at j=0.9 — the curve to cite when tuning for a corpus."""
+    ≈0.9996 at j=0.9 — the curve to cite when tuning for a corpus.
+
+    ``max_bucket_size`` guards the pathological corpus (e.g. millions of
+    empty/boilerplate docs landing in one bucket): buckets over the cap
+    are dropped from candidate generation — their members are mutual
+    near-dups of a single template and should be handled by exact dedup
+    first (the standard cascade)."""
     rows = n_hashes // bands
     # one fold computes the whole signature array; the repartition after it
     # is an exchange BARRIER that materializes the array before the band
@@ -172,7 +179,7 @@ def minhash_lsh_candidates(
     buckets = (
         all_bands.groupBy("band", "bkey")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
     pairs = buckets.select(
         F.explode(

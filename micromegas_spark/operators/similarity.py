@@ -68,6 +68,40 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched multi-query exact top-k: one corpus scan serves all queries
+    (vs one scan per query). The query set broadcasts; ranking is a
+    per-query window. At very large query batches the pandas-UDF matmul
+    path wins — this is the built-in-operator shape up to ~100s of
+    queries."""
+    from pyspark.sql import Window
+
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sign_bucket(vec: Column, dims: list[int]) -> Column:
     """Deterministic sign-LSH bucket: bit j = (vec[dims[j]] >= 0).
     1-based dims (Spark element_at). Engine-portable: the oracle recomputes

@@ -39,6 +39,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenizer classes (GPT-2-like, simplified to an RE2-safe
+# subset so the DuckDB oracle matches: letter runs / digit runs /
+# punctuation runs — no lookahead, ASCII classes)
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenization (the unit LLM data
+    budgets are measured in): splits letter runs, digit runs and
+    punctuation runs as separate tokens, whitespace elided. A real BPE
+    vocab only merges within these pre-tokens, so this upper-bounds and
+    tracks BPE token counts closely."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def token_hash32(tok: Column) -> Column:
     """Deterministic 32-bit token hash: int(md5(token)[0:8], 16). Used by
     simhash and minhash so the oracle can recompute it exactly."""

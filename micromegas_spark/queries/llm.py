@@ -87,6 +87,28 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "docs_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex pre-tokenizer
+    (operators/text.bpe_token_count) — the unit data budgets are measured
+    in. RE2-safe pattern so both engines tokenize identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
 def _lang_case_sql() -> str:
     markers = text.LANG_MARKERS
     score = {
@@ -348,6 +370,36 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: with the table bucketed by this key the read itself prunes."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(e, query_id=0, k=10)
+
+
+@query(
+    "emb_multi_query_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    z AS (SELECT q.query_id, e.vec_id,
+                 unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    s AS (SELECT query_id, vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+          FROM z GROUP BY query_id, vec_id),
+    r AS (SELECT query_id, vec_id,
+                 round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                                             vec_id) AS rn
+          FROM s)
+    SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5
+    ORDER BY query_id, cos_sim DESC, vec_id
+    """,
+)
+def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN baseline: one corpus scan serves a broadcast
+    query set, per-query window ranking
+    (operators/similarity.cosine_topk_batch)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_batch(e, query_ids=[0, 1, 2], k=5).orderBy(
+        "query_id", F.desc("cos_sim"), "vec_id"
+    )
 
 
 @query(
