@@ -424,6 +424,53 @@ def events_span_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS t, 0 AS side,
+               event_id AS r_eid, NULL::BIGINT AS l_eid
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), 1, NULL, event_id
+        FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+        SELECT user_id, t, side, l_eid,
+               last_value(r_eid IGNORE NULLS) OVER w AS click_eid,
+               last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER w AS click_t
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, side, r_eid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, l_eid AS event_id, click_eid AS event_id_asof,
+           t - click_t AS asof_gap
+    FROM m WHERE side = 1
+    ORDER BY event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each error event picks the most recent click of
+    the same user (operators/asof.asof_join — the union-window composition;
+    SURVEY §2.3 J6 'as-of joins absent' in the reference, added here as a
+    Spark-first custom operator). NULL match = no preceding click."""
+    from micromegas_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts_us", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts_us", "event_id")
+    out = asof_join(
+        errors, clicks, key_cols=["user_id"], time_col="ts_us",
+        right_value_cols=["event_id"], tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_asof"),
+        F.col("asof_gap"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Windows / top-k / first_value
 # ---------------------------------------------------------------------------
