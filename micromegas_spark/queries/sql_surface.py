@@ -303,6 +303,76 @@ def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_range_join",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts_us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        FROM g
+    ),
+    iv AS (
+        SELECT user_id, sess_idx, MIN(ts_us) AS sess_begin, MAX(ts_us) AS sess_end
+        FROM s GROUP BY user_id, sess_idx
+    ),
+    pts AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.user_id AS user_id, iv.sess_idx AS sess_idx, COUNT(p.event_id) AS n_errors
+    FROM iv JOIN pts p ON p.user_id = iv.user_id
+                      AND p.t BETWEEN iv.sess_begin AND iv.sess_end
+    GROUP BY iv.user_id, iv.sess_idx
+    ORDER BY iv.user_id, iv.sess_idx
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketing (operators/rangejoin.point_in_interval_join):
+    session intervals per user ⨝ error points within them. The oracle runs
+    the naive BETWEEN theta join — the result sets must be identical,
+    proving the binned algorithm exact."""
+    from pyspark.sql import Window
+
+    from micromegas_spark.operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    g = ev.select(
+        "user_id", "event_id", "ts_us",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = g.withColumn("sess_idx", F.sum("new_sess").over(wc))
+    intervals = sess.groupBy("user_id", "sess_idx").agg(
+        F.min("ts_us").alias("sess_begin"), F.max("ts_us").alias("sess_end")
+    )
+    points = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts_us").alias("t")
+    )
+    joined = point_in_interval_join(
+        points, intervals, key_cols=["user_id"], point_time="t",
+        interval_begin="sess_begin", interval_end="sess_end",
+        bucket_width=3_600_000_000,
+    )
+    return (
+        joined.groupBy("user_id", "sess_idx")
+        .agg(F.count("p_event_id").alias("n_errors"))
+        .orderBy("user_id", "sess_idx")
+    )
+
+
 @query("events_approx_quantiles", oracle=None)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles + approx distinct (SURVEY §2.4 A8/A9;
