@@ -198,6 +198,37 @@ def ivf_topk(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to the
+    same sign-LSH bucket (near-identical vectors share all hyperplane
+    signs with high probability), then exact cosine ≥ threshold.
+
+    The bucket self-join is the same shape as MinHash banding — the pair
+    space shrinks from O(n²) to per-bucket; more planes → smaller buckets
+    at the cost of recall near the decision boundary."""
+    dims = dims or DEFAULT_LSH_DIMS
+    b = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    pairs = (
+        a_.join(b_, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)
+
+
 def centroids(
     df: DataFrame,
     label_col: str = "label",

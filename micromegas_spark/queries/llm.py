@@ -373,6 +373,38 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_cosine_neardup",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[17] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[33] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    z AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 unnest(x.embedding)::DOUBLE AS xe, unnest(y.embedding)::DOUBLE AS ye
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    s AS (SELECT id_a, id_b, SUM(xe*ye) AS dot, SUM(xe*xe) AS na, SUM(ye*ye) AS nb
+          FROM z GROUP BY id_a, id_b)
+    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+    FROM s
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sign-LSH bucketed candidates
+    + exact cosine threshold; operators/similarity.embedding_near_duplicates).
+    Threshold 0.3 on this corpus — the synthetic embeddings are random, so
+    true near-dup (≥0.9) pairs don't exist; the operator and its pair
+    space are what's under test."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(e, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query(
     "emb_multi_query_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
