@@ -75,6 +75,21 @@ def materialize_stream(
     )
 
 
+def stream_dedup(
+    events: DataFrame, id_cols: list[str], watermark_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication: drop re-deliveries of the same key
+    within the watermark horizon (dropDuplicatesWithinWatermark — state
+    stays bounded by the watermark, unlike dropDuplicates which keeps keys
+    forever). The streaming counterpart of operators/dedup.dedup_exact for
+    at-least-once ingestion paths (the reference's ingestion can re-send
+    blocks; its freshness hashes make re-materialization idempotent — this
+    is the same guarantee applied at row level in-stream)."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def read_log_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge-on-read: SUM(count) re-aggregation over the appended partials
     (the merge query of LOG_STATS)."""

@@ -69,6 +69,42 @@ def test_stream_materialize_incremental_exactly_once(spark, tmp_path):
     assert merged == direct  # exactly-once: no double counting across ticks
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate block ids re-delivered within one tick are dropped."""
+    import datetime
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from micromegas_spark.streaming.incremental import stream_dedup
+
+    schema = StructType(
+        [StructField("block_id", StringType()), StructField("event_time", TimestampType())]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("b1", t0),
+        ("b1", t0 + datetime.timedelta(seconds=5)),  # re-delivery
+        ("b2", t0 + datetime.timedelta(seconds=10)),
+        ("b2", t0 + datetime.timedelta(seconds=11)),
+        ("b3", t0 + datetime.timedelta(minutes=2)),
+    ]
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup(stream, ["block_id"], "event_time", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.block_id for r in spark.read.parquet(out).collect())
+    assert got == ["b1", "b2", "b3"]
+
+
 @pytest.fixture()
 def media(spark):
     rows = [
