@@ -213,17 +213,28 @@ def embedding_near_duplicates(
     space shrinks from O(n²) to per-bucket; more planes → smaller buckets
     at the cost of recall near the decision boundary."""
     dims = dims or DEFAULT_LSH_DIMS
+    # norms precompute BELOW the join (once per vector, not per pair —
+    # per-pair cosine would run three HOF folds; this leaves one dot fold)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.sqrt(norm2(F.col(vec_col))).alias("_norm"),
     )
-    a_, b_ = b.alias("a"), b.alias("b")
+    a_ = b.repartition(parallelism).alias("a")  # probe-side parallelism
+    b_ = b.alias("b")
     pairs = (
-        a_.join(b_, "bucket")
+        a_.join(F.broadcast(b_), "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return pairs.where(F.col("cos_sim") >= threshold)
