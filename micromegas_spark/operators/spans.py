@@ -36,7 +36,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -222,7 +221,10 @@ def pair_async_spans(events: DataFrame, keep_unclosed: bool = True) -> DataFrame
 
 
 def trace_chunks(
-    spans: DataFrame, chunk_rows: int = 1000, order_cols: tuple[str, ...] = ("begin_ns", "span_id")
+    spans: DataFrame,
+    chunk_rows: int = 1000,
+    order_cols: tuple[str, ...] = ("begin_ns", "span_id"),
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """perfetto_trace_chunks analogue (SURVEY §2.10;
     perfetto_trace_execution_plan.rs: streamed `(chunk_id Int32,
@@ -234,14 +236,51 @@ def trace_chunks(
     format). The streamed-chunks *shape* (stable chunk ids, bounded chunk
     size, deterministic span order) is the tested contract; swapping the
     serializer changes no plan.
+
+    Scale shape: global chunk numbering WITHOUT a single-partition global
+    window. zipWithIndex pattern: range-partition + sort on ``order_cols``
+    (``order_cols`` must be a total order, so recompute across the two jobs
+    is deterministic — same guarantee RDD.zipWithIndex relies on), one small
+    job counts rows per partition, the driver turns counts into prefix
+    offsets (#partitions values), and a mapInPandas pass enumerates locally
+    adding the broadcast offset. Every stage is fully parallel.
     """
     import json as _json
     import struct as _struct
 
-    w = Window.orderBy(*order_cols)
-    numbered = spans.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
-        "_chunk", (F.col("_rn") / chunk_rows).cast("int")
+    import numpy as np
+    from pyspark import TaskContext
+
+    sc = spans.sparkSession.sparkContext
+    n = num_partitions or sc.defaultParallelism
+    ranged = spans.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    counts = (
+        ranged.groupBy(F.spark_partition_id().alias("_pid")).count().collect()
     )
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offsets_bc = sc.broadcast(offsets)
+
+    numbered_schema = StructType(
+        ranged.schema.fields
+        + [StructField("_rn", LongType()), StructField("_chunk", IntegerType())]
+    )
+
+    def number(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        base = offsets_bc.value.get(pid, 0)
+        seen = 0
+        for pdf in pdf_iter:
+            rn = base + seen + np.arange(len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf["_rn"] = rn
+            pdf["_chunk"] = (rn // chunk_rows).astype(np.int32)
+            yield pdf
+
+    numbered = ranged.mapInPandas(number, schema=numbered_schema)
     out_schema = StructType(
         [StructField("chunk_id", IntegerType()), StructField("chunk_data", BinaryType())]
     )
