@@ -2,29 +2,90 @@
 
 The 'iterative algorithm' capability class (driver loop of declarative
 jobs): each iteration is one assignment pass (map-side distance argmin
-against driver-broadcast centroids — k·dim literals, no join, no shuffle)
-plus one centroid recomputation ((cluster, dim)-keyed aggregate). Centroids
-are tiny (k × dim doubles) so they round-trip through the driver — the
-classic Spark iterative shape.
+against driver-broadcast centroids — no join, no shuffle) plus one centroid
+recomputation ((cluster, dim)-keyed aggregate with map-side combine, so the
+shuffle carries ≤ partitions·k·dim rows). Centroids are tiny (k × dim
+doubles) so they round-trip through the driver — the classic Spark
+iterative shape. The input is persisted for the duration of the loop.
 
-Deterministic: init = the k lowest-id vectors; ties in argmin break toward
-the lower cluster index. Output feeds ivf_topk as a trained coarse
-quantizer.
+Assignment is a vectorized pandas UDF: per Arrow batch, one NumPy matmul
+against the broadcast centroid matrix (‖x‖² − 2·X·Cᵀ + ‖c‖², clamped at 0)
+— one pass per batch regardless of k, vs k CodegenFallback higher-order
+folds (which Spark does not common-subexpression-eliminate).
+
+Deterministic: init = farthest-point (k-center) over a hash-ordered sample
+(one TakeOrdered job, then a driver-side NumPy sweep): the seed is the
+lowest-id sampled vector, each next centroid maximizes its distance to the
+chosen set. np.argmin breaks distance ties toward the lower cluster index.
+Output feeds ivf_topk as a trained coarse quantizer.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec, centroid: list[float]):
-    lits = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lits, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _assign(df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """[id_col, vec_col, cluster, sq_dist]: argmin squared distance to the
+    driver-broadcast centroid matrix, evaluated batch-at-a-time via NumPy."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster:int, sq_dist:double>")
+    def assign_udf(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
+                                 "sq_dist": pd.array([], dtype="float64")})
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+        np.maximum(D, 0.0, out=D)
+        idx = D.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"), "sq_dist": D[np.arange(len(idx)), idx]}
+        )
+
+    # identical PythonUDF expressions are deduplicated into one Arrow eval
+    a = assign_udf(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        a["cluster"].alias("cluster"),
+        a["sq_dist"].alias("sq_dist"),
     )
+
+
+def _farthest_point_init(
+    df: DataFrame, k: int, id_col: str, vec_col: str, sample_size: int = 4096
+) -> list[list[float]]:
+    """Farthest-point init over a deterministic hash-ordered sample.
+
+    One Spark job (TakeOrdered by xxhash64(id) — a fixed pseudo-random
+    order, so the sample is stable and distribution-independent of the id
+    assignment); the k-center sweep then runs driver-side in NumPy over ≤
+    ``sample_size`` vectors. This is the k-means‖-style 'oversample then
+    refine locally' shape — init cost does not grow with the table."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max(sample_size, k))
+        .collect()
+    )
+    if not rows:
+        return []
+    rows.sort(key=lambda r: r[0])  # lowest id first ⇒ deterministic seed point
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    cents = [0]
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(min(k, len(rows)) - 1):
+        far = int(d.argmax())  # argmax ties break toward the lower position
+        if d[far] <= 0.0:
+            break  # every remaining sample point coincides with a centroid
+        cents.append(far)
+        d = np.minimum(d, ((X - X[far]) ** 2).sum(axis=1))
+    return [[float(x) for x in X[i]] for i in cents]
 
 
 def kmeans(
@@ -36,43 +97,32 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (assignments DataFrame [id_col, cluster, sq_dist], final
     centroids). Centroid recomputation is exact (mean of members)."""
-    init_rows = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    df = df.select(id_col, vec_col).persist()
+    try:
+        centroids = _farthest_point_init(df, k, id_col, vec_col)
+        for _ in range(max_iter):
+            assigned = _assign(df, centroids, id_col, vec_col)
+            new_rows = (
+                assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("c"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+                .select("cluster", F.col("dc.c").alias("cvec"))
+                .collect()
+            )
+            new_centroids = list(centroids)
+            for r in new_rows:
+                new_centroids[r["cluster"]] = [float(x) for x in r["cvec"]]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
 
-    assigned = None
-    for _ in range(max_iter):
-        dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-        assigned = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
-            F.array_min(dists).alias("sq_dist"),
-        )
-        new_rows = (
-            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-            .select("cluster", F.col("dc.c").alias("cvec"))
-            .collect()
-        )
-        new_centroids = list(centroids)
-        for r in new_rows:
-            new_centroids[r["cluster"]] = [float(x) for x in r["cvec"]]
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
-
-    # final assignment against the converged centroids
-    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-    final = df.select(
-        F.col(id_col),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
-        F.array_min(dists).alias("sq_dist"),
-    )
+    finally:
+        df.unpersist()
+    # final assignment against the converged centroids; lazy, so a caller
+    # collecting it pays one source scan + one assignment pass
+    final = _assign(df, centroids, id_col, vec_col).drop(vec_col)
     return final, centroids
 
 
