@@ -32,6 +32,13 @@ def main() -> None:
     # JVM + parquet-footer warmup so per-query numbers measure the engine,
     # not first-touch JIT/classloading (excluded from reported totals).
     REGISTRY["events_hourly_errors"].spark(spark, sf_dir).collect()
+    # Python-worker-pool warmup: the first N-way-parallel Arrow UDF stage
+    # otherwise pays N simultaneous worker spawns (pandas/pyarrow import is
+    # ~1 s each) inside whichever query hits it first.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

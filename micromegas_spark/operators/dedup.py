@@ -92,21 +92,15 @@ MH_AB: list[tuple[int, int]] = [
 ]
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = 8, shingle_n: int = 3
-) -> Column:
-    """Array of n_hashes MinHash values over distinct word n-gram shingles,
-    computed in ONE fold over the shingle set.
+def minhash_signature_from_hashes(sh: Column, n_hashes: int = 8) -> Column:
+    """Array of n_hashes MinHash values over a pre-hashed shingle-set
+    column, computed in ONE fold.
 
     Why one fold: Spark's higher-order functions are codegen-fallback, so
     n separate `array_min(transform(...))` columns would each re-evaluate
-    the entire tokenize→shingle→hash subtree (no common-subexpression
-    elimination outside codegen) — measured 8x the work. The fold hashes
-    each shingle once (md5→h32) and updates all n mins via zip_with."""
-    base = F.transform(
-        word_shingles(text, shingle_n),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-    )
+    the input subtree (no common-subexpression elimination outside
+    codegen) — measured 8x the work. The fold updates all n mins per
+    shingle via zip_with."""
     ab = F.array(
         *[
             F.struct(
@@ -117,11 +111,39 @@ def minhash_signature(
     )
     init = F.array_repeat(F.lit(MH_P).cast("bigint"), n_hashes)
     return F.aggregate(
-        base,
+        sh,
         init,
         lambda acc, h: F.zip_with(
             acc, ab, lambda m, s: F.least(m, (s.getField("a") * h + s.getField("b")) % MH_P)
         ),
+    )
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """MinHash signature straight from a text column (hashes each distinct
+    word shingle once, then folds — see minhash_signature_from_hashes)."""
+    return minhash_signature_from_hashes(hashed_shingles(text, shingle_n), n_hashes)
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, sh): int-hashed distinct shingle sets behind a hash exchange on
+    the id. Every consumer (signature fold, exact-Jaccard verify joins)
+    builds on THIS subtree, so Spark's ReuseExchange materializes the
+    md5/shingle work exactly once per query instead of once per consumer —
+    and the exchange doubles as the barrier that stops downstream
+    projections from re-expanding the hashing subtree (HOFs have no CSE)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    # explicit partition COUNT: a bare repartition(col) lets AQE coalesce
+    # by bytes (64 MB advisory), which would serialize the downstream
+    # CPU-bound signature fold onto one task
+    return (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("sh"))
+        .repartition(target, F.col(id_col))
     )
 
 
@@ -133,6 +155,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: rows/band = n_hashes/bands; docs sharing any band's
     composite key become candidate pairs (id_a < id_b, distinct).
@@ -146,14 +169,17 @@ def minhash_lsh_candidates(
     near-dups of a single template and should be handled by exact dedup
     first (the standard cascade)."""
     rows = n_hashes // bands
-    # one fold computes the whole signature array; the repartition after it
-    # is an exchange BARRIER that materializes the array before the band
-    # keys fan out (HOFs are codegen-fallback: without the barrier every
-    # band-key expression would re-run the fold)
-    sig = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("mhs"))
-        .repartition(F.col(id_col))
+    sh = _shingles if _shingles is not None else _shingle_sets(df, text_col, id_col, shingle_n)
+    # one fold computes the whole signature array; explode(array(fold)) is
+    # a Generate-node BARRIER that materializes it as an attribute before
+    # the band keys fan out (HOFs are codegen-fallback: without the barrier
+    # CollapseProject would inline — and re-run — the fold into every
+    # band-key expression). A Generate costs nothing vs a second shuffle.
+    sig = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
+        ).alias("mhs"),
     )
     band_structs = F.array(
         *[
@@ -219,12 +245,21 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verification
-    ≥ threshold. Output: (id_a, id_b, jaccard). Signatures travel through
-    the banding shuffle; the (few) candidate pairs re-join int-hashed
-    shingle sets for the exact verify."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
-    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), hashed_shingles(F.col(text_col), shingle_n).alias("sh")
+    ≥ threshold. Output: (id_a, id_b, jaccard).
+
+    The candidate path and both verify joins consume ONE persisted
+    _shingle_sets relation — the md5/shingle pass runs once, not three
+    times (signature materialization, the standard industrial minhash
+    shape; ~8 B per distinct shingle). MEMORY_AND_DISK so a 100 TB corpus
+    spills instead of evicting; for repeated dedup runs at that scale
+    you'd write the signatures to a table instead."""
+    from pyspark import StorageLevel
+
+    sh = _shingle_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n_hashes, bands, shingle_n, _shingles=sh
     )
     return (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -306,12 +341,16 @@ def blocked_jaccard_pairs(
     """Exact n-gram Jaccard within length-bucket blocks — the brute-force
     verifier with an explicit blocking key (near-identical docs have
     near-identical lengths). Self-join is bounded per block, never O(n²)
-    over the corpus; shingle sets are int-hashed for cheap set ops."""
+    over the corpus; shingle sets are int-hashed for cheap set ops.
+    The hashed shingle relation is persisted so the self-join reads it
+    twice from cache instead of re-running the md5/shingle pass per side."""
+    from pyspark import StorageLevel
+
     sh = _spread(df.select(F.col(id_col), F.col(text_col), F.col(block_col))).select(
         F.col(id_col),
         (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
         hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, "blk")
