@@ -225,17 +225,24 @@ def trace_chunks(
     chunk_rows: int = 1000,
     order_cols: tuple[str, ...] = ("begin_ns", "span_id"),
     num_partitions: int | None = None,
+    serializer: str = "perfetto",
 ) -> DataFrame:
     """perfetto_trace_chunks analogue (SURVEY §2.10;
     perfetto_trace_execution_plan.rs: streamed `(chunk_id Int32,
     chunk_data Binary)` protobuf chunks).
 
-    DEVIATION: the reference emits Perfetto protobuf; no protobuf library
-    ships in this environment, so chunk_data is MMSB-framed JSON span
-    records (sources/payload.py framing — a public, self-describing
-    format). The streamed-chunks *shape* (stable chunk ids, bounded chunk
-    size, deterministic span order) is the tested contract; swapping the
-    serializer changes no plan.
+    serializer='perfetto' (default) emits protobuf Trace bytes via the
+    hand-rolled wire-format writer in sources/perfetto.py (TrackDescriptor
+    per stream + nesting-ordered SLICE_BEGIN/SLICE_END TrackEvents;
+    requires stream_id/depth/name/begin_ns/end_ns columns). Concatenating
+    all chunk_data in chunk order yields ONE valid Trace — protobuf
+    repeated-field concatenation, the property the reference's chunk
+    stream relies on. Cross-chunk event interleaving is resolved by
+    Perfetto's trace sorter, as with any streamed producer.
+    serializer='mmsb-json' keeps the schema-agnostic MMSB-framed JSON
+    records (sources/payload.py). Either way the streamed-chunks shape
+    (stable chunk ids, bounded chunk size, deterministic span order) is
+    the tested contract; swapping the serializer changes no plan.
 
     Scale shape: global chunk numbering WITHOUT a single-partition global
     window. zipWithIndex pattern: range-partition + sort on ``order_cols``
@@ -288,10 +295,16 @@ def trace_chunks(
     def pack(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         (chunk_id,) = key
         pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("_rn")
-        buf = bytearray()
-        for rec in pdf.drop(columns=["_rn", "_chunk"]).to_dict("records"):
-            b = _json.dumps(rec, separators=(",", ":"), sort_keys=True, default=str).encode()
-            buf += _struct.pack(">I", len(b)) + b
+        records = pdf.drop(columns=["_rn", "_chunk"]).to_dict("records")
+        if serializer == "perfetto":
+            from micromegas_spark.sources.perfetto import spans_to_trace_bytes
+
+            buf = spans_to_trace_bytes(records)
+        else:
+            buf = bytearray()
+            for rec in records:
+                b = _json.dumps(rec, separators=(",", ":"), sort_keys=True, default=str).encode()
+                buf += _struct.pack(">I", len(b)) + b
         yield pd.DataFrame({"chunk_id": [chunk_id], "chunk_data": [bytes(buf)]})
 
     return numbered.groupBy("_chunk").applyInPandas(pack, schema=out_schema)

@@ -174,7 +174,10 @@ def test_trace_chunks_export(spark):
         10**9,
     ).withColumnRenamed("id", "span_id")
     n_spans = tdf.count()
-    chunks = sorted(trace_chunks(tdf, chunk_rows=10).collect(), key=lambda r: r.chunk_id)
+    chunks = sorted(
+        trace_chunks(tdf, chunk_rows=10, serializer="mmsb-json").collect(),
+        key=lambda r: r.chunk_id,
+    )
     assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
     decoded = [rec for c in chunks for rec in decode_block(bytes(c.chunk_data))]
     assert len(decoded) == n_spans
@@ -183,6 +186,78 @@ def test_trace_chunks_export(spark):
     assert begins == sorted(begins)
     # bounded chunk size
     assert all(len(list(decode_block(bytes(c.chunk_data)))) <= 10 for c in chunks)
+
+
+def test_trace_chunks_perfetto(spark):
+    from micromegas_spark.operators.spans import trace_chunks
+    from micromegas_spark.sources.perfetto import (
+        TYPE_SLICE_BEGIN,
+        TYPE_SLICE_END,
+        decode_trace,
+        track_uuid,
+    )
+
+    tdf = build_thread_spans(
+        spark.createDataFrame(
+            [e for i in range(3) for e in _gen_stream_events(f"s{i}", seed=80 + i)]
+        ),
+        0,
+        10**9,
+    ).withColumnRenamed("id", "span_id")
+    n_spans = tdf.count()
+    streams = {r.stream_id for r in tdf.select("stream_id").distinct().collect()}
+    chunks = sorted(trace_chunks(tdf, chunk_rows=10).collect(), key=lambda r: r.chunk_id)
+    # concatenated chunk_data is ONE valid Trace (repeated-field concat)
+    packets = decode_trace(b"".join(bytes(c.chunk_data) for c in chunks))
+    events = [p["track_event"] for p in packets if "track_event" in p]
+    assert len(events) == 2 * n_spans
+    assert sum(1 for e in events if e["type"] == TYPE_SLICE_BEGIN) == n_spans
+    assert sum(1 for e in events if e["type"] == TYPE_SLICE_END) == n_spans
+    # every event references a declared track; descriptors map uuid → stream
+    descs = {
+        p["track_descriptor"]["uuid"]: p["track_descriptor"]["name"]
+        for p in packets
+        if "track_descriptor" in p
+    }
+    assert set(descs.values()) == {str(s) for s in streams}
+    assert all(e["track_uuid"] in descs for e in events)
+    assert all(descs[track_uuid(s)] == s for s in map(str, streams))
+    # per track, begin/end balance never goes negative within a chunk
+    for c in chunks:
+        depth: dict = {}
+        for p in decode_trace(bytes(c.chunk_data)):
+            ev = p.get("track_event")
+            if ev:
+                d = depth.get(ev["track_uuid"], 0) + (
+                    1 if ev["type"] == TYPE_SLICE_BEGIN else -1
+                )
+                assert d >= 0
+                depth[ev["track_uuid"]] = d
+
+
+def test_perfetto_wire_format_roundtrip():
+    from micromegas_spark.sources.perfetto import (
+        decode_message,
+        encode_varint,
+        spans_to_trace_bytes,
+        decode_trace,
+    )
+
+    # varint edge values round-trip through the decoder
+    for v in [0, 1, 127, 128, 300, 2**32, 2**63 - 1]:
+        data = b"\x08" + encode_varint(v)  # field 1, varint
+        assert decode_message(data)[1][0] == v
+    recs = [
+        {"stream_id": "t1", "depth": 0, "name": "root", "begin_ns": 10, "end_ns": 90},
+        {"stream_id": "t1", "depth": 1, "name": "child", "begin_ns": 20, "end_ns": 90},
+    ]
+    pkts = decode_trace(spans_to_trace_bytes(recs))
+    evs = [p for p in pkts if "track_event" in p]
+    # nesting-safe order: root opens first, child END precedes root END on tie
+    assert [
+        (p["timestamp"], p["track_event"]["type"], p["track_event"].get("name"))
+        for p in evs
+    ] == [(10, 1, "root"), (20, 1, "child"), (90, 2, None), (90, 2, None)]
 
 
 def test_process_spans_union(spark):
