@@ -40,16 +40,26 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-N per query (default 2): this box shares cores with other
+    # tenants and single-shot timings swing ±30% under load; the minimum
+    # over a couple of runs measures the engine, not the neighbors.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(REGISTRY.keys()):
-        t0 = time.perf_counter()
-        try:
-            df = REGISTRY[name].spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # one broken query must not sink the run
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = REGISTRY[name].spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # one broken query must not sink the run
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+        if best is not None:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -59,6 +69,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "repeats": repeats,
     }
     if errors:
         out["errors"] = errors
