@@ -235,6 +235,45 @@ def test_trace_chunks_perfetto(spark):
                 depth[ev["track_uuid"]] = d
 
 
+def test_trace_chunks_multipartition_numbering(spark):
+    """The zipWithIndex-pattern chunk numbering runs two jobs over the same
+    range partitioning (counts, then enumerate); this pins (a) global
+    numbering correctness across many partitions and (b) determinism of
+    the recompute between those jobs and between whole runs."""
+    from micromegas_spark.operators.spans import trace_chunks
+    from micromegas_spark.sources.payload import decode_block
+
+    n = 500
+    spans = spark.range(n).selectExpr(
+        "cast(id as string) as stream_id",
+        "id as span_id",
+        "cast(id % 7 as int) as depth",
+        "concat('s', id) as name",
+        # begin_ns deliberately NOT aligned with id order
+        "(id * 37) % 1000 as begin_ns",
+        "(id * 37) % 1000 + 5 as end_ns",
+    )
+    out1 = sorted(
+        trace_chunks(spans, chunk_rows=25, num_partitions=8, serializer="mmsb-json").collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [c.chunk_id for c in out1] == list(range(20))  # 500/25 full chunks
+    decoded = [rec for c in out1 for rec in decode_block(bytes(c.chunk_data))]
+    assert len(decoded) == n
+    assert all(len(list(decode_block(bytes(c.chunk_data)))) == 25 for c in out1)
+    # global order across chunk boundaries follows order_cols exactly
+    keys = [(r["begin_ns"], r["span_id"]) for r in decoded]
+    assert keys == sorted(keys)
+    # a second full run yields byte-identical chunks
+    out2 = sorted(
+        trace_chunks(spans, chunk_rows=25, num_partitions=8, serializer="mmsb-json").collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(c.chunk_id, bytes(c.chunk_data)) for c in out1] == [
+        (c.chunk_id, bytes(c.chunk_data)) for c in out2
+    ]
+
+
 def test_perfetto_wire_format_roundtrip():
     from micromegas_spark.sources.perfetto import (
         decode_message,
