@@ -106,14 +106,22 @@ def spans_to_trace_bytes(records: list[dict]) -> bytes:
     first (a slice closing exactly when a sibling opens closes first, and
     parent frames open before their children).
     """
+    def _num(v, default=None):
+        # None and float('nan') (pandas' null for int columns) → default
+        if v is None or v != v:
+            return default
+        return int(v)
+
     buf = bytearray()
     for sid in sorted({str(r["stream_id"]) for r in records}, key=str):
         buf += track_descriptor_packet(sid)
     events = []
     for r in records:
-        sid, depth = str(r["stream_id"]), int(r.get("depth") or 0)
-        events.append((int(r["begin_ns"]), 1, depth, sid, TYPE_SLICE_BEGIN, r.get("name")))
-        events.append((int(r["end_ns"]), 0, -depth, sid, TYPE_SLICE_END, None))
+        sid, depth = str(r["stream_id"]), _num(r.get("depth"), 0)
+        events.append((_num(r["begin_ns"], 0), 1, depth, sid, TYPE_SLICE_BEGIN, r.get("name")))
+        end = _num(r.get("end_ns"))
+        if end is not None:  # unclosed span: BEGIN without END is legal in a stream
+            events.append((end, 0, -depth, sid, TYPE_SLICE_END, None))
     events.sort(key=lambda e: e[:4])
     for ts, _k, _d, sid, etype, name in events:
         buf += track_event_packet(sid, ts, etype, name)
