@@ -39,22 +39,35 @@ def asof_join(
     ``tolerance``: maximum allowed left.time − right.time (same unit as
     time_col); matches older than that become NULL."""
     lcols = left.columns
+    # The match is carried as ONE struct of (right time + all value cols),
+    # null only for left-side rows: a single last(ignorenulls) then always
+    # references one right row, even when individual right value columns
+    # are NULL (per-column last() could mix columns from different rows).
+    r_struct = F.struct(
+        F.col(time_col).alias("_rt"),
+        *[F.col(c).alias(c) for c in right_value_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     # side 0 = right (sorts before left at equal time → inclusive ≤ match)
     r_tagged = right.select(
         *key_cols,
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        r_struct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
     )
     l_tagged = left.select(
         *key_cols,
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c) for c in lcols if c not in key_cols],
     )
-    tie = [F.col(f"_r_{tie_col}")] if tie_col and tie_col in right_value_cols else []
+    tie = (
+        [F.col("_r").getField(tie_col)]
+        if tie_col and tie_col in right_value_cols
+        else []
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col("_t"), F.col("_side"), *tie)
@@ -65,18 +78,17 @@ def asof_join(
         "_t",
         "_side",
         *[F.col(c) for c in lcols if c not in key_cols],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_value_cols],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w).alias("_m_t"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out = matched.where(F.col("_side") == 1)
+    m_t = F.col("_m").getField("_rt")
     keep: list[Column] = [F.col(c) for c in key_cols]
     keep += [F.col("_t").alias(time_col)]
     keep += [F.col(c) for c in lcols if c not in key_cols and c != time_col]
-    in_tol = (
-        (F.col("_t") - F.col("_m_t")) <= tolerance if tolerance is not None else F.lit(True)
-    )
+    in_tol = (F.col("_t") - m_t) <= tolerance if tolerance is not None else F.lit(True)
     keep += [
-        F.when(in_tol, F.col(f"_m_{c}")).alias(f"{c}_asof") for c in right_value_cols
+        F.when(in_tol, F.col("_m").getField(c)).alias(f"{c}_asof")
+        for c in right_value_cols
     ]
-    keep += [F.when(in_tol, F.col("_t") - F.col("_m_t")).alias("asof_gap")]
+    keep += [F.when(in_tol, F.col("_t") - m_t).alias("asof_gap")]
     return out.select(*keep)

@@ -211,21 +211,26 @@ def embedding_near_duplicates(
 
     The bucket self-join is the same shape as MinHash banding — the pair
     space shrinks from O(n²) to per-bucket; more planes → smaller buckets
-    at the cost of recall near the decision boundary."""
+    at the cost of recall near the decision boundary.
+
+    Scale shape: a plain shuffled self-join on the bucket key — both sides
+    hash-partition on bucket, so each executor only holds its buckets'
+    vectors (no broadcast of the corpus, which would hit the 8GB broadcast
+    limit at any real scale). Per-bucket pair expansion is the documented
+    memory bound; more LSH planes shrink it."""
     dims = dims or DEFAULT_LSH_DIMS
     # norms precompute BELOW the join (once per vector, not per pair —
     # per-pair cosine would run three HOF folds; this leaves one dot fold)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
         F.sqrt(norm2(F.col(vec_col))).alias("_norm"),
     )
-    a_ = b.repartition(parallelism).alias("a")  # probe-side parallelism
+    a_ = b.alias("a")
     b_ = b.alias("b")
     pairs = (
-        a_.join(F.broadcast(b_), "bucket")
+        a_.join(b_, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

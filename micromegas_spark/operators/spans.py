@@ -245,49 +245,67 @@ def trace_chunks(
     the tested contract; swapping the serializer changes no plan.
 
     Scale shape: global chunk numbering WITHOUT a single-partition global
-    window. zipWithIndex pattern: range-partition + sort on ``order_cols``
-    (``order_cols`` must be a total order, so recompute across the two jobs
-    is deterministic — same guarantee RDD.zipWithIndex relies on), one small
-    job counts rows per partition, the driver turns counts into prefix
-    offsets (#partitions values), and a mapInPandas pass enumerates locally
-    adding the broadcast offset. Every stage is fully parallel.
+    window, and WITHOUT relying on ``repartitionByRange`` sampling being
+    identical across the count job and the numbering job (it is not: range
+    boundaries are re-sampled per execution, so two jobs over the same
+    un-persisted lineage can partition rows differently). Instead the
+    range boundaries are collected ONCE (approxQuantile on the first order
+    column) and embedded as literals, making the row→bucket assignment a
+    deterministic per-row expression. The count job then counts per BUCKET
+    (not per physical partition), so its offsets stay valid no matter how
+    either job is physically partitioned; the numbering pass hashes on the
+    bucket id, sorts within partitions, and enumerates each contiguous
+    bucket segment locally, adding the broadcast bucket offset. Every
+    stage is fully parallel and no persist/cache is needed.
     """
     import json as _json
     import struct as _struct
 
     import numpy as np
-    from pyspark import TaskContext
 
     sc = spans.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
-    ranged = spans.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
-    counts = (
-        ranged.groupBy(F.spark_partition_id().alias("_pid")).count().collect()
-    )
+    first = order_cols[0]
+    # deterministic range boundaries: collected once, embedded as literals
+    bounds: list[float] = []
+    if n > 1:
+        probs = [i / n for i in range(1, n)]
+        try:
+            bounds = sorted(set(spans.approxQuantile(first, probs, 0.001)))
+        except Exception:
+            bounds = []  # non-numeric first order col → single bucket
+    bucket_expr = F.lit(0)
+    for x in bounds:
+        bucket_expr = bucket_expr + F.when(F.col(first) > F.lit(x), 1).otherwise(0)
+    bucketed = spans.withColumn("_bucket", bucket_expr.cast("int"))
+    counts = bucketed.groupBy("_bucket").count().collect()
     offsets, acc = {}, 0
-    for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
+    for r in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[r["_bucket"]] = acc
         acc += r["count"]
     offsets_bc = sc.broadcast(offsets)
 
     numbered_schema = StructType(
-        ranged.schema.fields
+        bucketed.schema.fields
         + [StructField("_rn", LongType()), StructField("_chunk", IntegerType())]
     )
+    part = bucketed.repartition(n, "_bucket").sortWithinPartitions("_bucket", *order_cols)
 
     def number(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        base = offsets_bc.value.get(pid, 0)
-        seen = 0
+        base = offsets_bc.value
+        seen: dict[int, int] = {}
         for pdf in pdf_iter:
-            rn = base + seen + np.arange(len(pdf), dtype=np.int64)
-            seen += len(pdf)
+            rn = np.empty(len(pdf), dtype=np.int64)
+            for bkt, idx in pdf.groupby("_bucket").indices.items():
+                start = base.get(bkt, 0) + seen.get(bkt, 0)
+                rn[idx] = start + np.arange(len(idx), dtype=np.int64)
+                seen[bkt] = seen.get(bkt, 0) + len(idx)
             pdf = pdf.copy()
             pdf["_rn"] = rn
             pdf["_chunk"] = (rn // chunk_rows).astype(np.int32)
             yield pdf
 
-    numbered = ranged.mapInPandas(number, schema=numbered_schema)
+    numbered = part.mapInPandas(number, schema=numbered_schema)
     out_schema = StructType(
         [StructField("chunk_id", IntegerType()), StructField("chunk_data", BinaryType())]
     )
@@ -295,7 +313,7 @@ def trace_chunks(
     def pack(key: tuple, pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         (chunk_id,) = key
         pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("_rn")
-        records = pdf.drop(columns=["_rn", "_chunk"]).to_dict("records")
+        records = pdf.drop(columns=["_rn", "_chunk", "_bucket"]).to_dict("records")
         if serializer == "perfetto":
             from micromegas_spark.sources.perfetto import spans_to_trace_bytes
 

@@ -141,7 +141,7 @@ def events_datebin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "log_stats_merge_idempotence",
     oracle="""
-    SELECT bin_epoch, event_type, SUM(n) AS n
+    SELECT bin_epoch, event_type, CAST(SUM(n) AS BIGINT) AS n
     FROM (
         SELECT (epoch_us(ts) // 60000000) * 60 AS bin_epoch, event_type, COUNT(*) AS n
         FROM events

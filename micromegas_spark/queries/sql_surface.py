@@ -158,7 +158,7 @@ def cte_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
         FROM g
     )
-    SELECT user_id, sess_idx, COUNT(*) AS n_events,
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
            MAX(ts_us) - MIN(ts_us) AS duration_us,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s
