@@ -343,18 +343,27 @@ def blocked_jaccard_pairs(
     near-identical lengths). Self-join is bounded per block, never O(n²)
     over the corpus; shingle sets are int-hashed for cheap set ops.
     The hashed shingle relation is persisted so the self-join reads it
-    twice from cache instead of re-running the md5/shingle pass per side."""
+    twice from cache instead of re-running the md5/shingle pass per side.
+
+    A size-ratio prefilter runs BEFORE the per-pair set intersection:
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose set sizes differ
+    by more than the threshold ratio cannot pass — two integer compares
+    replace an array_intersect for the bulk of candidate pairs (lossless;
+    the standard length-filter from set-similarity joins)."""
     from pyspark import StorageLevel
 
     sh = _spread(df.select(F.col(id_col), F.col(text_col), F.col(block_col))).select(
         F.col(id_col),
         (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
         hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("*", F.size("sh").alias("_nsh")).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sh.alias("a"), sh.alias("b")
+    size_ok = F.least(F.col("a._nsh"), F.col("b._nsh")) >= (
+        F.greatest(F.col("a._nsh"), F.col("b._nsh")) * F.lit(threshold)
+    )
     return (
         a.join(b, "blk")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

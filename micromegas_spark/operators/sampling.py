@@ -1,0 +1,86 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Spark's built-in ``df.sample`` is seeded per-partition, so its output
+changes with the physical split layout — useless for a reproducible
+100 TB corpus snapshot or for a DuckDB differential oracle. Every
+operator here derives the sampling decision from a *content hash of the
+row key* (md5, engine-portable), so the sample is:
+
+- stable under repartitioning, AQE re-planning, and cluster size;
+- identical across engines (the DuckDB oracle recomputes it exactly);
+- refreshable by salt: a new ``salt`` draws an independent sample.
+
+Scale shape: every operator is a map-side filter or a per-group window —
+no collect, no global sort. ``hash_topk_per_group`` shuffles once on the
+group key (WindowGroupLimit prunes to k per group before the final
+window at scale).
+
+Reference parity: the reference has no sampling surface (SURVEY §2 —
+absent); these are part of the beyond-reference training-pipeline set
+named by the project brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^15 = 2^60: 15 hex chars fit an int64 with headroom; dividing by the
+# exact power of two is lossless in binary floating point.
+_HASH_DENOM = float(16**15)
+
+
+def sample_unit(key: Column, salt: str = "") -> Column:
+    """u ∈ [0,1) derived from md5(salt ‖ key) — the portable PRNG.
+
+    DuckDB spelling (identical doubles, so comparisons agree exactly):
+    ``('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+    / 1152921504606846976.0``"""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h / F.lit(_HASH_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows with u(key) < fraction.
+    A pure map-side filter — pushes below shuffles, costs one md5/row."""
+    return df.where(sample_unit(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum rates (e.g. language rebalancing for a training mix):
+    the stratum picks the rate, the key hash picks the rows. Still one
+    map-side filter — no per-stratum job, no shuffle."""
+    rate: Column = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(
+            rate
+        )
+    return df.where(sample_unit(F.col(key_col), salt) < rate)
+
+
+def hash_topk_per_group(
+    df: DataFrame, group_col: str, k: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic k-per-group cap (per-source document quotas, the
+    fixed-size analogue of reservoir sampling): rank rows inside each
+    group by (u(key), key) and keep the k smallest. Uniform without
+    replacement, reproducible, and a single shuffle on the group key;
+    the (u, key) ordering is collision-proof because the key breaks ties."""
+    u = sample_unit(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .where(F.col("_srn") <= k)
+        .drop("_srn")
+    )

@@ -147,3 +147,61 @@ def lang_id(text: Column) -> Column:
         rest_max = rest[0] if len(rest) == 1 else F.greatest(*rest)
         expr = F.when(scores[langs[i]] >= rest_max, F.lit(langs[i])).otherwise(expr)
     return expr
+
+
+def tf_idf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Per-document top-k terms with tf-idf scores — the vocabulary /
+    keyword-extraction pass of a training-data pipeline.
+
+    Plan shape (all JVM-side, two key shuffles):
+    explode(tokens) → groupBy (doc, term) for tf (map-side combinable) →
+    groupBy term for document frequency → join back on term → corpus size
+    via a broadcast single-row aggregate (never a window over ()).
+
+    Ranking is by (tf DESC, term ASC) — integer-only, so the top-k cut is
+    deterministic across engines even though the idf score itself is
+    floating point (ln differs in the last ulp between libms; it is only
+    REPORTED, rounded, never compared). idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = (
+        toks.select(F.col(id_col), F.lower(F.col("tok")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + 1).cast("double")
+                        / (F.col("doc_freq") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -498,3 +498,145 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution / sampling / tf-idf (round 2)
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = f"""
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
+    sig AS (SELECT doc_id,
+                   {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
+            FROM hsh),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, {_JACCARD} AS jaccard
+            FROM cand
+            JOIN hsh x ON x.doc_id = cand.id_a
+            JOIN hsh y ON y.doc_id = cand.id_b
+        ) WHERE jaccard >= 0.8
+    )
+"""
+
+# portable content-hash PRNG (operators/sampling.sample_unit): u in [0,1)
+_U_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "docs_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc ORDER BY doc_id
+    """,
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into CLUSTERS: iterative min-label
+    propagation over the MinHash pair graph (operators/graph.py
+    connected_components — a driver loop of join+min-agg jobs, one scalar
+    convergence counter per round). cluster_id = min doc id = the
+    keep-one survivor; the DuckDB oracle computes the same transitive
+    closure with a recursive CTE."""
+    from micromegas_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, threshold=0.8).select("id_a", "id_b")
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_U_SQL} < CASE WHEN lang = 'en' THEN 0.5
+                          WHEN lang = 'zh' THEN 0.25
+                          ELSE 0.1 END
+    ORDER BY doc_id
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample (operators/sampling.py):
+    per-stratum rates, row selection by a portable content-hash PRNG so
+    the sample is reproducible under any partitioning and identical in
+    the DuckDB oracle. Pure map-side filter — no shuffle."""
+    from micromegas_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "zh": 0.25}, key_col="doc_id", default_fraction=0.1
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "docs_per_source_cap",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source, {_U_SQL} AS u FROM documents),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+          FROM u)
+    SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id
+    """,
+)
+def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (domain mixing / anti-overrepresentation):
+    keep a deterministic uniform 5 docs per source by hash order
+    (operators/sampling.hash_topk_per_group) — the fixed-size analogue of
+    reservoir sampling, one shuffle on the group key."""
+    from micromegas_spark.operators.sampling import hash_topk_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_topk_per_group(d, "source", k=5, key_col="doc_id")
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+               round(tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.doc_freq + 1)::DOUBLE)
+                              + 1.0), 6) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, tf.term) AS rk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, tfidf
+    FROM s WHERE rk <= 3 ORDER BY doc_id, term
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by term frequency with smoothed tf-idf scores
+    (operators/text.tf_idf_top_terms): keyword extraction / vocabulary
+    building. The top-k cut ranks on integers only (tf, term) so it is
+    deterministic across engines; the float idf is reported, not compared
+    against the cut."""
+    out = text.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+    return out.orderBy("doc_id", "term")

@@ -1,0 +1,100 @@
+"""connected_components / dedup_clusters (operators/graph.py) and
+deterministic sampling (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.operators.graph import connected_components, dedup_clusters
+from micromegas_spark.operators.sampling import (
+    hash_sample,
+    hash_topk_per_group,
+    sample_unit,
+    stratified_sample,
+)
+
+
+def _cc_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_connected_components_basic(spark):
+    # two clusters {1,2,3,9} and {5,7}; 8 isolated via self-pair absence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path: worst case for min-propagation (diameter rounds)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["src", "dst"]
+    )
+    got = _cc_map(connected_components(edges))
+    assert set(got.values()) == {0} and len(got) == 12
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in
+            dedup_clusters(pairs).collect()}
+    assert rows == {10: (10, 3), 20: (10, 3), 30: (10, 3), 40: (40, 2), 50: (40, 2)}
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+def test_hash_sample_fraction_and_stability(spark, ids_df):
+    s1 = hash_sample(ids_df, 0.25, "key")
+    n = s1.count()
+    assert 0.18 * 2000 < n < 0.32 * 2000  # binomial tolerance
+    # invariant under physical repartitioning (the reason df.sample is out)
+    s2 = hash_sample(ids_df.repartition(13), 0.25, "key")
+    assert sorted(r["key"] for r in s1.collect()) == sorted(
+        r["key"] for r in s2.collect()
+    )
+    # a different salt draws a (near-)independent sample
+    s3 = hash_sample(ids_df, 0.25, "key", salt="v2")
+    assert sorted(r["key"] for r in s3.collect()) != sorted(
+        r["key"] for r in s1.collect()
+    )
+
+
+def test_sample_unit_range(spark, ids_df):
+    mm = ids_df.select(
+        F.min(sample_unit(F.col("key"))).alias("lo"),
+        F.max(sample_unit(F.col("key"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("grp"),
+    )
+    out = stratified_sample(df, "grp", {"a": 0.5, "b": 0.1}, key_col="key")
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert 400 < by.get("a", 0) < 600
+    assert 60 < by.get("b", 0) < 140
+    assert "c" not in by  # default fraction 0.0
+
+
+def test_hash_topk_per_group(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("grp")
+    )
+    out = hash_topk_per_group(df, "grp", k=3, key_col="key")
+    counts = [r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()]
+    assert counts == [3] * 7
+    # deterministic under repartitioning
+    out2 = hash_topk_per_group(df.repartition(11), "grp", k=3, key_col="key")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
