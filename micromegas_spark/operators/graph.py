@@ -44,10 +44,12 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # init = the first propagation round for free: one aggregation (no
+    # join) gives every node min(self, direct neighbours) — near-clique
+    # dedup graphs then converge in a single confirming loop round
     labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -63,23 +65,22 @@ def connected_components(
         parent = cand.select(
             F.col("node").alias("component"), F.col("component").alias("_pc")
         )
-        new_labels = (
+        # the old label rides along so the convergence check is a filter
+        # over the checkpointed result, not an extra shuffle join per round
+        merged = (
             cand.join(parent, "component", "left")
+            .join(labels.withColumnRenamed("component", "_old"), "node")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("component") != F.col("_old")).count()
+        labels = merged.drop("_old")
         if changed == 0:
             break
     e.unpersist()

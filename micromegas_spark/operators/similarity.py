@@ -215,9 +215,15 @@ def embedding_near_duplicates(
 
     Scale shape: a plain shuffled self-join on the bucket key — both sides
     hash-partition on bucket, so each executor only holds its buckets'
-    vectors (no broadcast of the corpus, which would hit the 8GB broadcast
-    limit at any real scale). Per-bucket pair expansion is the documented
-    memory bound; more LSH planes shrink it."""
+    vectors (no unconditional broadcast of the corpus, which would hit the
+    8GB broadcast limit at any real scale; AQE may still pick a broadcast
+    at runtime when the MEASURED build side is under the threshold, which
+    is exactly the safe case). The bucketed relation is persisted so the
+    sign-LSH + norm pass runs once, not once per join side. Per-bucket
+    pair expansion is the documented memory bound; more LSH planes
+    shrink it."""
+    from pyspark import StorageLevel
+
     dims = dims or DEFAULT_LSH_DIMS
     # norms precompute BELOW the join (once per vector, not per pair —
     # per-pair cosine would run three HOF folds; this leaves one dot fold)
@@ -226,9 +232,12 @@ def embedding_near_duplicates(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
         F.sqrt(norm2(F.col(vec_col))).alias("_norm"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a_ = b.alias("a")
-    b_ = b.alias("b")
+    # shuffle_hash: sort-merge would sort rows carrying the full embedding
+    # arrays; a hash build per bucket partition skips that (AQE still
+    # upgrades to broadcast when the measured side is small enough)
+    b_ = b.alias("b").hint("shuffle_hash")
     pairs = (
         a_.join(b_, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

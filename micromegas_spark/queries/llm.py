@@ -378,9 +378,13 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT vec_id, embedding,
                (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
-             + (CASE WHEN embedding[17] >= 0 THEN 2 ELSE 0 END)
-             + (CASE WHEN embedding[33] >= 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN embedding[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+             + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[41] >= 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[49] >= 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
         FROM embeddings
     ),
     z AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -399,9 +403,13 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + exact cosine threshold; operators/similarity.embedding_near_duplicates).
     Threshold 0.3 on this corpus — the synthetic embeddings are random, so
     true near-dup (≥0.9) pairs don't exist; the operator and its pair
-    space are what's under test."""
+    space are what's under test. 8 hyperplanes (256 buckets): the
+    precision knob — each extra plane halves the candidate pair space,
+    the cost curve every LSH deployment tunes."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(e, threshold=0.3).orderBy("id_a", "id_b")
+    return similarity.embedding_near_duplicates(
+        e, threshold=0.3, dims=[1, 9, 17, 25, 33, 41, 49, 57]
+    ).orderBy("id_a", "id_b")
 
 
 @query(
