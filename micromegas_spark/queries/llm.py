@@ -648,3 +648,52 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the cut."""
     out = text.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
     return out.orderBy("doc_id", "term")
+
+
+@query(
+    "docs_pipeline_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id, source, len(toks) AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                   / length(text) AS punct_ratio,
+               {_FP} AS fp
+        FROM t WHERE lang = 'en'
+    ),
+    q AS (SELECT * FROM f WHERE n_tokens >= 30 AND punct_ratio <= 0.08),
+    k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM q JOIN k USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter cascade — the composition every LLM
+    corpus pass runs: language filter → quality thresholds (token count,
+    punctuation ratio) → exact dedup keep-min — reported as per-source
+    kept-document and token budgets. All stages are the already-tested
+    operators (text.quality_features, text.fingerprint, dedup keep-min)
+    fused into ONE plan: the filters stay map-side against the scan and
+    the only shuffles are the fingerprint group and the final source agg."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    f = d.where(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    q = f.where((F.col("n_tokens") >= 30) & (F.col("punct_ratio") <= 0.08))
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        q.join(keep, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

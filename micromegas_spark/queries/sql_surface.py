@@ -385,3 +385,60 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) > v.t_view
+            AND epoch_us(e.ts) <= v.t_view + 86400000000
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > c.t_click
+            AND epoch_us(e.ts) <= c.t_click + 86400000000
+          GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_users
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click ≤24h → purchase
+    ≤24h): per-stage anchor times via conditional min aggregation +
+    key-equi joins — the sequence-analytics shape (windowed funnels) that
+    log analytics adds on top of plain aggregation. Each stage is one
+    shuffle on user_id; the three stage counts cross-join as single-row
+    aggregates (broadcast, no driver collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = 86_400_000_000  # 24 h in µs (the synthetic stream is sparse)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts_us") > F.col("t_view")) & (F.col("ts_us") <= F.col("t_view") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts_us") > F.col("t_click")) & (F.col("ts_us") <= F.col("t_click") + gap))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view_users"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_users")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchase_users")))
+    )
