@@ -98,3 +98,36 @@ def read_log_stats(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("time_bin_ns", "process_id", "level", "target")
         .agg(F.sum("count").alias("count"))
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Native session windows over a stream: Spark's ``session_window``
+    merges events of a key whose gaps stay under ``gap`` (the streaming
+    counterpart of the batch lag/running-sum sessionization in
+    queries/sql_surface.events_sessionize — the reference has no session
+    windows at all, SURVEY §2.9). State per key is one open session that
+    closes — and emits, in append mode — once the watermark passes its
+    end; session count is bounded by active keys, not event volume."""
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value")
+        )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("sess"), key_col)
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            *(["n_events"] + (["total_value"] if value_col is not None else [])),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Streaming session windows (streaming/incremental.stream_sessionize):
+gap-merge semantics match the batch lag/running-sum sessionization, and
+closed sessions emit exactly once across micro-batch ticks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from micromegas_spark.streaming.incremental import stream_sessionize
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_time", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _mk(user, minutes, value=1.0):
+    return (user, T0 + dt.timedelta(minutes=minutes), value)
+
+
+def test_session_merge_semantics_match_batch(spark, tmp_path):
+    # u1: events at 0,10,20 (one session), then 60,65 (second session)
+    # u2: single event (one session)
+    rows = [
+        _mk(1, 0), _mk(1, 10), _mk(1, 20),
+        _mk(1, 60), _mk(1, 65, 2.5),
+        _mk(2, 5),
+    ]
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        stream_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    starts = {(r.user_id, r.sess_start): (r.n_events, r.total_value)
+              for r in spark.sql("SELECT * FROM sess_complete").collect()}
+    assert starts == {
+        (1, T0): (3, 3.0),
+        (1, T0 + dt.timedelta(minutes=60)): (2, 3.5),
+        (2, T0 + dt.timedelta(minutes=5)): (1, 1.0),
+    }
+    # batch session_window over the same data agrees (one engine, two modes)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("event_time", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted((r.user_id, r.s.start, r.n) for r in batch.collect()) == sorted(
+        (u, s, n) for (u, s), (n, _v) in starts.items()
+    )
+
+
+def test_append_mode_emits_closed_sessions_once(spark, tmp_path):
+    src = str(tmp_path / "landing2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def tick(rows):
+        if rows:
+            spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            stream_sessionize(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []
+
+    # tick 1: an early session + a much later event that pushes the
+    # watermark far past the first session's end
+    tick([_mk(1, 0), _mk(1, 10), _mk(1, 300)])
+    # tick 2: no new data — emitted set must not grow or duplicate
+    first = tick([_mk(1, 301)])
+    emitted = [(r.user_id, r.sess_start, r.n_events) for r in first]
+    assert (1, T0, 2) in emitted
+    assert len([e for e in emitted if e[1] == T0]) == 1
