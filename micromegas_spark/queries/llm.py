@@ -697,3 +697,38 @@ def docs_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "docs_top_terms_global",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS total_tf,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+           FROM toks GROUP BY term)
+    SELECT term, total_tf, doc_freq
+    FROM tf
+    ORDER BY total_tf DESC, term
+    LIMIT 50
+    """,
+)
+def docs_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 terms by total frequency with
+    document frequency — the vocabulary-building / stopword-discovery
+    pass. explode → one (term) shuffle with map-side combine; the count
+    and count-distinct share one aggregate (doc_id is projected before
+    the Expand). Integer ordering + term tiebreak keeps the LIMIT
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.lower(F.col("tok")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("total_tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_tf").desc(), "term")
+        .limit(50)
+    )

@@ -328,7 +328,8 @@ def large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, epoch_us(ts) AS t
         FROM events WHERE event_type = 'error'
     )
-    SELECT iv.user_id AS user_id, iv.sess_idx AS sess_idx, COUNT(p.event_id) AS n_errors
+    SELECT iv.user_id AS user_id, CAST(iv.sess_idx AS BIGINT) AS sess_idx,
+           COUNT(p.event_id) AS n_errors
     FROM iv JOIN pts p ON p.user_id = iv.user_id
                       AND p.t BETWEEN iv.sess_begin AND iv.sess_end
     GROUP BY iv.user_id, iv.sess_idx
@@ -442,3 +443,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_users")))
         .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchase_users")))
     )
+
+
+@query(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (status × priority count matrix) via DataFrame pivot with an
+    EXPLICIT value list — without it Spark runs an extra distinct-values
+    job and the output column set depends on the data (schema instability
+    at scale). Compiles to the same conditional-sum aggregate the oracle
+    spells out: map-side combinable, one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(zip(prios, ["urgent", "high", "medium", "not_specified", "low"]))
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot yields NULL for empty cells; the conditional-sum spelling gives 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in renames.values()],
+    ).orderBy("o_orderstatus")
