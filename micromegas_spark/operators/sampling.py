@@ -7,7 +7,10 @@ operator here derives the sampling decision from a *content hash of the
 row key* (md5, engine-portable), so the sample is:
 
 - stable under repartitioning, AQE re-planning, and cluster size;
-- identical across engines (the DuckDB oracle recomputes it exactly);
+- identical across engines (the DuckDB oracle recomputes it exactly) —
+  which is why keys are restricted to integer/string types: float,
+  decimal and timestamp keys stringify differently per engine, so the
+  operators reject them instead of silently diverging from the oracle;
 - refreshable by salt: a new ``salt`` draws an independent sample.
 
 Scale shape: every operator is a map-side filter or a per-group window —
@@ -30,6 +33,18 @@ from pyspark.sql import functions as F
 _HASH_DENOM = float(16**15)
 
 
+def _check_key_type(df: DataFrame, key_col: str) -> None:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType, StringType
+
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType, StringType)):
+        raise TypeError(
+            f"sampling key {key_col!r} has type {dt}; only integer/string keys "
+            "stringify identically across engines (float/timestamp formats "
+            "differ, which would silently break oracle reproducibility)"
+        )
+
+
 def sample_unit(key: Column, salt: str = "") -> Column:
     """u ∈ [0,1) derived from md5(salt ‖ key) — the portable PRNG.
 
@@ -47,6 +62,7 @@ def hash_sample(
 ) -> DataFrame:
     """Uniform deterministic sample: keep rows with u(key) < fraction.
     A pure map-side filter — pushes below shuffles, costs one md5/row."""
+    _check_key_type(df, key_col)
     return df.where(sample_unit(F.col(key_col), salt) < F.lit(float(fraction)))
 
 
@@ -61,6 +77,7 @@ def stratified_sample(
     """Per-stratum rates (e.g. language rebalancing for a training mix):
     the stratum picks the rate, the key hash picks the rows. Still one
     map-side filter — no per-stratum job, no shuffle."""
+    _check_key_type(df, key_col)
     rate: Column = F.lit(float(default_fraction))
     for value, frac in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(
@@ -77,6 +94,7 @@ def hash_topk_per_group(
     group by (u(key), key) and keep the k smallest. Uniform without
     replacement, reproducible, and a single shuffle on the group key;
     the (u, key) ordering is collision-proof because the key breaks ties."""
+    _check_key_type(df, key_col)
     u = sample_unit(F.col(key_col), salt)
     w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
     return (

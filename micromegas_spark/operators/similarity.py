@@ -204,6 +204,7 @@ def embedding_near_duplicates(
     dims: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates restricted to the
     same sign-LSH bucket (near-identical vectors share all hyperplane
@@ -221,7 +222,14 @@ def embedding_near_duplicates(
     is exactly the safe case). The bucketed relation is persisted so the
     sign-LSH + norm pass runs once, not once per join side. Per-bucket
     pair expansion is the documented memory bound; more LSH planes
-    shrink it."""
+    shrink it.
+
+    ``cache=True`` persists the bucketed relation for the result's
+    lifetime so the sign-LSH + norm pass runs once, not per join side.
+    Spark's CacheManager is plan-keyed, so repeated calls over the SAME
+    input reuse one entry; distinct corpora accumulate until the caller
+    unpersists or clears the cache — pass cache=False for one-shot
+    pipelines that prefer recompute over a pinned corpus-sized cache."""
     from pyspark import StorageLevel
 
     dims = dims or DEFAULT_LSH_DIMS
@@ -232,7 +240,9 @@ def embedding_near_duplicates(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
         F.sqrt(norm2(F.col(vec_col))).alias("_norm"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache:
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     a_ = b.alias("a")
     # shuffle_hash: sort-merge would sort rows carrying the full embedding
     # arrays; a hash build per bucket partition skips that (AQE still

@@ -256,29 +256,52 @@ def trace_chunks(
     either job is physically partitioned; the numbering pass hashes on the
     bucket id, sorts within partitions, and enumerates each contiguous
     bucket segment locally, adding the broadcast bucket offset. Every
-    stage is fully parallel and no persist/cache is needed.
+    stage is fully parallel.
+
+    The input is persisted only for the driver-side jobs (boundary
+    quantiles + per-bucket counts, one lineage execution between them) and
+    unpersisted before returning — the final numbering job recomputes the
+    lineage once, so an expensive upstream (e.g. the call-tree stack
+    machine) runs twice total, same as the zipWithIndex contract, with no
+    cache left pinned after the export. Requires a NUMERIC first order
+    column (boundaries come from approxQuantile); pass num_partitions=1 to
+    skip bucketing for non-numeric orderings.
     """
     import json as _json
     import struct as _struct
 
     import numpy as np
+    from pyspark.sql.types import NumericType
 
     sc = spans.sparkSession.sparkContext
     n = num_partitions or sc.defaultParallelism
     first = order_cols[0]
     # deterministic range boundaries: collected once, embedded as literals
     bounds: list[float] = []
-    if n > 1:
-        probs = [i / n for i in range(1, n)]
-        try:
-            bounds = sorted(set(spans.approxQuantile(first, probs, 0.001)))
-        except Exception:
-            bounds = []  # non-numeric first order col → single bucket
-    bucket_expr = F.lit(0)
-    for x in bounds:
-        bucket_expr = bucket_expr + F.when(F.col(first) > F.lit(x), 1).otherwise(0)
+    cached = spans.persist()
+    try:
+        if n > 1:
+            if not isinstance(spans.schema[first].dataType, NumericType):
+                raise TypeError(
+                    f"trace_chunks needs a numeric first order column for range "
+                    f"bucketing; {first!r} is {spans.schema[first].dataType}. "
+                    "Pass num_partitions=1 to disable bucketing."
+                )
+            probs = [i / n for i in range(1, n)]
+            bounds = sorted(set(cached.approxQuantile(first, probs, 0.001)))
+        # constant-size expression regardless of partition count: probe the
+        # literal boundary array (a thousands-term when-chain would bloat
+        # the Catalyst tree and stress analysis/codegen)
+        if bounds:
+            barr = F.array(*[F.lit(float(x)) for x in bounds])
+            bucket_expr = F.size(F.filter(barr, lambda b: F.col(first).cast("double") > b))
+        else:
+            bucket_expr = F.lit(0)
+        bucketed = cached.withColumn("_bucket", bucket_expr.cast("int"))
+        counts = bucketed.groupBy("_bucket").count().collect()
+    finally:
+        cached.unpersist(blocking=False)
     bucketed = spans.withColumn("_bucket", bucket_expr.cast("int"))
-    counts = bucketed.groupBy("_bucket").count().collect()
     offsets, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["_bucket"]):
         offsets[r["_bucket"]] = acc

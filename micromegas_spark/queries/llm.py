@@ -218,11 +218,12 @@ _BANDS_SQL = " UNION ALL ".join(
     for b in range(4)
 )
 
-
-@query(
-    "docs_minhash_neardup",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+# the full MinHash near-dup CTE chain (shingle → signature → banding →
+# candidates → Jaccard-verified pairs): ONE definition shared by the
+# docs_minhash_neardup oracle and the docs_dedup_clusters closure oracle,
+# so the banding/shingle scheme can never drift between them
+_PAIRS_SQL = f"""
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
     hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
     sig AS (SELECT doc_id,
@@ -234,13 +235,22 @@ _BANDS_SQL = " UNION ALL ".join(
         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
         WHERE a.doc_id < b.doc_id
     ),
-    j AS (
-        SELECT id_a, id_b, {_JACCARD} AS jaccard
-        FROM cand
-        JOIN hsh x ON x.doc_id = cand.id_a
-        JOIN hsh y ON y.doc_id = cand.id_b
+    pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b, {_JACCARD} AS jaccard
+            FROM cand
+            JOIN hsh x ON x.doc_id = cand.id_a
+            JOIN hsh y ON y.doc_id = cand.id_b
+        ) WHERE jaccard >= 0.8
     )
-    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
+@query(
+    "docs_minhash_neardup",
+    oracle=f"""
+    WITH {_PAIRS_SQL}
+    SELECT id_a, id_b, jaccard FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -511,29 +521,6 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup cluster resolution / sampling / tf-idf (round 2)
 # ---------------------------------------------------------------------------
-
-_PAIRS_SQL = f"""
-    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
-    hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
-    sig AS (SELECT doc_id,
-                   {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))}
-            FROM hsh),
-    bands AS ({_BANDS_SQL}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        WHERE a.doc_id < b.doc_id
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT id_a, id_b, {_JACCARD} AS jaccard
-            FROM cand
-            JOIN hsh x ON x.doc_id = cand.id_a
-            JOIN hsh y ON y.doc_id = cand.id_b
-        ) WHERE jaccard >= 0.8
-    )
-"""
 
 # portable content-hash PRNG (operators/sampling.sample_unit): u in [0,1)
 _U_SQL = (

@@ -68,8 +68,10 @@ def test_stratified_sample_is_scan_side_filter(spark):
     # Exchange in the plan is the final orderBy's range partitioning
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], plan
-    # and the filter sits directly on the scan (pushed as a data filter too)
-    assert "DataFilters: [((cast(" in plan or "Filter " in plan
+    # and the hash predicate reaches the scan itself (DataFilters carries
+    # the md5 expression on the FileScan node)
+    (scan,) = _scan_lines(plan, "documents.parquet")
+    assert "md5" in scan, scan
 
 
 def test_events_scan_prunes_props(spark):

@@ -96,9 +96,11 @@ def test_append_mode_emits_closed_sessions_once(spark, tmp_path):
 
     # tick 1: an early session + a much later event that pushes the
     # watermark far past the first session's end
-    tick([_mk(1, 0), _mk(1, 10), _mk(1, 300)])
-    # tick 2: no new data — emitted set must not grow or duplicate
-    first = tick([_mk(1, 301)])
+    first = tick([_mk(1, 0), _mk(1, 10), _mk(1, 300)])
     emitted = [(r.user_id, r.sess_start, r.n_events) for r in first]
     assert (1, T0, 2) in emitted
     assert len([e for e in emitted if e[1] == T0]) == 1
+    # tick 2: genuinely no new data — the emitted set must not grow or
+    # re-emit already-closed sessions
+    second = tick([])
+    assert sorted((r.user_id, r.sess_start, r.n_events) for r in second) == sorted(emitted)
