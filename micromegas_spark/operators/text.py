@@ -205,3 +205,79 @@ def tf_idf_top_terms(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def chunk_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Context-window chunking: split each document's token stream into
+    fixed-size chunks with overlap (the pre-tokenization pass that turns
+    a corpus into training windows). Emits (id, chunk_idx, token_start,
+    token_end) — positions only, so the output stays narrow and the text
+    slice is reconstructed on demand.
+
+    Pure JVM arithmetic: chunk count is integer math on token_count,
+    chunk rows come from explode(sequence(...)) — no Python, no shuffle
+    (a per-row Generate). chunk count = ceil((n - overlap) / stride),
+    min 1, with stride = chunk_tokens - overlap."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = token_count(F.col(text_col)).cast("bigint")
+    n_chunks = F.greatest(
+        F.floor((n - overlap + stride - 1) / F.lit(stride)).cast("bigint"), F.lit(1)
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("token_start"),
+        F.least(start + chunk_tokens, F.col("_n")).cast("bigint").alias("token_end"),
+    )
+
+
+def sequence_packing(
+    df,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+):
+    """Greedy first-fit-by-order sequence packing: documents are laid out
+    in (part_col, id) order and assigned to the training sequence where
+    their first token lands (seq boundary every ``budget`` tokens of
+    cumulative length). The contiguous-fill approximation every large
+    packing pipeline uses — exact bin packing is NP-hard and
+    order-dependent packing is reproducible.
+
+    One shuffle on ``part_col`` (the shard key — packing never crosses
+    shards, which also keeps the window partitioned instead of global);
+    the running sum is a frame-bounded window, deterministic via the id
+    tie-break."""
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(F.col(id_col), F.col(part_col), n.alias("n_tokens"))
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col("n_tokens"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(budget))
+        .cast("bigint")
+        .alias("seq_id"),
+    )

@@ -719,3 +719,56 @@ def docs_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_tf").desc(), "term")
         .limit(50)
     )
+
+
+@query(
+    "docs_chunk_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               unnest(range(0, GREATEST((n - 16 + 47) // 48, 1))) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 48 AS BIGINT) AS token_start,
+           CAST(LEAST(chunk_idx * 48 + 64, n) AS BIGINT) AS token_end
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.chunk_spans): 64-token
+    chunks with 16-token overlap (stride 48) per document — the pass that
+    turns a corpus into training windows. explode(sequence) arithmetic,
+    no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_spans(d, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
+    "docs_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-by-order sequence packing
+    (operators/text.sequence_packing): documents laid out per source in
+    id order, assigned to the 512-token training sequence where their
+    first token lands. One shuffle on the shard key; reproducible by
+    construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.sequence_packing(d, budget=512).orderBy("doc_id")

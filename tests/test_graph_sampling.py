@@ -98,3 +98,36 @@ def test_hash_topk_per_group(spark):
     # deterministic under repartitioning
     out2 = hash_topk_per_group(df.repartition(11), "grp", k=3, key_col="key")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_chunk_spans_edges(spark):
+    import pytest as _pytest
+
+    from micromegas_spark.operators.text import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(100)))],
+        ["doc_id", "text"],
+    )
+    rows = chunk_spans(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.token_start, r.token_end))
+    # short doc: exactly one chunk covering all its tokens
+    assert by_doc[1] == [(0, 0, 3)]
+    # 100 tokens, stride 48: chunks start at 0, 48 and cover to min(start+64, 100)
+    assert sorted(by_doc[2]) == [(0, 0, 64), (1, 48, 100)]
+    with _pytest.raises(ValueError):
+        chunk_spans(df, chunk_tokens=16, overlap=16)
+
+
+def test_sequence_packing_boundaries(spark):
+    from micromegas_spark.operators.text import sequence_packing
+
+    # three docs of 300 tokens each in one shard: budget 512 puts doc 0 in
+    # seq 0 (starts at 0), doc 1 in seq 0 (starts at 300), doc 2 in seq 1
+    # (starts at 600)
+    docs = [(i, "s", " ".join("x" * 1 for _ in range(300))) for i in range(3)]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    got = {r.doc_id: r.seq_id for r in sequence_packing(df, budget=512).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
