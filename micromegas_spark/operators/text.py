@@ -158,10 +158,15 @@ def tf_idf_top_terms(
     """Per-document top-k terms with tf-idf scores — the vocabulary /
     keyword-extraction pass of a training-data pipeline.
 
-    Plan shape (all JVM-side, two key shuffles):
-    explode(tokens) → groupBy (doc, term) for tf (map-side combinable) →
-    groupBy term for document frequency → join back on term → corpus size
-    via a broadcast single-row aggregate (never a window over ()).
+    Plan shape (all JVM-side): explode(tokens) → groupBy (doc, term) for
+    tf (map-side combinable) → groupBy term for document frequency → join
+    back on term → corpus size via a broadcast single-row aggregate
+    (never a window over ()). The doc-frequency step is deliberately a
+    groupBy + join rather than COUNT OVER (PARTITION BY term): stopword
+    terms appear in nearly every document, and a term-partitioned window
+    would pin each hot term's rows to ONE task with no mitigation,
+    whereas the aggregate is map-side combinable and the join gets AQE
+    skew-split at runtime.
 
     Ranking is by (tf DESC, term ASC) — integer-only, so the top-k cut is
     deterministic across engines even though the idf score itself is
