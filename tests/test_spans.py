@@ -314,3 +314,33 @@ def test_process_spans_union(spark):
     assert types == {"thread", "async"}
     only_async = process_spans(tdf, adf, "async")
     assert {r.span_type for r in only_async.collect()} == {"async"}
+
+
+def test_trace_chunks_rejects_non_numeric_order_col(spark):
+    """Range bucketing needs a numeric first order column; a string column
+    must raise loudly instead of silently collapsing to one bucket/task —
+    and num_partitions=1 is the documented escape hatch."""
+    import pytest as _pytest
+
+    from micromegas_spark.operators.spans import trace_chunks
+    from micromegas_spark.sources.payload import decode_block
+
+    spans = spark.range(30).selectExpr(
+        "concat('k', lpad(cast(id as string), 3, '0')) as skey",
+        "id as span_id",
+    )
+    with _pytest.raises(TypeError, match="numeric first order column"):
+        trace_chunks(spans, order_cols=("skey", "span_id"), serializer="mmsb-json")
+    out = sorted(
+        trace_chunks(
+            spans,
+            chunk_rows=10,
+            order_cols=("skey", "span_id"),
+            num_partitions=1,
+            serializer="mmsb-json",
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [c.chunk_id for c in out] == [0, 1, 2]
+    decoded = [rec for c in out for rec in decode_block(bytes(c.chunk_data))]
+    assert [r["skey"] for r in decoded] == sorted(r["skey"] for r in decoded)
