@@ -83,16 +83,65 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonb_each(ev, "props", ["event_id"])
 
 
-@query("events_thread_spans", oracle=None)
+@query(
+    "events_thread_spans",
+    oracle="""
+    WITH numbered AS (
+        SELECT CAST(user_id AS VARCHAR) AS stream_id, event_id,
+               epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ),
+    marked AS (
+        SELECT stream_id, ts_us, rn,
+               CASE WHEN (rn - 1) % 8 IN (0, 1, 3, 6) THEN 1 ELSE -1 END AS delta
+        FROM numbered WHERE rn <= 8 * (cnt // 8)
+    ),
+    depths AS (
+        SELECT *, CAST(SUM(delta) OVER (PARTITION BY stream_id ORDER BY rn) AS BIGINT) AS c
+        FROM marked
+    ),
+    begins AS (
+        SELECT stream_id, ts_us AS begin_ts, c AS d,
+               ROW_NUMBER() OVER (PARTITION BY stream_id, c ORDER BY rn) AS k
+        FROM depths WHERE delta = 1
+    ),
+    ends AS (
+        SELECT stream_id, ts_us AS end_ts, c + 1 AS d,
+               ROW_NUMBER() OVER (PARTITION BY stream_id, c ORDER BY rn) AS k
+        FROM depths WHERE delta = -1
+    ),
+    spans AS (
+        SELECT b.stream_id, b.d, e.end_ts - b.begin_ts AS duration
+        FROM begins b JOIN ends e USING (stream_id, d, k)
+    )
+    SELECT stream_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(d) - 1 AS INT) AS max_depth,
+           CAST(MIN(duration) AS BIGINT) AS min_duration,
+           CAST(SUM(duration) AS BIGINT) AS total_duration
+    FROM spans GROUP BY stream_id ORDER BY stream_id
+    """,
+)
 def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thread-span call-tree building exercised on driver data (rows-only:
-    the stack machine isn't SQL-expressible; exact semantics are covered
-    by tests/test_spans.py + hypothesis invariants).
+    """Thread-span call-tree building exercised on driver data.
 
-    Synthesizes a well-formed begin/end stream per user from the events
-    table: each user's rows (ordered by time) alternate begin/end with a
-    LIFO hash discipline, then operators/spans.build_thread_spans builds
-    per-user call trees and the query reports per-user span statistics."""
+    Synthesizes a well-formed NESTED begin/end stream per user from the
+    events table — each user's time-ordered rows take the period-8 marker
+    pattern B B E B E E B E (frame depths 1,2,·,2,·,·,1,·; balanced per
+    period, trailing partial periods dropped) with hash = frame depth, a
+    LIFO-consistent discipline — then operators/spans.build_thread_spans
+    runs the real call-tree stack machine and the query reports per-user
+    span statistics.
+
+    Oracle: LIFO matching of a well-formed stream IS SQL-expressible —
+    after a running ±1 depth sum, the k-th begin at depth d pairs with the
+    k-th end at depth d within a stream (the classic balanced-parentheses
+    matching identity), so DuckDB rebuilds the same spans with two window
+    passes and an equi-join; exact tree semantics (healing, hash
+    mismatches, parent links) stay covered by tests/test_spans.py +
+    hypothesis invariants."""
     from pyspark.sql import Window
 
     from micromegas_spark.operators.spans import build_thread_spans
@@ -104,18 +153,29 @@ def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         F.col("ts_us").alias("time_ns"),
         F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+    ).where(F.col("rn") <= (F.col("cnt") / 8).cast("bigint") * 8)
+    delta = F.when(((F.col("rn") - 1) % 8).isin(0, 1, 3, 6), F.lit(1)).otherwise(
+        F.lit(-1)
     )
-    # depth pattern: rows pair up as begin/end of nested frames —
-    # rn 1,2,3,4.. → begin(h=rn//2+1) for odd, end matching LIFO for even.
-    # Simplest well-formed discipline: consecutive pairs (1,2), (3,4)...
-    # are sibling spans; hash = pair index, guaranteed LIFO-consistent.
-    events = numbered.select(
+    wc = Window.partitionBy("stream_id").orderBy("rn")
+    marked = numbered.withColumn("delta", delta).withColumn(
+        "c", F.sum("delta").over(wc)
+    )
+    events = marked.select(
         "stream_id",
         "event_id",
-        F.when(F.col("rn") % 2 == 1, F.lit("begin")).otherwise(F.lit("end")).alias("event_type"),
+        F.when(F.col("delta") == 1, F.lit("begin")).otherwise(F.lit("end")).alias("event_type"),
         "time_ns",
-        ((F.col("rn") + 1) / 2).cast("bigint").alias("hash"),
-        F.concat(F.lit("span"), ((F.col("rn") + 1) / 2).cast("bigint")).alias("name"),
+        # hash = depth of the frame being opened/closed: every end matches
+        # the open top (same depth), so the stack machine never heals here
+        F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1)
+        .cast("bigint")
+        .alias("hash"),
+        F.concat(
+            F.lit("d"),
+            F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1).cast("bigint"),
+        ).alias("name"),
         F.lit("events").alias("target"),
         F.lit("synth").alias("filename"),
         F.lit(0).alias("line"),
