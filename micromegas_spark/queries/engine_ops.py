@@ -193,12 +193,77 @@ def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_kmeans", oracle=None)
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Fully-unrolled Lloyd's k-means as one DuckDB query: farthest-point
+    init (k-1 argmax sweeps) + n_iter assignment/update rounds + final
+    assignment. Valid whenever the table fits the operator's 4096-row init
+    sample (it does at the driver's correctness SF), making the whole
+    iterative algorithm differentially checkable. Tie-breaks mirror
+    numpy: argmax → ORDER BY d DESC, id; argmin → ORDER BY d, cluster."""
+    parts = [
+        "pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "px AS (SELECT id, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM pts)",
+        "c_0 AS (SELECT dim, x FROM px WHERE id = (SELECT MIN(id) FROM pts))",
+        "mind_0 AS (SELECT p.id, SUM((p.x - c.x) * (p.x - c.x)) AS d"
+        "           FROM px p JOIN c_0 c USING (dim) GROUP BY p.id)",
+    ]
+    for j in range(1, k):
+        parts += [
+            f"far_{j} AS (SELECT id FROM mind_{j-1} ORDER BY d DESC, id LIMIT 1)",
+            f"c_{j} AS (SELECT dim, x FROM px WHERE id = (SELECT id FROM far_{j}))",
+            f"nd_{j} AS (SELECT p.id, SUM((p.x - c.x) * (p.x - c.x)) AS d"
+            f"           FROM px p JOIN c_{j} c USING (dim) GROUP BY p.id)",
+            f"mind_{j} AS (SELECT a.id, LEAST(a.d, b.d) AS d"
+            f"             FROM mind_{j-1} a JOIN nd_{j} b USING (id))",
+        ]
+    init_union = " UNION ALL ".join(
+        f"SELECT {j} AS cluster, dim, x FROM c_{j}" for j in range(k)
+    )
+    parts.append(f"cent_0 AS ({init_union})")
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"dist_{i} AS (SELECT p.id, c.cluster, SUM((p.x - c.x) * (p.x - c.x)) AS d"
+            f"             FROM px p JOIN cent_{i-1} c USING (dim)"
+            f"             GROUP BY p.id, c.cluster)",
+            f"assign_{i} AS (SELECT id, cluster FROM ("
+            f"  SELECT id, cluster, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn"
+            f"  FROM dist_{i}) WHERE rn = 1)",
+            f"newc_{i} AS (SELECT a.cluster, p.dim, AVG(p.x) AS x"
+            f"             FROM assign_{i} a JOIN px p ON p.id = a.id"
+            f"             GROUP BY a.cluster, p.dim)",
+            # empty clusters keep their previous centroid (operator contract)
+            f"cent_{i} AS (SELECT o.cluster, o.dim, COALESCE(n.x, o.x) AS x"
+            f"             FROM cent_{i-1} o LEFT JOIN newc_{i} n USING (cluster, dim))",
+        ]
+    parts += [
+        f"dist_f AS (SELECT p.id, c.cluster, SUM((p.x - c.x) * (p.x - c.x)) AS d"
+        f"           FROM px p JOIN cent_{n_iter} c USING (dim)"
+        f"           GROUP BY p.id, c.cluster)",
+        "assign_f AS (SELECT id, cluster, d FROM ("
+        "  SELECT id, cluster, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn"
+        "  FROM dist_f) WHERE rn = 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,"
+        " ROUND(AVG(d), 4) AS avg_sq_dist"
+        " FROM assign_f GROUP BY cluster ORDER BY cluster"
+    )
+
+
+@query("emb_kmeans", oracle=_kmeans_oracle_sql())
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embeddings table (rows-only: iterative
-    algorithm, not SQL-expressible; objective-decrease and determinism
-    covered by tests/test_clustering.py). Reports per-cluster size and
-    mean squared distance."""
+    """Lloyd's k-means over the embeddings table — the iterative-algorithm
+    capability class (driver loop of declarative jobs,
+    operators/clustering.py). Reports per-cluster size and mean squared
+    distance.
+
+    Oracle: the run is deterministic (farthest-point init over a
+    hash-ordered sample that COVERS the table at correctness SF, numpy
+    tie-breaks mirrored by ORDER BY), so the whole algorithm — init
+    sweeps, 2 Lloyd rounds, final assignment — unrolls into one generated
+    DuckDB query (_kmeans_oracle_sql). Objective-decrease and large-input
+    determinism stay covered by tests/test_clustering.py."""
     from micromegas_spark.operators.clustering import kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -213,11 +278,34 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_media_pipeline", oracle=None)
+@query(
+    "docs_media_pipeline",
+    oracle="""
+    WITH f AS (
+        SELECT source, md5(text) AS h, strlen(text) AS nb,
+               -- feature vector = md5 digest bytes, float32 arithmetic
+               -- mirrored via ::FLOAT so the norm matches the fake decoder
+               sqrt(list_sum(list_transform(range(0, 16),
+                    i -> pow(((('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT::FLOAT
+                               - 127.5::FLOAT) / 73.9::FLOAT)::DOUBLE, 2)))) AS norm
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           ROUND(AVG(norm), 4) AS avg_feature_norm,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
 def docs_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing exercised on driver data (rows-only: the decode
-    backend is a deterministic fake — no image libs in the environment;
-    schema/batching semantics covered by tests/test_streaming_multimodal).
+    """Multimodal plumbing exercised on driver data. The decode backend is
+    a deterministic fake (no image libs in the environment; real-decoder
+    swap changes no plan shape) — and BECAUSE it is deterministic
+    (md5-derived dims/features), the whole pipeline is differentially
+    checkable: the DuckDB oracle recomputes the digest features with
+    float32 arithmetic mirrored via ::FLOAT casts.
+    Schema/batching semantics covered by tests/test_streaming_multimodal.
 
     Treats each document's utf-8 bytes as an opaque media payload:
     mapInPandas decode (dims + content hash) then feature extraction into
