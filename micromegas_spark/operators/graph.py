@@ -39,9 +39,19 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``; component
     is the smallest node id in the connected cluster. Undirected: edges
     are symmetrized internally."""
+    # symmetrize via explode, not union-of-two-projections: a union would
+    # execute the (possibly expensive) edge lineage once per branch when
+    # the persist materializes — explode reads it once and fans out 1→2
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # init = the first propagation round for free: one aggregation (no
