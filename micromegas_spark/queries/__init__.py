@@ -9,7 +9,14 @@ every query follows the determinism conventions in ``queries.conventions``.
 from micromegas_spark.queries.registry import REGISTRY, QueryDef, query
 
 # import for registration side effects
-from micromegas_spark.queries import core, engine_ops, llm, sql_surface, tpch_extra  # noqa: E402,F401
+from micromegas_spark.queries import (  # noqa: E402,F401
+    core,
+    engine_ops,
+    llm,
+    sql_surface,
+    tpch_extra,
+    tpch_full,
+)
 
 __all__ = ["REGISTRY", "QueryDef", "query"]
 
