@@ -45,10 +45,23 @@ TEST_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts", "")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) parquet + nanosAsLong → epoch-ns BIGINT
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif dt.startswith("timestamp"):
+            # µs TIMESTAMP parquet: reconstruct the ns-native surface.
+            # Session tz is UTC (session.RUNTIME_CONFS) so the ntz→ltz cast
+            # matches DuckDB's naive-as-UTC epoch_us() reading.
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            df = (
+                df.withColumn("event_time", F.col("ts").cast("timestamp"))
+                .withColumn("ts_us", us)
+                .withColumn("ts", (us * F.lit(1000)).cast("bigint"))
+            )
     return df
 
 
