@@ -92,6 +92,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.trim(text))))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition metrics need multiplicities —
+    ``word_shingles`` deduplicates, which would hide exactly the signal the
+    Gopher-style repetition filters measure). Docs with fewer than n tokens
+    fall back to the whole trimmed text as their single gram."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.trim(text)))
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     toks = tokens(text)
     sw = stopwords or STOPWORDS
@@ -147,6 +161,68 @@ def lang_id(text: Column) -> Column:
         rest_max = rest[0] if len(rest) == 1 else F.greatest(*rest)
         expr = F.when(scores[langs[i]] >= rest_max, F.lit(langs[i])).otherwise(expr)
     return expr
+
+
+def repetition_features(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1 use the same
+    family of filters): per document,
+
+    - ``top_token_share``   — occurrences of the most frequent token / all
+      tokens (a doc that is one word repeated scores 1.0);
+    - ``top_bigram_share``  — same for word bigrams;
+    - ``dup_trigram_frac``  — fraction of word trigram *occurrences* that
+      are repeats of an earlier trigram, ``(n - n_distinct) / n``.
+
+    Shape at scale: ONE explode over a (n, gram) struct array and one
+    partial-aggregated shuffle keyed on (doc, n, gram) — Spark's map-side
+    combine collapses each document's gram multiset before the exchange, so
+    shuffle volume is bounded by distinct grams, not text length. The
+    per-n rollup and the 3-way pivot are tiny follow-on aggs on the same
+    key prefix."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    col = F.col(text_col)
+
+    def _tag(n: int):
+        # NB: must be a 1-arg lambda — a `lambda g, n=n:` would be treated
+        # by F.transform as an (element, index) callback and n would
+        # silently become the array index
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    grams = F.flatten(F.array(*[F.transform(word_ngrams(col, n), _tag(n)) for n in (1, 2, 3)]))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("t")).select(
+        id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    per_n = (
+        exploded.groupBy(id_col, "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "n")
+        .agg(
+            F.max("c").alias("max_c"),
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    wide = (
+        per_n.groupBy(id_col)
+        .pivot("n", [1, 2, 3])
+        .agg(
+            F.first("max_c").alias("max_c"),
+            F.first("n_grams").alias("n_grams"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return wide.select(
+        id_col,
+        (d("1_max_c") / d("1_n_grams")).alias("top_token_share"),
+        (d("2_max_c") / d("2_n_grams")).alias("top_bigram_share"),
+        ((d("3_n_grams") - d("3_n_distinct")) / d("3_n_grams")).alias(
+            "dup_trigram_frac"
+        ),
+    )
 
 
 def tf_idf_top_terms(

@@ -772,3 +772,129 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     d = load_table(spark, sf_dir, "documents")
     return text.sequence_packing(d, budget=512).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / PII / contamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, trim(text) AS txt, {_TOKS} AS toks FROM documents),
+    gr AS (
+        SELECT doc_id, 1 AS n, unnest(toks) AS g FROM t
+        UNION ALL
+        SELECT doc_id, 2, unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            ELSE [txt] END) FROM t
+        UNION ALL
+        SELECT doc_id, 3, unnest(CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [txt] END) FROM t
+    ),
+    c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3),
+    p AS (SELECT doc_id, n, MAX(c) AS mc, SUM(c) AS ng, COUNT(*) AS nd
+          FROM c GROUP BY 1, 2)
+    SELECT doc_id,
+           MAX(CASE WHEN n = 1 THEN mc::DOUBLE / ng END) AS top_token_share,
+           MAX(CASE WHEN n = 2 THEN mc::DOUBLE / ng END) AS top_bigram_share,
+           MAX(CASE WHEN n = 3 THEN (ng - nd)::DOUBLE / ng END) AS dup_trigram_frac
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.repetition_features):
+    top-token share, top-bigram share, duplicate-trigram fraction per
+    document. One explode + one map-side-combined shuffle keyed on
+    (doc, n, gram); shuffle volume bounded by distinct grams."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_features(d).orderBy("doc_id")
+
+
+@query(
+    "docs_pii_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text,
+                '\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-.][0-9]{4}\\b'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(text,
+                '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))) AS BIGINT) AS n_ipv4,
+           CAST(SUM(len(regexp_extract_all(text,
+                '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))) AS BIGINT) AS n_ssn,
+           CAST(SUM(CASE WHEN
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-.][0-9]{4}\\b'))
+              + len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+              + len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) > 0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan rollup per source (operators/pii.py): regex match counts
+    for email/phone/IPv4/SSN patterns, RE2-safe so Spark and DuckDB agree.
+    The synthetic corpus is clean (all zeros) — the operator's detection
+    and redaction behavior is unit-tested on seeded PII in
+    tests/test_text_pipeline.py; this entry proves the scan plumbing at
+    scan speed (codegen regex, no shuffle beyond the rollup)."""
+    from functools import reduce
+
+    from micromegas_spark.operators import pii
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = pii.pii_counts(F.col("text"))
+    total = reduce(lambda a, b: a + b, counts.values())
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(counts["email"]).alias("n_emails"),
+            F.sum(counts["phone"]).alias("n_phones"),
+            F.sum(counts["ipv4"]).alias("n_ipv4"),
+            F.sum(counts["ssn"]).alias("n_ssn"),
+            F.sum(F.when(total > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_with_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, trim(text) AS txt, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+               ELSE [txt] END AS gs
+        FROM t
+    ),
+    cg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE source <> 'src0'),
+    bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g FROM sh WHERE source = 'src0'),
+    j AS (SELECT cg.doc_id, cg.g, bg.bench_id FROM cg JOIN bg USING (g))
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (operators/contamination.py):
+    treating source='src0' as the held-out benchmark, flag every other
+    document sharing a distinct word 5-gram with it. Benchmark n-grams
+    broadcast (eval sets are MBs); the corpus side streams through a
+    map-side hash join with no shuffle of corpus text."""
+    from micromegas_spark.operators.contamination import ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    return ngram_overlap(corpus, bench, n=5).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""Unit tests for the training-data hygiene operators: repetition
+metrics, PII detection/redaction, benchmark-contamination overlap.
+
+The synthetic documents table is PII-free, so the driver-contract
+`docs_pii_scan` query only proves plumbing; the detection semantics are
+pinned here on seeded rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from micromegas_spark.operators import pii
+from micromegas_spark.operators.contamination import ngram_overlap
+from micromegas_spark.operators.text import repetition_features, word_ngrams
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_ngrams_counts_and_fallback(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a")])
+    out = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 2).alias("g")).collect()
+    }
+    assert out[1] == ["a b", "b c", "c d"]  # non-distinct, order preserved
+    assert out[2] == ["a"]  # short-doc fallback: whole trimmed text
+
+
+def test_repetition_features_extremes(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "x x x x x x"),  # one token repeated: every share is 1.0
+            (2, "a b c d e f"),  # all distinct: no repetition at all
+            (3, "a b a b a b"),  # alternating: top bigram 'a b' dominates
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].top_token_share == 1.0
+    assert got[1].top_bigram_share == 1.0
+    assert got[1].dup_trigram_frac == pytest.approx(3 / 4)
+    assert got[2].top_token_share == pytest.approx(1 / 6)
+    assert got[2].dup_trigram_frac == 0.0
+    # doc 3: tokens a×3 b×3 → top token 3/6; bigrams: 'a b'×3, 'b a'×2 → 3/5
+    assert got[3].top_token_share == pytest.approx(3 / 6)
+    assert got[3].top_bigram_share == pytest.approx(3 / 5)
+
+
+def test_pii_counts_and_redact(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.0.1 leaked ssn 123-45-6789"),
+            (3, "clean text with no identifiers at all"),
+        ],
+    )
+    c = pii.pii_counts(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            c["email"].alias("email"),
+            c["phone"].alias("phone"),
+            c["ipv4"].alias("ipv4"),
+            c["ssn"].alias("ssn"),
+            pii.has_pii(F.col("text")).alias("hit"),
+            pii.redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1].email, got[1].phone) == (1, 1) and got[1].hit
+    assert (got[2].ipv4, got[2].ssn) == (1, 1) and got[2].hit
+    assert not got[3].hit
+    assert got[3].red == "clean text with no identifiers at all"  # unchanged
+    assert "[EMAIL]" in got[1].red and "[PHONE]" in got[1].red
+    assert "[IPV4]" in got[2].red and "[SSN]" in got[2].red
+    assert "jane" not in got[1].red and "6789" not in got[2].red
+
+
+def test_redact_ssn_wins_over_phone(spark):
+    # an SSN is also three digit groups; the typed placeholder must be SSN
+    df = _docs(spark, [(1, "ssn 123-45-6789 end")])
+    red = df.select(pii.redact(F.col("text")).alias("r")).collect()[0].r
+    assert red == "ssn [SSN] end"
+
+
+def test_ngram_overlap_basic(spark):
+    corpus = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated text with different words entirely"),
+        ],
+    )
+    bench = _docs(spark, [(1, "a quick brown fox jumps over a fence")])
+    got = {r.doc_id: r for r in ngram_overlap(corpus, bench, n=5).collect()}
+    # shared 5-gram: 'quick brown fox jumps over' — exactly one
+    assert set(got) == {10}
+    assert got[10].n_shared_grams == 1 and got[10].n_bench_docs == 1
+
+
+def test_ngram_overlap_shuffle_fallback_matches(spark):
+    corpus = _docs(spark, [(1, "one two three four five six"), (2, "x y z")])
+    bench = _docs(spark, [(9, "zero one two three four five")])
+    a = sorted(ngram_overlap(corpus, bench, n=5, broadcast_bench=True).collect())
+    b = sorted(ngram_overlap(corpus, bench, n=5, broadcast_bench=False).collect())
+    assert a == b and len(a) == 1
