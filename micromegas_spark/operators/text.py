@@ -75,6 +75,28 @@ def shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def _let(val: Column, body) -> Column:
+    """Bind ``val`` once and pass the bound value to ``body``.
+
+    Spark SQL has no let-expression, and a lambda body that indexes into an
+    outer array EXPRESSION (``try_element_at(split(...), i)``) re-evaluates
+    that expression for every element access — an O(tokens) split per gram
+    access turned n-gram construction quadratic (measured 4x on the bench
+    corpus). A single-element array + ``transform`` evaluates ``val`` once
+    and the lambda variable is a bound VALUE."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def _ngram_array(text: Column, toks: Column, n: int) -> Column:
+    """Word n-grams (with multiplicity) from a BOUND token-array value."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.trim(text)))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams — the preferred MinHash/Jaccard input set.
 
@@ -83,13 +105,9 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     false candidates; word n-grams key on n-token *sequences*, so unrelated
     docs sit near Jaccard 0 and true near-dups stay ≥0.8. Docs with fewer
     than n tokens use the whole trimmed text as their single shingle."""
-    toks = tokens(text)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    return F.array_distinct(
+        _let(tokens(text), lambda tk: _ngram_array(text, tk, n))
     )
-    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.trim(text))))
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -97,13 +115,7 @@ def word_ngrams(text: Column, n: int) -> Column:
     ``word_shingles`` deduplicates, which would hide exactly the signal the
     Gopher-style repetition filters measure). Docs with fewer than n tokens
     fall back to the whole trimmed text as their single gram."""
-    toks = tokens(text)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(k >= n, grams).otherwise(F.array(F.trim(text)))
+    return _let(tokens(text), lambda tk: _ngram_array(text, tk, n))
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
@@ -181,8 +193,9 @@ def repetition_features(
     shuffle volume is bounded by distinct grams, not text length. The
     per-n rollup and the 3-way pivot are tiny follow-on aggs on the same
     key prefix."""
-    from pyspark.sql import DataFrame as _DF  # noqa: F401
+    from micromegas_spark.operators.dedup import _spread
 
+    df = _spread(df)
     col = F.col(text_col)
 
     def _tag(n: int):
@@ -195,33 +208,31 @@ def repetition_features(
     exploded = df.select(F.col(id_col), F.explode(grams).alias("t")).select(
         id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g")
     )
-    per_n = (
+
+    def _if(n: int, col: Column) -> Column:
+        return F.when(F.col("n") == n, col)
+
+    # two exchanges total: (doc, n, gram) counting, then one conditional
+    # rollup straight to the per-doc row (no per-(doc,n) stage, no pivot)
+    wide = (
         exploded.groupBy(id_col, "n", "g")
         .agg(F.count("*").alias("c"))
-        .groupBy(id_col, "n")
+        .groupBy(id_col)
         .agg(
-            F.max("c").alias("max_c"),
-            F.sum("c").alias("n_grams"),
-            F.count("*").alias("n_distinct"),
-        )
-    )
-    wide = (
-        per_n.groupBy(id_col)
-        .pivot("n", [1, 2, 3])
-        .agg(
-            F.first("max_c").alias("max_c"),
-            F.first("n_grams").alias("n_grams"),
-            F.first("n_distinct").alias("n_distinct"),
+            F.max(_if(1, F.col("c"))).alias("max1"),
+            F.sum(_if(1, F.col("c"))).alias("ng1"),
+            F.max(_if(2, F.col("c"))).alias("max2"),
+            F.sum(_if(2, F.col("c"))).alias("ng2"),
+            F.sum(_if(3, F.col("c"))).alias("ng3"),
+            F.count(_if(3, F.lit(1))).alias("nd3"),
         )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return wide.select(
         id_col,
-        (d("1_max_c") / d("1_n_grams")).alias("top_token_share"),
-        (d("2_max_c") / d("2_n_grams")).alias("top_bigram_share"),
-        ((d("3_n_grams") - d("3_n_distinct")) / d("3_n_grams")).alias(
-            "dup_trigram_frac"
-        ),
+        (d("max1") / d("ng1")).alias("top_token_share"),
+        (d("max2") / d("ng2")).alias("top_bigram_share"),
+        ((d("ng3") - d("nd3")) / d("ng3")).alias("dup_trigram_frac"),
     )
 
 

@@ -100,6 +100,13 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
         # the source has thousands of natural splits).
         .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # local-bench profile: AQE's 64MB advisory target coalesces every
+        # sub-64MB shuffle to ONE task, serializing window/agg stages at
+        # bench scale (100k-row shuffles are ~5MB). 1MB advisory keeps
+        # tens of tasks alive; a cluster profile keeps the default — at
+        # 100 TB every shuffle saturates the advisory size anyway.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(1024 * 1024))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
