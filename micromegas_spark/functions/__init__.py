@@ -14,7 +14,15 @@ from pyspark.sql import SparkSession
 
 
 def register_all(spark: SparkSession) -> None:
-    from micromegas_spark.functions import color, datetime_fns, histogram, jsonb, math_fns, properties
+    from micromegas_spark.functions import (
+        color,
+        datetime_fns,
+        histogram,
+        jsonb,
+        math_fns,
+        properties,
+        udtfs,
+    )
 
-    for mod in (math_fns, color, datetime_fns, properties, jsonb, histogram):
+    for mod in (math_fns, color, datetime_fns, properties, jsonb, histogram, udtfs):
         mod.register(spark)

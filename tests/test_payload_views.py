@@ -213,3 +213,36 @@ def test_admin_retire_and_regenerate(spark, tmp_path):
     stats = lake.regenerate_partitions(LOG_STATS, lo, hi, HOUR)
     assert stats.get("created", 0) == n  # freshness bypassed: all rebuilt
     assert len(lake.list_partitions("log_stats")) == n
+
+
+def test_sql_udtf_spellings(spark, payload_world):
+    """The SQL table-function spellings (functions/udtfs.py) must agree with
+    the DataFrame analogues they share decode code with."""
+    from micromegas_spark.functions import register_all
+
+    register_all(spark)
+    _, payloads, _ = payload_world
+    payloads.createOrReplaceTempView("block_payloads_sql")
+
+    sql_rows = spark.sql(
+        """
+        SELECT p.block_id, p.object_index, p.type_name, p.value
+        FROM block_payloads_sql, LATERAL parse_block(block_id, payload) p
+        """
+    ).collect()
+    df_rows = PL.parse_block(payloads).collect()
+    key = lambda r: (r.block_id, r.object_index)  # noqa: E731
+    assert sorted([tuple(r) for r in sql_rows], key=str) == sorted(
+        [tuple(r) for r in df_rows], key=str
+    )
+
+    each = spark.sql("""SELECT * FROM jsonb_each('{"a": 1, "b": [2, 3]}')""").collect()
+    assert {(r.key, r.value) for r in each} == {("a", "1"), ("b", "[2,3]")}
+    # arrays enumerate with index keys (jsonb/each.rs)
+    each_arr = spark.sql("""SELECT * FROM jsonb_each('[10, "x"]')""").collect()
+    assert [(r.key, r.value) for r in each_arr] == [("0", "10"), ("1", '"x"')]
+
+    elems = spark.sql("""SELECT * FROM jsonb_array_elements('[1, {"k": 2}]')""").collect()
+    assert [r.value for r in elems] == ["1", '{"k":2}']
+    # non-array input yields no rows
+    assert spark.sql("""SELECT * FROM jsonb_array_elements('{"a":1}')""").count() == 0
