@@ -898,3 +898,70 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("source") == "src0")
     corpus = d.where(F.col("source") != "src0")
     return ngram_overlap(corpus, bench, n=5).orderBy("doc_id")
+
+
+_EMB_PAIRS_SQL = """
+    b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[41] >= 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[49] >= 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    z AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 unnest(x.embedding)::DOUBLE AS xe, unnest(y.embedding)::DOUBLE AS ye
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    s AS (SELECT id_a, id_b, SUM(xe*ye) AS dot, SUM(xe*xe) AS na, SUM(ye*ye) AS nb
+          FROM z GROUP BY id_a, id_b),
+    pairs AS (
+        SELECT id_a, id_b FROM s
+        WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+    )
+"""
+
+
+@query(
+    "emb_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_EMB_PAIRS_SQL},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc ORDER BY vec_id
+    """,
+)
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS resolved into CLUSTERS — the same
+    operators/graph.connected_components min-label propagation used for
+    document dedup, fed by the sign-LSH cosine pair search. cluster_id =
+    min vec id (the keep-one survivor); the oracle recomputes the
+    transitive closure with a recursive CTE over the identical pair
+    definition."""
+    from micromegas_spark.operators.graph import dedup_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(
+        e, threshold=0.3, dims=[1, 9, 17, 25, 33, 41, 49, 57]
+    ).select("id_a", "id_b")
+    return (
+        dedup_clusters(pairs)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
