@@ -80,3 +80,34 @@ def test_events_scan_prunes_props(spark):
     (ev,) = _scan_lines(plan, "events.parquet")
     m = re.search(r"ReadSchema: [^,]*struct<([^>]*)>", ev)
     assert m and "props" not in m.group(1)
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "docs_contamination")
+    # the exploded benchmark n-gram table must broadcast — the corpus side
+    # streams through a map-side hash join with no shuffle of corpus text
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_two_exchange_rollup(spark):
+    plan = _plan(spark, "docs_repetition")
+    # one (doc,n,gram) counting exchange + one per-doc rollup exchange +
+    # the final orderBy's range partitioning — nothing else. The gram
+    # counting must be partially aggregated map-side before its exchange.
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # the _spread round-robin repartition of the tiny scan is not a
+    # hash exchange; allow exactly the two aggregation exchanges
+    assert len(hash_ex) == 2, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_thread_spans_single_stream_shuffle(spark):
+    plan = _plan(spark, "events_thread_spans")
+    # the Python stage consumes the stream_id hash partitioning directly:
+    # no extra exchange between the window stage and MapInPandas
+    assert "MapInPandas" in plan, plan
+    # stream_id appears as a hash partition key upstream of the Python stage
+    assert re.search(r"hashpartitioning\(stream_id", plan), plan
