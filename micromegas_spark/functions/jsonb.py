@@ -87,18 +87,23 @@ def jsonb_each(df, json_col: str, extra_cols: list[str] | None = None):
     # single scan: per row, the key list is either the object's keys or the
     # array's index strings; explode drops nulls/empties. (A union of an
     # object branch and an array branch would scan the table twice.)
-    alen = F.json_array_length(j)
+    # Project the object-keys parse ONCE — reusing the expression for both
+    # the key list and the is-object test would parse the JSON twice per row
+    projected = df.select(
+        *(extra_cols or []),
+        j.alias("_j"),
+        F.json_object_keys(j).alias("_okeys"),
+    )
+    alen = F.json_array_length(F.col("_j"))
     arr_keys = F.when(
         alen > 0,
         F.transform(F.sequence(F.lit(0), alen - 1), lambda i: i.cast("string")),
     ).otherwise(F.array().cast("array<string>"))
-    keys = F.coalesce(F.json_object_keys(j), arr_keys)
-    is_obj = F.json_object_keys(j).isNotNull()
-    exploded = df.select(
+    exploded = projected.select(
         *(extra_cols or []),
-        j.alias("_j"),
-        is_obj.alias("_isobj"),
-        F.explode(keys).alias("key"),
+        "_j",
+        F.col("_okeys").isNotNull().alias("_isobj"),
+        F.explode(F.coalesce(F.col("_okeys"), arr_keys)).alias("key"),
     )
     # bracket-quoted member paths: a key like "a.b" must address the
     # literal member, not a nested path (keys containing a single quote

@@ -76,10 +76,13 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsonb/each.rs:273, functions-reference.md:598-641). Explode-based, no
     Python (functions/jsonb.jsonb_each)."""
     from micromegas_spark.functions.jsonb import jsonb_each
+    from micromegas_spark.operators.dedup import _spread
 
     # no ORDER BY: the driver's comparison is order-insensitive and a
-    # global sort of the exploded rows would dominate the query
-    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    # global sort of the exploded rows would dominate the query.
+    # _spread: the JSON parse is CPU-bound and the scan has few splits at
+    # bench scale (no-op when the source already has enough partitions)
+    ev = _spread(load_table(spark, sf_dir, "events").select("event_id", "props"))
     return jsonb_each(ev, "props", ["event_id"])
 
 
