@@ -24,6 +24,18 @@ from pyspark.sql import SparkSession
 from micromegas_spark.sources.payload import decode_block
 
 
+def _fmt(v):
+    """get_json_object value semantics, so the SQL spelling agrees with
+    the DataFrame spelling (functions/jsonb.jsonb_each) and the
+    events_jsonb_each oracle: strings unquoted, JSON null → SQL NULL,
+    everything else rendered as JSON text."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"))
+
+
 def register(spark: SparkSession) -> None:
     """Register parse_block / jsonb_each / jsonb_array_elements for SQL:
 
@@ -62,10 +74,10 @@ def register(spark: SparkSession) -> None:
                 return
             if isinstance(doc, dict):
                 for k, v in doc.items():
-                    yield (k, json.dumps(v, separators=(",", ":")))
+                    yield (k, _fmt(v))
             elif isinstance(doc, list):
                 for i, v in enumerate(doc):
-                    yield (str(i), json.dumps(v, separators=(",", ":")))
+                    yield (str(i), _fmt(v))
 
     @udtf(returnType="value string")
     class JsonbArrayElementsUDTF:
@@ -79,7 +91,7 @@ def register(spark: SparkSession) -> None:
                 return
             if isinstance(doc, list):
                 for v in doc:
-                    yield (json.dumps(v, separators=(",", ":")),)
+                    yield (_fmt(v),)
 
     spark.udtf.register("parse_block", ParseBlockUDTF)
     spark.udtf.register("jsonb_each", JsonbEachUDTF)

@@ -40,10 +40,10 @@ def ngram_overlap(
     ``word_shingles`` (distinct word n-grams, whole-text fallback for short
     docs) keeps both sides' gram sets identical to the dedup operators', so
     one definition serves dedup and decontamination."""
-    from micromegas_spark.operators.dedup import _spread
+    from micromegas_spark.operators.util import spread
 
     bid = bench_id_col or id_col
-    c_grams = _spread(corpus).select(
+    c_grams = spread(corpus).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
     b_grams = benchmark.select(

@@ -32,18 +32,7 @@ from micromegas_spark.operators.text import (
 )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition expression-heavy pipelines to full cluster parallelism.
-
-    Small dimension-like inputs often arrive as 1-2 parquet splits (file
-    size < maxPartitionBytes); the md5/shingle stages are CPU-bound, so a
-    single input split would serialize them on one core. At 100 TB the
-    source has thousands of splits and this becomes a cheap no-op-ish
-    round-robin; at test scale it is the difference between 1 and 32 cores."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from micromegas_spark.operators.util import spread as _spread  # noqa: E402
 
 
 def hashed_shingles(text: Column, n: int = 3) -> Column:

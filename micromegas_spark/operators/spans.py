@@ -173,7 +173,11 @@ def build_thread_spans(
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         frames = []
-        for stream_id, g in pdf.groupby("stream_id", sort=False):
+        # dropna=False: a NULL stream_id is still a group (the previous
+        # Spark groupBy kept it; pandas groupby drops it by default)
+        for stream_id, g in pdf.groupby("stream_id", sort=False, dropna=False):
+            if pd.isna(stream_id):
+                stream_id = None
             g = g.sort_values(["time_ns", "event_id"], kind="mergesort")
             # zip of column lists beats DataFrame.to_dict('records') ~4x on
             # million-row streams (the pandas per-row Series tax)

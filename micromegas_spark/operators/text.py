@@ -193,9 +193,9 @@ def repetition_features(
     shuffle volume is bounded by distinct grams, not text length. The
     per-n rollup and the 3-way pivot are tiny follow-on aggs on the same
     key prefix."""
-    from micromegas_spark.operators.dedup import _spread
+    from micromegas_spark.operators.util import spread
 
-    df = _spread(df)
+    df = spread(df)
     col = F.col(text_col)
 
     def _tag(n: int):
@@ -204,7 +204,16 @@ def repetition_features(
         # silently become the array index
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
 
-    grams = F.flatten(F.array(*[F.transform(word_ngrams(col, n), _tag(n)) for n in (1, 2, 3)]))
+    # one outer _let: the token split happens ONCE per row and feeds all
+    # three gram sizes (three word_ngrams calls would split three times)
+    grams = _let(
+        tokens(col),
+        lambda tk: F.flatten(
+            F.array(
+                *[F.transform(_ngram_array(col, tk, n), _tag(n)) for n in (1, 2, 3)]
+            )
+        ),
+    )
     exploded = df.select(F.col(id_col), F.explode(grams).alias("t")).select(
         id_col, F.col("t.n").alias("n"), F.col("t.g").alias("g")
     )

@@ -76,7 +76,7 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsonb/each.rs:273, functions-reference.md:598-641). Explode-based, no
     Python (functions/jsonb.jsonb_each)."""
     from micromegas_spark.functions.jsonb import jsonb_each
-    from micromegas_spark.operators.dedup import _spread
+    from micromegas_spark.operators.util import spread as _spread
 
     # no ORDER BY: the driver's comparison is order-insensitive and a
     # global sort of the exploded rows would dominate the query.

@@ -42,20 +42,27 @@ TEST_TABLES = [
 ]
 
 
-# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an immutable
-# logical plan and the test tables are read-only, so reuse is safe; the
-# win is the ~100ms of py4j + file-listing + schema-read that
-# spark.read.parquet pays per call — measurable across an 84-query bench.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, path, (mtime, size)) → DataFrame. A DataFrame is an
+# immutable logical plan, and the file stamp in the key means an in-place
+# rewrite of the parquet gets a fresh read; the win is the ~100ms of py4j
+# + file-listing + schema-read that spark.read.parquet pays per call —
+# measurable across an 84-query bench.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # directory-style parquet or remote path: no staleness key
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), stamp)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         dt = dict(df.dtypes).get("ts", "")
         if dt == "bigint":

@@ -238,9 +238,13 @@ def test_sql_udtf_spellings(spark, payload_world):
 
     each = spark.sql("""SELECT * FROM jsonb_each('{"a": 1, "b": [2, 3]}')""").collect()
     assert {(r.key, r.value) for r in each} == {("a", "1"), ("b", "[2,3]")}
-    # arrays enumerate with index keys (jsonb/each.rs)
+    # arrays enumerate with index keys; string values come back UNQUOTED
+    # (get_json_object semantics — same as the DataFrame spelling)
     each_arr = spark.sql("""SELECT * FROM jsonb_each('[10, "x"]')""").collect()
-    assert [(r.key, r.value) for r in each_arr] == [("0", "10"), ("1", '"x"')]
+    assert [(r.key, r.value) for r in each_arr] == [("0", "10"), ("1", "x")]
+    # JSON null member → SQL NULL, matching functions/jsonb.jsonb_each
+    nulls = spark.sql("""SELECT * FROM jsonb_each('{"a": null}')""").collect()
+    assert [(r.key, r.value) for r in nulls] == [("a", None)]
 
     elems = spark.sql("""SELECT * FROM jsonb_array_elements('[1, {"k": 2}]')""").collect()
     assert [r.value for r in elems] == ["1", '{"k":2}']

@@ -344,3 +344,33 @@ def test_trace_chunks_rejects_non_numeric_order_col(spark):
     assert [c.chunk_id for c in out] == [0, 1, 2]
     decoded = [rec for c in out for rec in decode_block(bytes(c.chunk_data))]
     assert [r["skey"] for r in decoded] == sorted(r["skey"] for r in decoded)
+
+
+def test_thread_spans_null_stream_id_kept(spark):
+    """A NULL stream_id is still a group: the mapInPandas in-worker groupby
+    must not silently drop its rows (pandas groupby defaults to
+    dropna=True — regression guard)."""
+    events = [dict(ev(0, "begin", 10, 11, "fn11"), stream_id=None),
+              dict(ev(1, "end", 20, 11, "fn11"), stream_id=None)]
+    events += [dict(e, stream_id="s1") for e in
+               [ev(2, "begin", 10, 22, "fn22"), ev(3, "end", 30, 22, "fn22")]]
+    from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("time_ns", LongType()),
+        StructField("hash", LongType()),
+        StructField("name", StringType()),
+        StructField("target", StringType()),
+        StructField("filename", StringType()),
+        StructField("line", LongType()),
+        StructField("stream_id", StringType()),
+    ])
+    rows = [tuple(e.get(f.name) for f in schema.fields) for e in events]
+    df = spark.createDataFrame(rows, schema)
+    spans = build_thread_spans(df, 0, 10**6).collect()
+    by_stream = {}
+    for r in spans:
+        by_stream.setdefault(r.stream_id, []).append(r)
+    assert set(by_stream) == {None, "s1"}
+    assert by_stream[None][0].duration == 10
