@@ -131,3 +131,161 @@ def stream_sessionize(
             *(["n_events"] + (["total_value"] if value_col is not None else [])),
         )
     )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs, band_keys) for a document batch: ``sigs`` = one row per doc
+    (id, sh) with the int-hashed shingle set; ``band_keys`` = one row per
+    (doc, band) with the LSH composite key. Same definitions as
+    operators/dedup.minhash_lsh_candidates (shared code), so streaming and
+    batch discovery agree exactly."""
+    from micromegas_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signature_from_hashes,
+    )
+
+    rows = n_hashes // bands
+    sigs = _shingle_sets(df, text_col, id_col, shingle_n)
+    sig = sigs.select(
+        F.col(id_col),
+        "sh",
+        F.explode(
+            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
+        ).alias("mhs"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_keys = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    return sigs, band_keys
+
+
+def stream_minhash_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> StreamingQuery:
+    """Incremental MinHash near-duplicate detection over a document
+    landing zone — the streaming counterpart of
+    operators/dedup.minhash_near_duplicates and the shape a production
+    ingest pipeline actually needs: each arriving micro-batch is checked
+    against EVERYTHING ingested so far without recomputing old signatures.
+
+    Per micro-batch (foreachBatch, exactly-once via checkpoint):
+
+    1. compute the batch's shingle sets + banded signatures (shared code
+       with the batch operator);
+    2. LSH-join batch band keys against the accumulated store's band keys
+       (old signatures are never recomputed) AND against the batch itself;
+    3. verify candidates with exact Jaccard ≥ threshold, append surviving
+       (id_a, id_b, jaccard) rows to ``pairs_dir``;
+    4. append the batch's signatures/band keys to ``store_dir``.
+
+    Each true pair is discovered exactly once — in the batch where its
+    later member arrives — so ``pairs_dir`` needs no dedup-on-read.
+
+    Scale shape: the store is read via a plain parquet scan joined on the
+    band key (shuffle on bkey, prunable to changed bands with a bucketed
+    store layout); state lives in the object store, not executor memory,
+    so the horizon is unbounded — the property watermark-based streaming
+    dedup cannot give (dropDuplicates state grows per key; here Spark
+    holds no state at all between batches)."""
+    import os
+
+    from micromegas_spark.operators.dedup import jaccard
+
+    sig_dir = os.path.join(store_dir, "sigs")
+    band_dir = os.path.join(store_dir, "bands")
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        sigs, band_keys = _banded_signatures(
+            batch_df, text_col, id_col, n_hashes, bands, shingle_n
+        )
+        sigs = sigs.persist()
+        band_keys = band_keys.persist()
+        try:
+            new_b = band_keys.select(
+                F.col(id_col).alias("_nid"), "band", "bkey"
+            )
+            # batch × store candidates (new doc vs any older doc)
+            cands = None
+            if os.path.isdir(band_dir):
+                old_b = spark.read.parquet(band_dir).select(
+                    F.col(id_col).alias("_oid"), "band", "bkey"
+                )
+                cands = (
+                    new_b.join(old_b, ["band", "bkey"])
+                    .select(
+                        F.least("_nid", "_oid").alias("id_a"),
+                        F.greatest("_nid", "_oid").alias("id_b"),
+                    )
+                    .where(F.col("id_a") != F.col("id_b"))
+                )
+            # batch × batch candidates
+            other = band_keys.select(
+                F.col(id_col).alias("_mid"), "band", "bkey"
+            )
+            intra = (
+                new_b.join(other, ["band", "bkey"])
+                .where(F.col("_nid") < F.col("_mid"))
+                .select(F.col("_nid").alias("id_a"), F.col("_mid").alias("id_b"))
+            )
+            cands = intra if cands is None else cands.unionByName(intra)
+            cands = cands.distinct()
+
+            all_sigs = sigs
+            if os.path.isdir(sig_dir):
+                all_sigs = all_sigs.unionByName(spark.read.parquet(sig_dir))
+            a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sha"))
+            b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_shb"))
+            verified = (
+                cands.join(a, "id_a")
+                .join(b, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
+                )
+                .where(F.col("jaccard") >= threshold)
+            )
+            verified.write.mode("append").parquet(pairs_dir)
+            sigs.write.mode("append").parquet(sig_dir)
+            band_keys.write.mode("append").parquet(band_dir)
+        finally:
+            sigs.unpersist()
+            band_keys.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

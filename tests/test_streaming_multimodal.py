@@ -158,3 +158,52 @@ def test_resize_images_scale(spark, media):
         assert max(r.new_width, r.new_height) <= 100
         if max(r.width, r.height) <= 100:
             assert (r.new_width, r.new_height) == (r.width, r.height)
+
+
+DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def test_stream_minhash_neardup_matches_batch(spark, tmp_path):
+    """Incremental LSH near-dup over two micro-batches must find exactly
+    the pairs the batch operator finds on the full corpus — including
+    cross-batch pairs (a doc arriving in batch 2 duplicating a batch-1
+    doc), each discovered exactly once."""
+    from micromegas_spark.operators.dedup import minhash_near_duplicates
+    from micromegas_spark.streaming.incremental import stream_minhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = [
+        (0, base),
+        (1, base + " tonight"),                      # near-dup of 0
+        (2, "completely different words in this document about spark engines"),
+        (3, "another unrelated piece of text mentioning benchmarks and joins"),
+        # batch 2:
+        (4, base),                                   # exact dup of 0, near 1
+        (5, "more unrelated filler text that matches nothing else at all ok"),
+    ]
+    src = str(tmp_path / "docs_landing")
+    store = str(tmp_path / "mh_store")
+    pairs = str(tmp_path / "mh_pairs")
+    ckpt = str(tmp_path / "mh_ckpt")
+
+    spark.createDataFrame(docs[:4], DOC_SCHEMA).write.mode("append").parquet(src)
+    q = stream_minhash_neardup(spark, src, DOC_SCHEMA, store, pairs, ckpt, threshold=0.5)
+    q.awaitTermination()
+    spark.createDataFrame(docs[4:], DOC_SCHEMA).write.mode("append").parquet(src)
+    q2 = stream_minhash_neardup(spark, src, DOC_SCHEMA, store, pairs, ckpt, threshold=0.5)
+    q2.awaitTermination()
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in spark.read.parquet(pairs).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            spark.createDataFrame(docs, DOC_SCHEMA), threshold=0.5
+        ).collect()
+    )
+    assert got == want and len(got) >= 2  # (0,4) exact + at least one near pair
+    # exactly-once: no pair appears twice in the append-only pair log
+    assert len(got) == len(set(got))
