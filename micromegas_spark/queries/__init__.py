@@ -3,7 +3,8 @@
 Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
 oracle that DuckDB runs on the same parquet tables. The driver hash-compares
 results at sf=0.01 (row count + schema + order-insensitive value hash), so
-every query follows the determinism conventions in ``queries.conventions``.
+every query follows the determinism conventions documented on
+``queries.registry.query``.
 """
 
 from micromegas_spark.queries.registry import REGISTRY, QueryDef, query
