@@ -1005,3 +1005,57 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(pairs).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_pii_redact",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               'contact user' || doc_id || '@example.com or 555-867-530'
+                   || CAST(doc_id % 10 AS VARCHAR) || ' re: ' || text AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(txt,
+               '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                 '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g')
+           ) AS redacted_md5
+    FROM t ORDER BY doc_id
+    """,
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PII redaction with PLANTED signal: every document gets a
+    synthesized email + phone prefix (derived from doc_id, so both engines
+    construct the identical string), then operators/pii.redact replaces
+    every match with its typed placeholder. The md5 of the redacted text
+    is hash-compared — one character of divergence in the regex semantics
+    between engines fails the oracle. Codegen regex scans, no shuffle."""
+    from micromegas_spark.operators import pii
+
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-530"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    counts = pii.pii_counts(txt)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        F.md5(pii.redact(txt)).alias("redacted_md5"),
+    ).orderBy("doc_id")
