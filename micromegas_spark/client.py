@@ -74,6 +74,60 @@ class Client:
         Spark's named-parameter markers: ``:name``."""
         return PreparedStatement(self, sql)
 
+    # -- convenience lookups (client.py:782-976) ---------------------------
+    # begin/end accept epoch-ns ints, tz-aware datetimes, pandas Timestamps
+    # or RFC 3339 strings (timeutils.to_epoch_ns), matching the reference's
+    # datetime-taking signatures.
+
+    def _bounded(self, sql: str, begin=None, end=None, args: dict | None = None) -> "pd.DataFrame":
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        self.engine.query("SELECT 1", to_epoch_ns(begin), to_epoch_ns(end))
+        return self.engine.spark.sql(sql, args=args or {}).toPandas()
+
+    def find_process(self, process_id: str) -> "pd.DataFrame":
+        """Process metadata by id (client.py:782-820); empty frame if
+        unknown."""
+        return self._bounded(
+            "SELECT * FROM processes WHERE process_id = :pid", args={"pid": process_id}
+        )
+
+    def query_streams(
+        self, begin, end, limit: int, process_id: str | None = None,
+        tag_filter: str | None = None,
+    ) -> "pd.DataFrame":
+        """Streams in the range, optionally per-process and per-tag
+        (client.py:822-884; tag test is the reference's
+        ``array_position(tags, t) IS NOT NULL``)."""
+        conds, args = ["TRUE"], {"limit": limit}
+        if process_id is not None:
+            conds.append("process_id = :pid")
+            args["pid"] = process_id
+        if tag_filter is not None:
+            conds.append("array_contains(tags, :tag)")
+            args["tag"] = tag_filter
+        return self._bounded(
+            f"SELECT * FROM streams WHERE {' AND '.join(conds)} LIMIT :limit",
+            begin, end, args,
+        )
+
+    def query_blocks(self, begin, end, limit: int, stream_id: str) -> "pd.DataFrame":
+        """Blocks of one stream in the range (client.py:885-929)."""
+        return self._bounded(
+            "SELECT * FROM blocks WHERE stream_id = :sid LIMIT :limit",
+            begin, end, {"sid": stream_id, "limit": limit},
+        )
+
+    def query_spans(self, begin, end, limit: int, stream_id: str) -> "pd.DataFrame":
+        """Thread spans of one stream via the JIT instance view
+        (client.py:930-976: ``view_instance('thread_spans', stream_id)``)."""
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        df = self.engine.view_instance(
+            "thread_spans", stream_id, to_epoch_ns(begin), to_epoch_ns(end)
+        )
+        return df.limit(limit).toPandas()
+
 
 class PreparedStatement:
     def __init__(self, client: Client, sql: str):

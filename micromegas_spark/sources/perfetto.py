@@ -192,3 +192,37 @@ def decode_trace(data: bytes) -> list[dict]:
             }
         out.append(packet)
     return out
+
+
+def write_trace_from_chunks(chunks, trace_filepath: str) -> int:
+    """Assemble a `(chunk_id, chunk_data)` DataFrame into one trace file —
+    the reference client's ``write_process_trace_from_chunks``
+    (python/micromegas/micromegas/perfetto.py:1-95): stream chunks in id
+    order, verify the sequence is gap-free, concatenate, write. Returns
+    the number of chunks written (0 = no data, no file created).
+
+    Streaming shape: ``toLocalIterator`` pulls one partition at a time off
+    the sorted plan, so the driver holds O(partition) chunk bytes, not the
+    whole trace — the reference's record-batch streaming loop does the
+    same.
+    """
+    ordered = chunks.orderBy("chunk_id")
+    expected = 0
+    with open(trace_filepath + ".tmp", "wb") as f:
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            if row["chunk_id"] != expected:
+                raise ValueError(
+                    f"chunk {row['chunk_id']} received, expected {expected}: "
+                    "chunk stream is out of order or has gaps"
+                )
+            f.write(row["chunk_data"])
+            expected += 1
+    if expected == 0:
+        import os
+
+        os.remove(trace_filepath + ".tmp")
+        return 0
+    import os
+
+    os.replace(trace_filepath + ".tmp", trace_filepath)
+    return expected
