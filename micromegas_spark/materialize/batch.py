@@ -93,6 +93,20 @@ class Partition:
     max_event_ns: int
     path: str
     updated_unix: float = field(default_factory=time.time)
+    # schema fingerprint of the written rows; "" on pre-upgrade manifests.
+    # The reference versions every view schema and hides partitions whose
+    # recorded hash mismatches the current one (SCHEMA_VERSION constants,
+    # log_view.rs:37; materialized_view.rs:74-83 hash mismatch → rebuild).
+    schema_hash: str = ""
+
+
+def schema_fingerprint(df: DataFrame) -> str:
+    """Deterministic fingerprint of a DataFrame's schema (name:type pairs,
+    order-sensitive like the reference's Arrow schema hash)."""
+    import hashlib
+
+    canon = ";".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
 
 
 class Lakehouse:
@@ -196,6 +210,7 @@ class Lakehouse:
                 min_event_ns=int(bounds.mn) if bounds.mn is not None else begin_ns,
                 max_event_ns=int(bounds.mx) if bounds.mx is not None else end_ns,
                 path=out_dir,
+                schema_hash=schema_fingerprint(df),
             )
         )
         self._save_manifest(spec.name, parts)
@@ -245,6 +260,7 @@ class Lakehouse:
                 min_event_ns=bounds_mn,
                 max_event_ns=bounds_mx,
                 path=out_dir,
+                schema_hash=schema_fingerprint(merged),
             )
         )
         self._save_manifest(spec.name, rest)
@@ -283,6 +299,7 @@ class Lakehouse:
                 p.source_hash,
                 p.path,
                 float(p.updated_unix),
+                p.schema_hash,
             )
             for v in views
             for p in self.list_partitions(v)
@@ -291,8 +308,63 @@ class Lakehouse:
             rows,
             "view_set STRING, begin_insert_ns BIGINT, end_insert_ns BIGINT, "
             "min_event_ns BIGINT, max_event_ns BIGINT, source_hash BIGINT, "
-            "path STRING, updated_unix DOUBLE",
+            "path STRING, updated_unix DOUBLE, schema_hash STRING",
         )
+
+    def current_schema_hash(self, spec: BatchViewSpec) -> str:
+        """Fingerprint of the schema the spec currently extracts — the
+        analogue of the ViewFactory's current SCHEMA_VERSION. Lazy: builds
+        the plan over an empty range, never executes it."""
+        return schema_fingerprint(
+            self.spark.sql(spec.extract_query.format(begin=0, end=0))
+        )
+
+    def list_incompatible_partitions(
+        self, specs: list[BatchViewSpec], view: str | None = None
+    ) -> DataFrame:
+        """Partitions whose recorded schema hash differs from the view's
+        current one (python/micromegas/micromegas/admin.py:14-86:
+        list_partitions ⨝ list_view_sets on hash mismatch). These are
+        invisible to ``read(..., schema_hash=...)`` but hold storage until
+        retired — the schema-evolution cleanup surface."""
+        current = {s.name: self.current_schema_hash(s) for s in specs}
+        pdf = self.partitions_df(view)
+        cur_df = self.spark.createDataFrame(
+            list(current.items()), "view_set STRING, current_schema_hash STRING"
+        )
+        return (
+            pdf.join(F.broadcast(cur_df), "view_set")
+            .where(F.col("schema_hash") != F.col("current_schema_hash"))
+            .select(
+                "view_set",
+                "begin_insert_ns",
+                "end_insert_ns",
+                F.col("schema_hash").alias("incompatible_schema_hash"),
+                "current_schema_hash",
+                "path",
+            )
+            .orderBy("view_set", "begin_insert_ns")
+        )
+
+    def retire_incompatible_partitions(
+        self, specs: list[BatchViewSpec], view: str | None = None
+    ) -> dict[str, int]:
+        """Retire exactly the hash-mismatched partitions
+        (admin.py:87-200: metadata-targeted retirement so compatible
+        partitions are untouched). Returns per-view retired counts."""
+        rows = self.list_incompatible_partitions(specs, view).collect()
+        out: dict[str, int] = {}
+        for v in {r["view_set"] for r in rows}:
+            bad = {(r["begin_insert_ns"], r["end_insert_ns"]) for r in rows if r["view_set"] == v}
+            parts = self.list_partitions(v)
+            keep = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) not in bad]
+            drop = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) in bad]
+            self._save_manifest(v, keep)
+            for p in drop:
+                if os.path.exists(p.path):
+                    shutil.rmtree(p.path)
+            out[v] = len(drop)
+        return out
 
     def list_view_sets(self) -> list[str]:
         d = os.path.join(self.warehouse, "_partitions")
@@ -339,12 +411,17 @@ class Lakehouse:
 
     def read(
         self, view: str, begin_event_ns: int | None = None, end_event_ns: int | None = None,
-        time_column: str | None = None,
+        time_column: str | None = None, schema_hash: str | None = None,
     ) -> DataFrame:
         """Partition-pruned read: catalog-level event-time overlap test
         (partition_cache.rs:329-466), then the row-level filter re-applied
-        above the scan (inexact pushdown, materialized_view.rs:99-107)."""
+        above the scan (inexact pushdown, materialized_view.rs:99-107).
+        ``schema_hash`` filters to schema-compatible partitions only
+        (partition fetch is schema-hash-keyed, materialized_view.rs:74-96:
+        stale-schema partitions are invisible, not errors)."""
         parts = self.list_partitions(view)
+        if schema_hash is not None:
+            parts = [p for p in parts if p.schema_hash == schema_hash]
         if begin_event_ns is not None:
             parts = [p for p in parts if p.max_event_ns >= begin_event_ns]
         if end_event_ns is not None:

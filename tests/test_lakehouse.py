@@ -195,3 +195,57 @@ def test_engine_jit_view_instance(spark, tmp_path):
     df3 = eng.view_instance("thread_spans", "s1", lo, hi, bucket_ns=10**9)
     assert df3.count() > 0
     assert len(builds) == n_builds + 1
+
+
+def test_schema_hash_lifecycle(spark, telemetry, tmp_path):
+    """Schema evolution: partitions written under an old extract schema are
+    (a) hidden from schema-hash-keyed reads (materialized_view.rs:74-96),
+    (b) listed by list_incompatible_partitions (admin.py:14-86), and
+    (c) removed — and only them — by retire_incompatible_partitions."""
+    import dataclasses
+
+    from micromegas_spark.materialize.batch import schema_fingerprint
+
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh_schema"))
+    lo, hi = _window(data)
+    lake.materialize_range(LOG_STATS, lo, hi, HOUR)
+    parts = lake.list_partitions("log_stats")
+    cur = lake.current_schema_hash(LOG_STATS)
+    assert all(p.schema_hash == cur for p in parts)
+    assert lake.list_incompatible_partitions([LOG_STATS]).count() == 0
+
+    # evolve the view: new extract adds a column → new current hash; the
+    # already-written partitions become incompatible
+    evolved = dataclasses.replace(
+        LOG_STATS,
+        extract_query=LOG_STATS.extract_query.replace(
+            "COUNT(*) AS count", "COUNT(*) AS count, 0 AS schema_v2"
+        ),
+    )
+    new_cur = lake.current_schema_hash(evolved)
+    assert new_cur != cur
+    bad = lake.list_incompatible_partitions([evolved])
+    assert bad.count() == len(parts)
+    assert set(bad.columns) >= {
+        "view_set", "incompatible_schema_hash", "current_schema_hash", "path",
+    }
+
+    # hash-keyed read sees nothing under the new schema, everything under
+    # the old one
+    assert lake.read("log_stats", schema_hash=new_cur).count() == 0
+    assert lake.read("log_stats", schema_hash=cur).count() > 0
+
+    # rebuild ONE bucket under the new schema, then retire incompatible:
+    # only the old-schema partitions go
+    first_bucket = min(p.begin_insert_ns for p in parts)
+    evolved_one = lake.regenerate_partitions(
+        evolved, first_bucket, first_bucket + HOUR, HOUR
+    )
+    assert evolved_one.get("created", 0) == 1
+    retired = lake.retire_incompatible_partitions([evolved])
+    assert retired == {"log_stats": len(parts) - 1}
+    survivors = lake.list_partitions("log_stats")
+    assert len(survivors) == 1 and survivors[0].schema_hash == new_cur
+    assert lake.read("log_stats", schema_hash=new_cur).count() > 0
