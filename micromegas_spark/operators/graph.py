@@ -35,10 +35,25 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the smallest node id in the connected cluster. Undirected: edges
-    are symmetrized internally."""
+    are symmetrized internally.
+
+    Two physical strategies behind one contract:
+
+    - ``|edges| <= local_threshold``: union-find over the collected edge
+      list. Near-dup pair graphs are duplicate-density-bound — usually
+      thousands of edges even for huge corpora — and a distributed round
+      costs 2 actions (checkpoint + convergence count); the local solve is
+      one. The threshold bounds driver memory to ~MBs of id pairs.
+    - otherwise: the min-label-propagation + pointer-jumping loop below —
+      vertex-bound memory, O(log diameter) rounds, the 100 TB path.
+
+    The edge count needed for the dispatch materializes the (persisted)
+    edge lineage, which the distributed loop would pay anyway on its init
+    aggregation."""
     # symmetrize via explode, not union-of-two-projections: a union would
     # execute the (possibly expensive) edge lineage once per branch when
     # the persist materializes — explode reads it once and fans out 1→2
@@ -54,6 +69,11 @@ def connected_components(
         .select("p.a", "p.b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if e.count() <= local_threshold:
+        try:
+            return _local_components(e)
+        finally:
+            e.unpersist()
     # init = the first propagation round for free: one aggregation (no
     # join) gives every node min(self, direct neighbours) — near-clique
     # dedup graphs then converge in a single confirming loop round
@@ -95,6 +115,47 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+def _local_components(e: DataFrame) -> DataFrame:
+    """Union-find over a collected symmetrized edge list (small-graph
+    strategy). Output schema matches the distributed loop exactly:
+    (node, component) with the node column's own type."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    rows = [
+        (n, min(members)) for members in comp.values() for n in members
+    ]
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = e.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("component", node_t)]
+    )
+    # pandas + Arrow: the result scans as a JVM-local Arrow batch instead
+    # of a Python-RDD-backed plan (whose every downstream action spins the
+    # Python runner; measured 3x on the tiny result)
+    pdf = pd.DataFrame(rows, columns=["node", "component"])
+    return e.sparkSession.createDataFrame(pdf, schema)
 
 
 def dedup_clusters(

@@ -998,12 +998,17 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="mh_stream_")
     src, store, pairs, ckpt = (f"{work}/{x}" for x in ("src", "store", "pairs", "ckpt"))
+    # two single-file arrivals + maxFilesPerTrigger=1: ONE streaming query
+    # run processes them as two ordered micro-batches (availableNow honors
+    # read limits), so the cross-batch discovery path is exercised without
+    # a per-tick streaming-query startup
     for batch_pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
-        d.where(batch_pred).write.mode("append").parquet(src)
-        q = stream_minhash_neardup(
-            spark, src, schema, store, pairs, ckpt, threshold=0.8
-        )
-        q.awaitTermination()
+        d.where(batch_pred).coalesce(1).write.mode("append").parquet(src)
+    q = stream_minhash_neardup(
+        spark, src, schema, store, pairs, ckpt, threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
     return spark.read.parquet(pairs).orderBy("id_a", "id_b")
 
 

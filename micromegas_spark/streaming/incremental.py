@@ -191,6 +191,7 @@ def stream_minhash_neardup(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Incremental MinHash near-duplicate detection over a document
     landing zone — the streaming counterpart of
@@ -223,7 +224,13 @@ def stream_minhash_neardup(
 
     sig_dir = os.path.join(store_dir, "sigs")
     band_dir = os.path.join(store_dir, "bands")
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # availableNow honors read limits (Spark 3.3+): one query run
+        # splits the backlog into per-file micro-batches — the multi-tick
+        # ingest shape without paying a streaming-query startup per tick
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def tick(batch_df: DataFrame, batch_id: int) -> None:
         sigs, band_keys = _banded_signatures(
