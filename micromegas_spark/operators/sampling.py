@@ -102,3 +102,57 @@ def hash_topk_per_group(
         .where(F.col("_srn") <= k)
         .drop("_srn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    temperature: float = 0.5,
+    target_fraction: float = 0.5,
+    weight_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened domain mixture — the multilingual/multi-source
+    LM training mix rule (sampling probability ∝ n_d^T, T<1 upsampling
+    rare domains). Derives per-domain keep rates from the corpus itself:
+
+        w_d    = n_d^T / Σ_e n_e^T
+        rate_d = min(1, target_fraction · N · w_d / n_d)
+
+    so the expected output size is ≈ target_fraction·N with domain shares
+    following the tempered distribution. ``weight_col`` switches n_d from
+    row counts to a per-row weight sum (token-budget mixing). Row
+    selection is the content-hash PRNG (``sample_unit``) — reproducible
+    under any partitioning and in the DuckDB oracle.
+
+    Scale shape: one aggregation to #domains rows, one scalar reduce,
+    then a broadcast join + map-side filter over the corpus — the corpus
+    is scanned once and never shuffled. T=0.5 uses sqrt (IEEE-exact, so
+    oracle doubles match bit-for-bit); other temperatures use pow, whose
+    last-ulp behavior is libm-specific — rates are rounded to 12 dp on
+    both engines to keep the comparison stable either way."""
+    _check_key_type(df, key_col)
+    n_src = F.col(weight_col) if weight_col else F.lit(1)
+    counts = df.groupBy(domain_col).agg(
+        F.sum(n_src).cast("double").alias("_n")
+    )
+    w = F.sqrt(F.col("_n")) if temperature == 0.5 else F.pow(F.col("_n"), F.lit(float(temperature)))
+    weights = counts.select(domain_col, "_n", w.alias("_w"))
+    tot = weights.agg(F.sum("_w").alias("_zsum"), F.sum("_n").alias("_ntot"))
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(target_fraction)) * F.col("_ntot") * (F.col("_w") / F.col("_zsum")))
+                / F.col("_n"),
+            ),
+            12,
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(sample_unit(F.col(key_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

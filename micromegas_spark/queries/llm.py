@@ -1064,3 +1064,64 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phones"),
         F.md5(pii.redact(txt)).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "docs_mixture_sample",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+    t AS (SELECT SUM(sqrt(n)) AS zsum, SUM(n) AS ntot FROM c),
+    r AS (SELECT lang,
+                 round(LEAST(1.0, (0.5 * ntot * (sqrt(n) / zsum)) / n), 12) AS rate
+          FROM c, t)
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE {_U_SQL} < rate
+    ORDER BY doc_id
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (T=0.5, target 50% of the
+    corpus): rare languages are upsampled toward sqrt-proportional shares
+    — the standard multilingual LM data-mixing rule, computed from the
+    corpus itself (operators/sampling.mixture_sample: one tiny agg +
+    broadcast rates + content-hash map-side filter; the corpus never
+    shuffles). The DuckDB oracle recomputes rates and row picks exactly."""
+    from micromegas_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "lang", key_col="doc_id", temperature=0.5, target_fraction=0.5
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "emb_sq8_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, list_min(embedding)::DOUBLE AS mn,
+                 list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE AS span,
+                 embedding
+          FROM embeddings WHERE vec_id <> 0),
+    z AS (SELECT vec_id, mn, span,
+                 CASE WHEN span = 0 THEN 0
+                      ELSE round(255.0 * (unnest(embedding)::DOUBLE - mn) / span)
+                 END AS code,
+                 unnest(qe)::DOUBLE AS y
+          FROM c, q),
+    s AS (SELECT vec_id, SUM(y * (mn + (code * span) / 255.0)) AS dot
+          FROM z GROUP BY vec_id)
+    SELECT vec_id, round(dot, 6) AS dot8
+    FROM s
+    ORDER BY dot8 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized ANN: per-vector SQ8 codes scored against the
+    float query (asymmetric distance) — the 4x-memory-ladder rung under
+    the float brute-force baseline (operators/similarity.scalar_quantize +
+    sq8_topk). The oracle requantizes and rescores in DuckDB, so code
+    assignment AND dequantized scores must both agree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(e, query_id=0, k=10)

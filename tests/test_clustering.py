@@ -34,3 +34,37 @@ def test_kmeans_centroids_feed_ivf(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+
+def test_sq8_quantize_roundtrip(spark):
+    """Dequantized values stay within half a quantization step of the
+    input; constant vectors reconstruct exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.operators.similarity import scalar_quantize
+
+    rows = [(1, [0.0, 1.0, 2.0, 4.0]), (2, [3.0, 3.0, 3.0, 3.0])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = {r["vec_id"]: r for r in scalar_quantize(df).collect()}
+    r1 = out[1]
+    step = r1["span"] / 255.0
+    recon = [r1["mn"] + c * step for c in r1["codes"]]
+    for x, xhat in zip([0.0, 1.0, 2.0, 4.0], recon):
+        assert abs(x - xhat) <= step / 2 + 1e-12
+    r2 = out[2]
+    assert r2["span"] == 0.0 and all(c == 0 for c in r2["codes"])
+    assert r2["mn"] == 3.0
+
+
+def test_sq8_topk_recall(spark):
+    """SQ8 asymmetric top-10 must recover most of the exact float top-10
+    (8-bit quantization error is far below typical neighbor gaps)."""
+    from micromegas_spark.operators.similarity import cosine_topk, sq8_topk
+    from micromegas_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(e, query_id=0, k=10).collect()}
+    sq8 = {r["vec_id"] for r in sq8_topk(e, query_id=0, k=10).collect()}
+    assert len(exact & sq8) >= 6

@@ -131,3 +131,49 @@ def test_sequence_packing_boundaries(spark):
     df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
     got = {r.doc_id: r.seq_id for r in sequence_packing(df, budget=512).collect()}
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_mixture_sample_flattening(spark):
+    """T=0.5 mixture: rare domains end up with higher keep rates than
+    common ones; expected total ≈ target_fraction·N; deterministic."""
+    import pandas as pd
+
+    from micromegas_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "dom"]))
+    out = mixture_sample(df, "dom", key_col="doc_id", temperature=0.5,
+                         target_fraction=0.3).cache()
+    n = out.count()
+    assert abs(n - 3000) < 300  # ~binomial tolerance
+    shares = {r["dom"]: r["n"] for r in
+              out.groupBy("dom").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # raw shares 0.9/0.1 → tempered weights sqrt(9000):sqrt(1000) = 3:1;
+    # the small domain's KEEP RATE must exceed the big domain's
+    rate_small = shares["small"] / 1000
+    rate_big = shares["big"] / 9000
+    assert rate_small > 2 * rate_big
+    # deterministic under repartitioning
+    out2 = mixture_sample(df.repartition(7), "dom", key_col="doc_id",
+                          temperature=0.5, target_fraction=0.3)
+    assert sorted(r["doc_id"] for r in out2.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_mixture_sample_weight_col(spark):
+    """Token-budget mixing: n_d from a weight column, not row counts."""
+    import pandas as pd
+
+    from micromegas_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 100 if i % 2 == 0 else 1)
+            for i in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "dom", "n_tok"]))
+    out = mixture_sample(df, "dom", key_col="doc_id", temperature=0.5,
+                         target_fraction=0.5, weight_col="n_tok")
+    shares = {r["dom"]: r["n"] for r in
+              out.groupBy("dom").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # domain b is tiny by tokens → rate caps at 1.0 → all 1000 b-rows kept
+    assert shares["b"] == 1000
+    assert shares["a"] < 1000
