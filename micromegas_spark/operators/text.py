@@ -382,3 +382,81 @@ def sequence_packing(
         .cast("bigint")
         .alias("seq_id"),
     )
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-frequent n-gram coverage per document — the repeated-span
+    signal behind cross-document boilerplate removal (headers, license
+    blocks, templates): a shingle occurring in ≥ ``min_df`` documents is
+    'corpus-frequent'; a document's coverage is the fraction of its
+    distinct shingles that are corpus-frequent. Output:
+    (id, n_shingles, n_frequent, coverage).
+
+    Scale shape: one explode + one (shingle → doc-frequency) aggregation,
+    then the frequent-shingle set joins back per doc. The frequent set is
+    duplicate-density-bound (and hash-joinable on the shingle); per-doc
+    re-aggregation shuffles on the doc id. No quadratic pair space — this
+    is the linear-cost cousin of pairwise near-dup detection, which is
+    why production pipelines run it corpus-wide."""
+    from micromegas_spark.operators.dedup import hashed_shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    # shingles are distinct per doc by construction, so COUNT(*) per
+    # shingle IS the document frequency
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle", F.lit(1).alias("_freq"))
+    )
+    return (
+        sh.join(freq, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_freq"), F.lit(0))).alias("n_frequent"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_frequent",
+            F.round(F.col("n_frequent") / F.col("n_shingles"), 6).alias("coverage"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (log2) of the token distribution —
+    the cheap lexical-diversity quality signal (low entropy ⇒ repetitive
+    or template text; pairs with repetition_features for Gopher-style
+    filtering). Output: (id, n_tokens, entropy).
+
+    One explode + two aggregations, all map-side combinable."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            # H = log2(n) - (Σ c·log2 c)/n  — one pass, no p=c/n division
+            # inside the sum, so the float op order is trivially mirrored
+            # by the oracle
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .select(id_col, "n_tokens", "entropy")
+    )

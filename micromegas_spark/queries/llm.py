@@ -1125,3 +1125,93 @@ def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment AND dequantized scores must both agree."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.sq8_topk(e, query_id=0, k=10)
+
+
+@query(
+    "docs_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    sh0 AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh0),
+    u AS (SELECT doc_id, unnest(hs) AS shingle FROM hsh),
+    f AS (SELECT shingle FROM u GROUP BY shingle HAVING COUNT(*) >= 5),
+    per AS (
+        SELECT u.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_frequent
+        FROM u LEFT JOIN f USING (shingle)
+        GROUP BY u.doc_id
+    )
+    SELECT doc_id, n_shingles, n_frequent,
+           round(CAST(n_frequent AS DOUBLE) / n_shingles, 6) AS coverage
+    FROM per ORDER BY doc_id
+    """,
+)
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span signal (the linear-cost boilerplate
+    detector): fraction of each doc's shingles that occur in ≥5 documents
+    corpus-wide (operators/text.boilerplate_coverage — one doc-frequency
+    aggregation + join-back, no pair space)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_coverage(d, min_df=5).orderBy("doc_id")
+
+
+@query(
+    "docs_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal: per-doc Shannon entropy of the
+    token distribution (operators/text.token_entropy; H = log2 n −
+    (Σ c·log2 c)/n so both engines share one float op order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.token_entropy(d).orderBy("doc_id")
+
+
+@query(
+    "docs_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               md5('ep1:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           substr(skey, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY substr(skey, 1, 1)
+                                   ORDER BY skey, doc_id) AS BIGINT) AS ord
+    FROM k ORDER BY shard, ord
+    """,
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle, sharded: the epoch-salted
+    content hash is the permutation key; the first hex char shards the
+    corpus (16-way here; 2 chars = 256-way at fleet scale) and ranking
+    happens within shards — a reproducible global training order without
+    a single-partition global window. A new salt ('ep2:') draws an
+    independent permutation."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))).alias("skey"),
+    ).withColumn("shard", F.substring("skey", 1, 1))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        k.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("ord"),
+        )
+        .orderBy("shard", "ord")
+    )

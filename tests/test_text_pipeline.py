@@ -108,3 +108,42 @@ def test_ngram_overlap_shuffle_fallback_matches(spark):
     a = sorted(ngram_overlap(corpus, bench, n=5, broadcast_bench=True).collect())
     b = sorted(ngram_overlap(corpus, bench, n=5, broadcast_bench=False).collect())
     assert a == b and len(a) == 1
+
+
+def test_boilerplate_coverage_edges(spark):
+    import pandas as pd
+
+    from micromegas_spark.operators.text import boilerplate_coverage
+
+    # 5 docs sharing one template trigram + unique tails
+    rows = [(i, f"shared boiler plate unique{i} tail{i} end{i}") for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in boilerplate_coverage(df, min_df=5).collect()}
+    for i in range(5):
+        r = out[i]
+        assert r["n_frequent"] == 1  # only 'shared boiler plate' hits df>=5
+        assert r["n_shingles"] == 4
+        assert abs(r["coverage"] - 0.25) < 1e-9
+    # raise the threshold → nothing is frequent
+    out2 = boilerplate_coverage(df, min_df=6).collect()
+    assert all(r["n_frequent"] == 0 for r in out2)
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    import pandas as pd
+
+    from micromegas_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a b c d"),          # uniform over 4 → H = 2
+        (2, "a a a a"),          # constant → H = 0
+        (3, "a a b b b b"),      # p = 1/3, 2/3
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(df).collect()}
+    assert abs(out[1] - 2.0) < 1e-6
+    assert abs(out[2] - 0.0) < 1e-6
+    expect = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
+    assert abs(out[3] - expect) < 1e-6
