@@ -348,3 +348,76 @@ def sq8_topk(
         .orderBy(F.desc("dot8"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_label_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (the memory-ladder rung under SQ8): split
+    each vector into ``m`` subspaces, encode every subvector as its
+    nearest per-subspace codeword, then rank by asymmetric distance — the
+    query scores against a per-(subspace, code) dot-product lookup table
+    of size m·|codes|, never against raw vectors. At 64 dims / m=4 /
+    8 codes a vector is 4 bytes at rest (16x vs float32).
+
+    Codebooks here are per-label subvector means (the same
+    deterministic 'trained quantizer stand-in' as ``ivf_topk``'s coarse
+    quantizer — with k-means-trained codebooks the encode/ADC pipeline is
+    unchanged), rounded to ``round_digits`` so the DuckDB oracle
+    reproduces code assignment exactly.
+
+    Scale shape: everything is (sub, dim)- or (id, sub)-keyed scalar
+    shuffles; encode joins against the broadcast codebook table; ADC is a
+    broadcast lookup-table join + per-id sum. The raw corpus is scanned
+    once (codebook training) and the search path touches only codes."""
+    # exploded (id, label, sub, dim, x) — the shape every stage shares
+    e = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                "dim", "x"
+            ),
+            F.size(F.col(vec_col)).alias("_d"),
+        )
+        .withColumn("sub", F.floor(F.col("dim") * m / F.col("_d")).cast("bigint"))
+        .drop("_d")
+    )
+    cb = (
+        e.groupBy("sub", F.col(label_col).alias("code"), "dim")
+        .agg(F.round(F.avg("x"), round_digits).alias("c"))
+    )
+    corpus = e.where(F.col(id_col) != query_id)
+    dist = (
+        corpus.join(F.broadcast(cb), ["sub", "dim"])
+        .groupBy(id_col, "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "sub").orderBy("d2", "code")
+    enc = (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+    q = e.where(F.col(id_col) == query_id).select("sub", "dim", F.col("x").alias("qx"))
+    adc = (
+        cb.join(F.broadcast(q), ["sub", "dim"])
+        .groupBy("sub", "code")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("dot"))
+    )
+    return (
+        enc.join(F.broadcast(adc), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("dot"), 6).alias("pq_score"))
+        .orderBy(F.desc("pq_score"), F.asc(id_col))
+        .limit(k)
+    )

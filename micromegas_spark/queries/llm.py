@@ -1215,3 +1215,46 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "ord")
     )
+
+
+@query(
+    "emb_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      unnest(embedding)::DOUBLE AS x,
+                      unnest(range(0, len(embedding))) AS dim,
+                      len(embedding) AS d
+               FROM embeddings),
+    s AS (SELECT vec_id, label, x, dim,
+                 CAST(floor(dim * 4.0 / d) AS BIGINT) AS sub FROM e),
+    cb AS (SELECT sub, label AS code, dim, round(avg(x), 5) AS c
+           FROM s GROUP BY sub, label, dim),
+    dist AS (SELECT s.vec_id, s.sub, cb.code,
+                    SUM((s.x - cb.c) * (s.x - cb.c)) AS d2
+             FROM s JOIN cb ON s.sub = cb.sub AND s.dim = cb.dim
+             WHERE s.vec_id <> 0
+             GROUP BY s.vec_id, s.sub, cb.code),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d2, code) AS rn
+              FROM dist) WHERE rn = 1),
+    q AS (SELECT sub, dim, x AS qx FROM s WHERE vec_id = 0),
+    adc AS (SELECT cb.sub, cb.code, SUM(q.qx * cb.c) AS dot
+            FROM cb JOIN q ON cb.sub = q.sub AND cb.dim = q.dim
+            GROUP BY cb.sub, cb.code),
+    score AS (SELECT enc.vec_id, SUM(adc.dot) AS sc
+              FROM enc JOIN adc ON enc.sub = adc.sub AND enc.code = adc.code
+              GROUP BY enc.vec_id)
+    SELECT vec_id, round(sc, 6) AS pq_score FROM score
+    ORDER BY pq_score DESC, vec_id LIMIT 10
+    """,
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: m=4 subspaces, label-trained codebooks,
+    asymmetric-distance ranking via a broadcast (subspace, code) lookup
+    table (operators/similarity.pq_label_topk). The oracle re-trains,
+    re-encodes, and re-scores in DuckDB — codebooks, code assignment AND
+    ADC scores must all agree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_label_topk(e, query_id=0, k=10, m=4)

@@ -68,3 +68,33 @@ def test_sq8_topk_recall(spark):
     exact = {r["vec_id"] for r in cosine_topk(e, query_id=0, k=10).collect()}
     sq8 = {r["vec_id"] for r in sq8_topk(e, query_id=0, k=10).collect()}
     assert len(exact & sq8) >= 6
+
+
+def test_pq_topk_better_than_random_and_deterministic(spark):
+    """PQ(m=4, 8 label codewords) is a coarse quantizer: winners must
+    score well above the corpus average under the EXACT dot product
+    (better-than-random retrieval), and the ranking must be stable under
+    repartitioning. (Exact-top-k recall is a codebook-quality property,
+    not a mechanism property — the oracle query pins the mechanism.)"""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.operators.similarity import pq_label_topk
+    from micromegas_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "_qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    dots = e.where("vec_id <> 0").crossJoin(F.broadcast(q)).select(
+        "vec_id", dot.alias("d")
+    ).cache()
+    pq = [r["vec_id"] for r in pq_label_topk(e, query_id=0, k=10, m=4).collect()]
+    mean_all = dots.agg(F.avg("d")).collect()[0][0]
+    mean_pq = dots.where(F.col("vec_id").isin(pq)).agg(F.avg("d")).collect()[0][0]
+    assert mean_pq > mean_all + 0.02
+    pq2 = [r["vec_id"] for r in
+           pq_label_topk(e.repartition(13), query_id=0, k=10, m=4).collect()]
+    assert pq == pq2
