@@ -111,3 +111,113 @@ def register_otlp_json(
     out = otlp_spans_from_json(raw, "value")
     out.createOrReplaceTempView(view_name)
     return out
+
+
+# OTLP JSON ExportLogsServiceRequest (logs service proto, public spec)
+OTLP_LOGS_SCHEMA = (
+    "struct<resourceLogs:array<struct<"
+    f"resource:struct<attributes:{_KV}>,"
+    "scopeLogs:array<struct<"
+    "scope:struct<name:string,version:string>,"
+    "logRecords:array<struct<"
+    "timeUnixNano:string,observedTimeUnixNano:string,"
+    "severityNumber:bigint,severityText:string,"
+    "body:struct<stringValue:string>,"
+    f"attributes:{_KV},"
+    "traceId:string,spanId:string"
+    ">>>>>>>"
+)
+
+# OTLP severityNumber (1..24, 4 per level) → the reference's 1..6
+# Fatal..Trace levels (log_entries level semantics, SURVEY §1.4):
+# OTLP 1-4 TRACE→6, 5-8 DEBUG→5, 9-12 INFO→4, 13-16 WARN→3,
+# 17-20 ERROR→2, 21-24 FATAL→1.
+def _otlp_severity_to_level(col):
+    return F.when(col.isNull() | (col <= 0), F.lit(None).cast("int")).otherwise(
+        (F.lit(6) - F.floor((col - 1) / 4)).cast("int")
+    )
+
+
+def otlp_logs_from_json(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """OTLP/JSON log documents → one row per log record in the
+    log_entries-compatible shape (otel/logs_block_processor.rs parity):
+    ns time, reference 1..6 level, target = scope name, msg = body."""
+    p = df.select(F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA).alias("r"))
+    rl = p.select(F.explode("r.resourceLogs").alias("rl"))
+    sl = rl.select(
+        _attrs_map(F.col("rl.resource.attributes")).alias("_res_attrs"),
+        F.explode("rl.scopeLogs").alias("sl"),
+    )
+    rec = sl.select(
+        "_res_attrs",
+        F.col("sl.scope.name").alias("scope_name"),
+        F.explode("sl.logRecords").alias("lr"),
+    )
+    return rec.select(
+        F.element_at("_res_attrs", "service.name").alias("service_name"),
+        F.coalesce(
+            F.col("lr.timeUnixNano").cast("bigint"),
+            F.col("lr.observedTimeUnixNano").cast("bigint"),
+        ).alias("time_ns"),
+        _otlp_severity_to_level(F.col("lr.severityNumber")).alias("level"),
+        F.col("lr.severityText").alias("severity_text"),
+        F.col("scope_name").alias("target"),
+        F.col("lr.body.stringValue").alias("msg"),
+        _attrs_map(F.col("lr.attributes")).alias("properties"),
+        F.lower("lr.traceId").alias("trace_id"),
+        F.lower("lr.spanId").alias("span_id"),
+    )
+
+
+# OTLP JSON ExportMetricsServiceRequest — gauge/sum number points (the
+# measures-view shape: name/unit/value Float64, metrics_table.rs:18)
+OTLP_METRICS_SCHEMA = (
+    "struct<resourceMetrics:array<struct<"
+    f"resource:struct<attributes:{_KV}>,"
+    "scopeMetrics:array<struct<"
+    "scope:struct<name:string,version:string>,"
+    "metrics:array<struct<"
+    "name:string,unit:string,description:string,"
+    "gauge:struct<dataPoints:array<struct<timeUnixNano:string,"
+    f"asDouble:double,asInt:string,attributes:{_KV}>>>,"
+    "sum:struct<dataPoints:array<struct<timeUnixNano:string,"
+    f"asDouble:double,asInt:string,attributes:{_KV}>>,isMonotonic:boolean>"
+    ">>>>>>>"
+)
+
+
+def otlp_metrics_from_json(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """OTLP/JSON metric documents → one row per number data point
+    (gauge and sum; the reference's measures shape:
+    otel/metrics_block_processor.rs). asInt/asDouble unify to DOUBLE."""
+    p = df.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("r"))
+    rm = p.select(F.explode("r.resourceMetrics").alias("rm"))
+    sm = rm.select(
+        _attrs_map(F.col("rm.resource.attributes")).alias("_res_attrs"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    )
+    met = sm.select(
+        "_res_attrs", F.explode("sm.metrics").alias("m")
+    )
+    pts = met.select(
+        "_res_attrs",
+        F.col("m.name").alias("name"),
+        F.col("m.unit").alias("unit"),
+        F.explode(
+            F.coalesce(F.col("m.gauge.dataPoints"), F.col("m.sum.dataPoints"))
+        ).alias("dp"),
+        F.when(F.col("m.gauge").isNotNull(), F.lit("gauge"))
+        .otherwise(F.lit("sum"))
+        .alias("metric_type"),
+    )
+    return pts.select(
+        F.element_at("_res_attrs", "service.name").alias("service_name"),
+        "name",
+        "unit",
+        "metric_type",
+        F.col("dp.timeUnixNano").cast("bigint").alias("time_ns"),
+        F.coalesce(
+            F.col("dp.asDouble"), F.col("dp.asInt").cast("double")
+        ).alias("value"),
+        _attrs_map(F.col("dp.attributes")).alias("properties"),
+    )

@@ -90,3 +90,112 @@ def test_otlp_into_otel_views(spark, tmp_path):
     # SQL spelling through the registered view
     n = spark.sql("SELECT COUNT(*) AS n FROM otlp_test_raw").collect()[0]["n"]
     assert n == 2
+
+
+_LOGS_DOC = {
+    "resourceLogs": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "checkout"}}
+                ]
+            },
+            "scopeLogs": [
+                {
+                    "scope": {"name": "app.core"},
+                    "logRecords": [
+                        {
+                            "timeUnixNano": "1700000000100000000",
+                            "severityNumber": 17,
+                            "severityText": "ERROR",
+                            "body": {"stringValue": "payment failed"},
+                            "attributes": [
+                                {"key": "retry", "value": {"boolValue": True}}
+                            ],
+                            "traceId": "0AF7651916CD43DD8448EB211C80319C",
+                            "spanId": "B7AD6B7169203331",
+                        },
+                        {
+                            "observedTimeUnixNano": "1700000000200000000",
+                            "severityNumber": 9,
+                            "body": {"stringValue": "cart loaded"},
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+_METRICS_DOC = {
+    "resourceMetrics": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "checkout"}}
+                ]
+            },
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "app.metrics"},
+                    "metrics": [
+                        {
+                            "name": "cpu.load",
+                            "unit": "1",
+                            "gauge": {
+                                "dataPoints": [
+                                    {"timeUnixNano": "1700000000000000000", "asDouble": 0.75}
+                                ]
+                            },
+                        },
+                        {
+                            "name": "requests.total",
+                            "unit": "{req}",
+                            "sum": {
+                                "dataPoints": [
+                                    {
+                                        "timeUnixNano": "1700000001000000000",
+                                        "asInt": "42",
+                                        "attributes": [
+                                            {"key": "route", "value": {"stringValue": "/cart"}}
+                                        ],
+                                    }
+                                ],
+                                "isMonotonic": True,
+                            },
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+
+def test_otlp_logs_from_json(spark):
+    from micromegas_spark.sources.otlp import otlp_logs_from_json
+
+    df = spark.createDataFrame([(json.dumps(_LOGS_DOC),)], "value string")
+    rows = sorted(otlp_logs_from_json(df).collect(), key=lambda r: r["time_ns"])
+    assert len(rows) == 2
+    err, info = rows
+    # OTLP severity 17 (ERROR band) → reference level 2; 9 (INFO) → 4
+    assert err["level"] == 2 and err["msg"] == "payment failed"
+    assert err["service_name"] == "checkout" and err["target"] == "app.core"
+    assert err["properties"]["retry"] == "true"
+    assert err["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert info["level"] == 4
+    assert info["time_ns"] == 1_700_000_000_200_000_000  # observed fallback
+
+
+def test_otlp_metrics_from_json(spark):
+    from micromegas_spark.sources.otlp import otlp_metrics_from_json
+
+    df = spark.createDataFrame([(json.dumps(_METRICS_DOC),)], "value string")
+    rows = {r["name"]: r for r in otlp_metrics_from_json(df).collect()}
+    g = rows["cpu.load"]
+    assert g["metric_type"] == "gauge" and g["value"] == 0.75 and g["unit"] == "1"
+    s = rows["requests.total"]
+    assert s["metric_type"] == "sum" and s["value"] == 42.0
+    assert s["properties"]["route"] == "/cart"
+    assert s["service_name"] == "checkout"
