@@ -421,3 +421,47 @@ def pq_label_topk(
         .orderBy(F.desc("pq_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus hive-partitioned by its sign-LSH bucket
+    (`bucket=<n>/` directories): the physical layout that turns
+    ``lsh_ann_topk``'s bucket filter into a partition-PRUNED read — at
+    100 TB the query touches 1/2^|dims| of the files, before any row is
+    decoded (the ANN analogue of the reference's partition_cache pruning)."""
+    dims = dims or DEFAULT_LSH_DIMS
+    df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_ann_topk_pruned(
+    spark,
+    path: str,
+    query_vec,
+    query_bucket: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN search over an LSH-partitioned corpus: the bucket equality
+    lands in the scan's PartitionFilters, so only the query's bucket
+    directory is read. ``query_vec`` is a Python list (broadcast as a
+    literal array), so the search itself never scans for the query row;
+    pass ``exclude_id`` when the query vector is itself a corpus member."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(path).where(F.col("bucket") == query_bucket)
+    if exclude_id is not None:
+        df = df.where(F.col(id_col) != exclude_id)
+    return (
+        df.select(id_col, F.round(cosine(F.col(vec_col), qv), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -98,3 +98,42 @@ def test_pq_topk_better_than_random_and_deterministic(spark):
     pq2 = [r["vec_id"] for r in
            pq_label_topk(e.repartition(13), query_id=0, k=10, m=4).collect()]
     assert pq == pq2
+
+
+def test_lsh_partitioned_ann_prunes(spark, tmp_path):
+    """SCALE.md's 'bucketed LSH read prunes' made real: the corpus is
+    hive-partitioned by sign-LSH bucket; the bucket filter must appear in
+    the scan's PartitionFilters (directory pruning, not row filtering),
+    and results must equal the in-memory lsh_ann_topk."""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.operators.similarity import (
+        DEFAULT_LSH_DIMS,
+        lsh_ann_topk,
+        lsh_ann_topk_pruned,
+        sign_bucket,
+        write_lsh_partitioned,
+    )
+    from micromegas_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "emb_lsh")
+    write_lsh_partitioned(e, path)
+    qrow = e.where(F.col("vec_id") == 0).select(
+        "embedding", sign_bucket(F.col("embedding"), DEFAULT_LSH_DIMS).alias("b")
+    ).collect()[0]
+    out = lsh_ann_topk_pruned(
+        spark, path, qrow["embedding"], qrow["b"], k=10, exclude_id=0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan.replace("#", "").replace(
+        "bucket)", "bucket"
+    ) or "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:80]
+    got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    expect = [
+        (r["vec_id"], r["cos_sim"])
+        for r in lsh_ann_topk(e, query_id=0, k=10).collect()
+        if r["vec_id"] != 0
+    ]
+    assert got == expect
