@@ -67,19 +67,21 @@ def _farthest_point_init(
     assignment); the k-center sweep then runs driver-side in NumPy over ≤
     ``sample_size`` vectors. This is the k-means‖-style 'oversample then
     refine locally' shape — init cost does not grow with the table."""
-    rows = (
+    # toPandas, not collect: the sample is sample_size × dim floats — the
+    # Arrow path moves it in columnar batches instead of py4j row objects
+    pdf = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(max(sample_size, k))
-        .collect()
+        .toPandas()
     )
-    if not rows:
+    if len(pdf) == 0:
         return []
-    rows.sort(key=lambda r: r[0])  # lowest id first ⇒ deterministic seed point
-    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    pdf = pdf.sort_values(id_col)  # lowest id first ⇒ deterministic seed point
+    X = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
     cents = [0]
     d = ((X - X[0]) ** 2).sum(axis=1)
-    for _ in range(min(k, len(rows)) - 1):
+    for _ in range(min(k, len(X)) - 1):
         far = int(d.argmax())  # argmax ties break toward the lower position
         if d[far] <= 0.0:
             break  # every remaining sample point coincides with a centroid

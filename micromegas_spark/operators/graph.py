@@ -51,9 +51,12 @@ def connected_components(
     - otherwise: the min-label-propagation + pointer-jumping loop below —
       vertex-bound memory, O(log diameter) rounds, the 100 TB path.
 
-    The edge count needed for the dispatch materializes the (persisted)
-    edge lineage, which the distributed loop would pay anyway on its init
-    aggregation."""
+    Dispatch is a single ``limit(threshold+1).collect()`` over the edge
+    lineage: when the graph is small (the near-dup common case) that one
+    execution already delivers every edge to the union-find — no separate
+    count job, no persist round-trip. Only when the limit tops out do we
+    persist and run the distributed loop (one wasted bounded prefix scan,
+    irrelevant at that scale)."""
     # symmetrize via explode, not union-of-two-projections: a union would
     # execute the (possibly expensive) edge lineage once per branch when
     # the persist materializes — explode reads it once and fans out 1→2
@@ -67,13 +70,13 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if e.count() <= local_threshold:
-        try:
-            return _local_components(e)
-        finally:
-            e.unpersist()
+    probe = e.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _local_components_from_rows(e, probe)
+    del probe
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()  # materialize once; every loop round reads the cache
     # init = the first propagation round for free: one aggregation (no
     # join) gives every node min(self, direct neighbours) — near-clique
     # dedup graphs then converge in a single confirming loop round
@@ -117,10 +120,10 @@ def connected_components(
     return labels
 
 
-def _local_components(e: DataFrame) -> DataFrame:
-    """Union-find over a collected symmetrized edge list (small-graph
-    strategy). Output schema matches the distributed loop exactly:
-    (node, component) with the node column's own type."""
+def _local_components_from_rows(e: DataFrame, rows_in) -> DataFrame:
+    """Union-find over an already-collected symmetrized edge list
+    (small-graph strategy). Output schema matches the distributed loop
+    exactly: (node, component) with the node column's own type."""
     parent: dict = {}
 
     def find(x):
@@ -131,7 +134,7 @@ def _local_components(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
+    for row in rows_in:
         a, b = row["a"], row["b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)

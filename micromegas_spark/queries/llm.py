@@ -1006,7 +1006,7 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(batch_pred).coalesce(1).write.mode("append").parquet(src)
     q = stream_minhash_neardup(
         spark, src, schema, store, pairs, ckpt, threshold=0.8,
-        max_files_per_trigger=1,
+        max_files_per_trigger=1, store_files=1,
     )
     q.awaitTermination()
     return spark.read.parquet(pairs).orderBy("id_a", "id_b")

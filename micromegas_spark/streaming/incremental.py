@@ -133,33 +133,40 @@ def stream_sessionize(
     )
 
 
-def _banded_signatures(
+def _signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n_hashes: int,
-    bands: int,
     shingle_n: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(sigs, band_keys) for a document batch: ``sigs`` = one row per doc
-    (id, sh) with the int-hashed shingle set; ``band_keys`` = one row per
-    (doc, band) with the LSH composite key. Same definitions as
+) -> DataFrame:
+    """One row per doc (id, sh, mhs): the int-hashed shingle set plus the
+    MinHash signature array. Same definitions as
     operators/dedup.minhash_lsh_candidates (shared code), so streaming and
-    batch discovery agree exactly."""
+    batch discovery agree exactly. The signature array is what the store
+    persists — band keys are derived from it on demand (cheap array ops,
+    no md5 recompute), so one stored relation serves both the candidate
+    join and the verify join."""
     from micromegas_spark.operators.dedup import (
         _shingle_sets,
         minhash_signature_from_hashes,
     )
 
-    rows = n_hashes // bands
-    sigs = _shingle_sets(df, text_col, id_col, shingle_n)
-    sig = sigs.select(
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    return sh.select(
         F.col(id_col),
         "sh",
         F.explode(
             F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
         ).alias("mhs"),
     )
+
+
+def _band_keys(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bkey) from an (id, mhs) relation — the LSH banding of a
+    stored signature array (same composite-key definition as the batch
+    operator)."""
+    rows = n_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -172,10 +179,9 @@ def _banded_signatures(
             for b in range(bands)
         ]
     )
-    band_keys = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    return sigs, band_keys
 
 
 def stream_minhash_neardup(
@@ -192,6 +198,7 @@ def stream_minhash_neardup(
     bands: int = 4,
     shingle_n: int = 3,
     max_files_per_trigger: int | None = None,
+    store_files: int | None = None,
 ) -> StreamingQuery:
     """Incremental MinHash near-duplicate detection over a document
     landing zone — the streaming counterpart of
@@ -212,18 +219,22 @@ def stream_minhash_neardup(
     Each true pair is discovered exactly once — in the batch where its
     later member arrives — so ``pairs_dir`` needs no dedup-on-read.
 
-    Scale shape: the store is read via a plain parquet scan joined on the
-    band key (shuffle on bkey, prunable to changed bands with a bucketed
-    store layout); state lives in the object store, not executor memory,
-    so the horizon is unbounded — the property watermark-based streaming
-    dedup cannot give (dropDuplicates state grows per key; here Spark
-    holds no state at all between batches)."""
+    Scale shape: the store is ONE signature relation (id, sh, mhs) — band
+    keys are derived from the stored signature array on read (array ops,
+    no md5 recompute), so each tick costs one persist and two appends
+    (pairs + store). The candidate join shuffles on the band key (prunable
+    to changed bands with a bucketed store layout); state lives in the
+    object store, not executor memory, so the horizon is unbounded — the
+    property watermark-based streaming dedup cannot give (dropDuplicates
+    state grows per key; here Spark holds no state at all between
+    batches). ``store_files`` compacts each tick's appends to that many
+    files (small-file hygiene; size it to the batch volume — None keeps
+    the batch's natural partitioning)."""
     import os
 
     from micromegas_spark.operators.dedup import jaccard
 
     sig_dir = os.path.join(store_dir, "sigs")
-    band_dir = os.path.join(store_dir, "bands")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         # availableNow honors read limits (Spark 3.3+): one query run
@@ -233,21 +244,24 @@ def stream_minhash_neardup(
     stream = reader.parquet(source_dir)
 
     def tick(batch_df: DataFrame, batch_id: int) -> None:
-        sigs, band_keys = _banded_signatures(
-            batch_df, text_col, id_col, n_hashes, bands, shingle_n
-        )
-        sigs = sigs.persist()
-        band_keys = band_keys.persist()
+        # compaction happens at WRITE time only — the persisted relation
+        # keeps its natural partitioning so the candidate/verify joins
+        # read the cache in parallel
+        sig = _signatures(batch_df, text_col, id_col, n_hashes, shingle_n).persist()
         try:
+            band_keys = _band_keys(sig, id_col, n_hashes, bands)
             new_b = band_keys.select(
                 F.col(id_col).alias("_nid"), "band", "bkey"
             )
             # batch × store candidates (new doc vs any older doc)
             cands = None
-            if os.path.isdir(band_dir):
-                old_b = spark.read.parquet(band_dir).select(
-                    F.col(id_col).alias("_oid"), "band", "bkey"
-                )
+            if os.path.isdir(sig_dir):
+                old_b = _band_keys(
+                    spark.read.parquet(sig_dir).select(id_col, "mhs"),
+                    id_col,
+                    n_hashes,
+                    bands,
+                ).select(F.col(id_col).alias("_oid"), "band", "bkey")
                 cands = (
                     new_b.join(old_b, ["band", "bkey"])
                     .select(
@@ -268,9 +282,11 @@ def stream_minhash_neardup(
             cands = intra if cands is None else cands.unionByName(intra)
             cands = cands.distinct()
 
-            all_sigs = sigs
+            all_sigs = sig.select(id_col, "sh")
             if os.path.isdir(sig_dir):
-                all_sigs = all_sigs.unionByName(spark.read.parquet(sig_dir))
+                all_sigs = all_sigs.unionByName(
+                    spark.read.parquet(sig_dir).select(id_col, "sh")
+                )
             a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sha"))
             b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_shb"))
             verified = (
@@ -283,12 +299,13 @@ def stream_minhash_neardup(
                 )
                 .where(F.col("jaccard") >= threshold)
             )
+            if store_files is not None:
+                verified = verified.repartition(store_files)
             verified.write.mode("append").parquet(pairs_dir)
-            sigs.write.mode("append").parquet(sig_dir)
-            band_keys.write.mode("append").parquet(band_dir)
+            out_sig = sig.repartition(store_files) if store_files is not None else sig
+            out_sig.write.mode("append").parquet(sig_dir)
         finally:
-            sigs.unpersist()
-            band_keys.unpersist()
+            sig.unpersist()
 
     return (
         stream.writeStream.foreachBatch(tick)
