@@ -460,3 +460,46 @@ def token_entropy(
         )
         .select(id_col, "n_tokens", "entropy")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model — the CCNet-style perplexity-proxy quality filter (Wenzek et
+    al. 2020 rank documents by LM perplexity; a unigram model over the
+    corpus itself is the self-contained, engine-portable version). High
+    cross-entropy ⇒ rare-token-heavy text (noise, encoding junk); low ⇒
+    common-token boilerplate. Output: (id, n_tokens, cross_entropy) with
+
+        logp(t) = ln((c(t) + 1) / (N + V))       (add-one smoothing)
+        cross_entropy = -avg over token occurrences of logp(t)
+
+    Scale shape: one explode feeds (a) the vocab count aggregate
+    (map-side combinable; vocab is Zipf-bounded, millions of rows at
+    100 TB — joinable by hash, broadcast when it fits) and (b) the
+    scoring join back on the term; corpus totals (N, V) ride in as a
+    broadcast single-row aggregate, never a window over (). Per-doc
+    re-aggregation shuffles on the doc id."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, F.lower(F.col("tok")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log((F.col("c") + F.lit(1)).cast("double") / (F.col("_n") + F.col("_v"))).alias(
+                "_logp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
+    )

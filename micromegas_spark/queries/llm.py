@@ -1178,6 +1178,32 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(-AVG(ln(CAST(f.c + 1 AS DOUBLE) / (tot.n + tot.v))), 6)
+               AS cross_entropy
+    FROM toks t JOIN freq f USING (term), tot
+    GROUP BY t.doc_id ORDER BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality filter: per-doc cross-entropy
+    under the corpus's own add-one-smoothed unigram LM
+    (operators/text.unigram_logprob — one explode feeding the vocab
+    aggregate and the scoring join; corpus totals ride in as a broadcast
+    single-row aggregate). High ⇒ rare-token noise, low ⇒ boilerplate —
+    the standard rank-and-cut signal of LLM ingest pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(d).orderBy("doc_id")
+
+
+@query(
     "docs_epoch_shuffle",
     oracle="""
     WITH k AS (

@@ -147,3 +147,25 @@ def test_token_entropy_known_values(spark):
     assert abs(out[2] - 0.0) < 1e-6
     expect = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
     assert abs(out[3] - expect) < 1e-6
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from micromegas_spark.operators.text import unigram_logprob
+
+    # corpus: 'a' x3, 'b' x2, 'c' x1 → N=6, V=3; smoothed logp:
+    #   a: ln(4/9), b: ln(3/9), c: ln(2/9)
+    df = _docs(spark, [(1, "a a b"), (2, "a b c")])
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    lp = {t: math.log((c + 1) / 9.0) for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    assert got[1].n_tokens == 3
+    assert got[1].cross_entropy == pytest.approx(
+        -(2 * lp["a"] + lp["b"]) / 3, abs=1e-6
+    )
+    assert got[2].n_tokens == 3
+    assert got[2].cross_entropy == pytest.approx(
+        -(lp["a"] + lp["b"] + lp["c"]) / 3, abs=1e-6
+    )
+    # the rare-token doc reads as higher cross-entropy (the filter signal)
+    assert got[2].cross_entropy > got[1].cross_entropy
