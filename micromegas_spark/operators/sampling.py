@@ -156,3 +156,78 @@ def mixture_sample(
         .where(sample_unit(F.col(key_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed n-gram profile is, for weighted
+    resampling toward a target distribution (e.g. wiki-like text).
+
+    Features are lowercased unigrams + bigrams hashed into ``n_buckets``
+    (md5-based, engine-portable). With add-one-smoothed bag-of-buckets
+    models p_t (rows matching ``target``) and p_s (the whole corpus),
+
+        log w(doc) = Σ_feature-occurrences  ln p_t[f] − ln p_s[f]
+
+    Output: (id, n_feats, log_weight). Resample by ``log_weight`` (e.g.
+    keep rows where sample_unit(key) < exp(log_weight - max)).
+
+    Scale shape: one explode feeds a single (bucket)-keyed aggregate that
+    counts source and target occurrences together (map-side combinable;
+    ≤ n_buckets result rows), totals ride in as a broadcast single-row
+    aggregate, and scoring is a broadcast join of the ≤ n_buckets
+    log-ratio table against the re-exploded features followed by one
+    per-doc aggregation. Nothing shuffles at corpus volume except the
+    doc-id aggregation."""
+    from micromegas_spark.operators.text import token_hash32, tokens
+
+    def feats(c: Column) -> Column:
+        toks = F.transform(tokens(c), lambda t: F.lower(t))
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    ex = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_t"),
+        F.explode(feats(F.col(text_col))).alias("_g"),
+    ).select(
+        id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket")
+    )
+    counts = ex.groupBy("bucket").agg(
+        F.count("*").alias("c_s"),
+        F.sum("_t").alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_s").cast("double").alias("_ns"),
+        F.sum("c_t").cast("double").alias("_nt"),
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + F.lit(1)).cast("double") / (F.col("_nt") + F.lit(float(n_buckets))))
+            - F.log((F.col("c_s") + F.lit(1)).cast("double") / (F.col("_ns") + F.lit(float(n_buckets))))
+        ).alias("_lam"),
+    )
+    return (
+        ex.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.round(F.sum("_lam"), 6).alias("log_weight"),
+        )
+    )

@@ -1204,6 +1204,62 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform({_TOKS}, t -> lower(t)) AS tk
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               tk || CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)),
+                                              i -> tk[i] || ' ' || tk[i+1])
+                          ELSE [] END AS gs
+        FROM toks
+    ),
+    ex AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               ('0x' || substr(md5(unnest(gs)), 1, 8))::BIGINT % 1024 AS bucket
+        FROM feats
+    ),
+    counts AS (
+        SELECT bucket, COUNT(*) AS c_s, SUM(t) AS c_t FROM ex GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_s) AS DOUBLE) AS ns, CAST(SUM(c_t) AS DOUBLE) AS nt
+        FROM counts
+    ),
+    lam AS (
+        SELECT bucket,
+               ln(CAST(c_t + 1 AS DOUBLE) / (tot.nt + 1024.0))
+                 - ln(CAST(c_s + 1 AS DOUBLE) / (tot.ns + 1024.0)) AS l
+        FROM counts, tot
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           round(SUM(l.l), 6) AS log_weight
+    FROM ex e JOIN lam l USING (bucket)
+    GROUP BY e.doc_id ORDER BY e.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English subset of the corpus
+    (operators/sampling.dsir_log_weights; Xie et al. 2023): hashed
+    unigram+bigram bag-of-buckets models for target (lang='en') and
+    source (all docs), per-doc log importance weight = Σ per-occurrence
+    log-ratios. The data-SELECTION counterpart of the mixture/stratified
+    sampling ops — weights feed deterministic resampling via
+    sample_unit."""
+    from micromegas_spark.operators.sampling import dsir_log_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(d, target=F.col("lang") == "en").orderBy("doc_id")
+
+
+@query(
     "docs_epoch_shuffle",
     oracle="""
     WITH k AS (

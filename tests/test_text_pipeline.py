@@ -169,3 +169,28 @@ def test_unigram_logprob_known_values(spark):
     )
     # the rare-token doc reads as higher cross-entropy (the filter signal)
     assert got[2].cross_entropy > got[1].cross_entropy
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from micromegas_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        # target-distribution docs (flag 1): fruit vocabulary
+        (1, "apple banana apple banana", 1),
+        (2, "banana apple banana apple", 1),
+        # source-only docs: unrelated vocabulary
+        (3, "xylo qwerty zorb xylo", 0),
+        (4, "qwerty zorb qwerty xylo", 0),
+        # the probe: target-like text NOT flagged as target
+        (5, "apple banana apple apple", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt int")
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(df, target=F.col("tgt") == 1).collect()
+    }
+    # target-like docs (flagged or probe) outrank source-only docs
+    assert got[5] > got[3] and got[5] > got[4]
+    assert got[1] > got[3]
+    # every doc got one weight, features counted with multiplicity
+    assert len(got) == 5
