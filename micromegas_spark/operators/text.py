@@ -503,3 +503,74 @@ def unigram_logprob(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(-F.avg("_logp"), 6).alias("cross_entropy"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a bag of query
+    ``terms`` (Robertson/Spärck Jones; the Lucene-style idf variant that
+    stays positive):
+
+        idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+        score(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+
+    Output: (id, n_hits, score) for the k best-scoring documents,
+    deterministic via the (score DESC, id) tiebreak.
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any shuffle (a map-side isin over the literal list), so the (doc,
+    term) tf aggregation only carries matching occurrences; document
+    length stats come from a separate lengths projection joined back on
+    the id; per-term df and the corpus stats (N, avglen) ride in as
+    broadcast aggregates. Final ranking is TakeOrderedAndProject — no
+    global sort."""
+    lterms = [t.lower() for t in terms]
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, F.lower(F.col("tok")).alias("term"))
+    hits = toks.where(F.col("term").isin(*lterms))
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    lens = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.col("dl").cast("double")).alias("_avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "tf",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_hits"),
+            F.round(F.sum("_s"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

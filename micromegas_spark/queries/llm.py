@@ -1260,6 +1260,46 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    scored AS (
+        SELECT t.doc_id, t.tf,
+               ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                 * (t.tf * 2.2::DOUBLE)
+                 / (t.tf + 1.2::DOUBLE
+                    * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl)) AS sc
+        FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits,
+           round(SUM(sc), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/text.bm25_topk): top-20 docs for
+    the query bag {hash, vector, stream} with Lucene-style positive idf,
+    k1=1.2, b=0.75. The sparse-retrieval complement of the dense emb_*
+    ANN family — together they are the two retrieval paths of a RAG data
+    stack. Token explode filtered to query terms map-side before any
+    shuffle; df/corpus stats broadcast; TakeOrderedAndProject ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, ["hash", "vector", "stream"], k=20)
+
+
+@query(
     "docs_epoch_shuffle",
     oracle="""
     WITH k AS (

@@ -194,3 +194,25 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert got[1] > got[3]
     # every doc got one weight, features counted with multiplicity
     assert len(got) == 5
+
+
+def test_bm25_ranking_and_length_normalization(spark):
+    from micromegas_spark.operators.text import bm25_topk
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple apple apple"),           # 3 hits, short doc
+            (2, "apple pear plum grape melon"), # 1 hit, longer doc
+            (3, "pear plum grape melon berry"), # 0 hits — must not appear
+            (4, "apple apple pear plum grape melon berry fig date kiwi"),
+        ],
+    )
+    out = bm25_topk(df, ["apple"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids and set(ids) == {1, 2, 4}
+    scores = {r.doc_id: r.score for r in out}
+    # more hits in a shorter doc wins; 2 hits in a long doc beats 1 hit
+    # in a mid-length doc under b=0.75 length normalization
+    assert scores[1] > scores[4] > scores[2]
+    assert ids == sorted(ids, key=lambda i: (-scores[i], i))
