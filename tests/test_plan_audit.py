@@ -111,3 +111,29 @@ def test_thread_spans_single_stream_shuffle(spark):
     assert "MapInPandas" in plan, plan
     # stream_id appears as a hash partition key upstream of the Python stage
     assert re.search(r"hashpartitioning\(stream_id", plan), plan
+
+
+def test_bm25_broadcasts_stats_and_topk(spark):
+    plan = _plan(spark, "docs_bm25_topk")
+    # df table and corpus stats are broadcast; ranking is top-k, never a
+    # global Sort+CollectLimit
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the query-term filter is applied map-side against the explode — the
+    # tf aggregation's exchange only carries matching term occurrences
+    assert re.search(r"term#\d+ IN \(hash,|IN \(hash", plan), plan
+
+
+def test_dsir_lambda_table_broadcasts(spark):
+    plan = _plan(spark, "docs_dsir_weights")
+    # the <= n_buckets log-ratio table joins back via broadcast — the
+    # feature stream is never shuffled on the bucket key for scoring
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_logprob_broadcast_totals(spark):
+    plan = _plan(spark, "docs_unigram_logprob")
+    # corpus totals ride in as a broadcast single-row relation (a
+    # BroadcastNestedLoopJoin/cross of one row), never a window over ()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "WindowExec" not in plan, plan
