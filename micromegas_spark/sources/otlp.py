@@ -221,3 +221,38 @@ def otlp_metrics_from_json(df: DataFrame, json_col: str = "value") -> DataFrame:
         ).alias("value"),
         _attrs_map(F.col("dp.attributes")).alias("properties"),
     )
+
+
+def stream_otlp_json(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    kind: str = "logs",
+):
+    """Continuous OTLP/JSON ingestion: readStream over a landing directory
+    of OTLP JSON line files (the firehose shape an OTLP/HTTP collector
+    writes), the same declared-schema/from_json/explode transform as the
+    batch path, append sink with checkpointed exactly-once file tracking —
+    the Structured Streaming mirror of the reference's ingestion service
+    loop (rust/public/src/servers/ingestion.rs HTTP → block writer;
+    SURVEY §2.9 trigger cadences). ``trigger(availableNow)`` drains the
+    backlog and stops, i.e. one maintenance tick; swap for
+    ``processingTime`` for a resident ingester.
+
+    All transforms are stream-safe (stateless projections/explodes): the
+    ingest parallelism IS the file-scan parallelism, no state store."""
+    transform = {
+        "spans": otlp_spans_from_json,
+        "logs": otlp_logs_from_json,
+        "metrics": otlp_metrics_from_json,
+    }[kind]
+    raw = spark.readStream.text(source_dir)
+    out = transform(raw, "value")
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -199,3 +199,27 @@ def test_otlp_metrics_from_json(spark):
     assert s["metric_type"] == "sum" and s["value"] == 42.0
     assert s["properties"]["route"] == "/cart"
     assert s["service_name"] == "checkout"
+
+
+def test_stream_otlp_json_exactly_once_matches_batch(spark, tmp_path):
+    from micromegas_spark.sources.otlp import otlp_logs_from_json, stream_otlp_json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(json.dumps(_LOGS_DOC) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_otlp_json(spark, str(src), out, ckpt, kind="logs")
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = otlp_logs_from_json(
+        spark.createDataFrame([(json.dumps(_LOGS_DOC),)], "value string")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # second tick with one NEW file: only the new file lands (checkpointed
+    # file tracking = exactly-once), old rows are not re-ingested
+    (src / "b.jsonl").write_text(json.dumps(_LOGS_DOC) + "\n")
+    q2 = stream_otlp_json(spark, str(src), out, ckpt, kind="logs")
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 2 * batch.count()
