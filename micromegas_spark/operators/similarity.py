@@ -465,3 +465,45 @@ def lsh_ann_topk_pruned(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of N ranked
+    lists — the standard combiner for hybrid retrieval (sparse BM25 +
+    dense ANN): rrf(d) = Σ_lists 1/(k + rank_list(d)); documents missing
+    from a list simply contribute nothing.
+
+    Input: DataFrames carrying (id_col, rank_col) with 1-based ranks.
+    Output: (id, n_lists, rrf_score) ordered by (score DESC, id).
+
+    Scale shape: a unionByName of the per-list contributions and ONE
+    aggregation on the id — no outer-join chain, so fusing N lists stays
+    one shuffle regardless of N, and the inputs are typically already
+    tiny (top-k lists)."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    out = (
+        allp.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lists"),
+            F.round(F.sum("_c"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), id_col)
+    )
+    return out.limit(topk) if topk is not None else out

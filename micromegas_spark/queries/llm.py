@@ -1300,6 +1300,89 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    bm25 AS (
+        SELECT doc_id, round(SUM(
+               ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+                 * (t.tf * 2.2::DOUBLE)
+                 / (t.tf + 1.2::DOUBLE
+                    * (0.25::DOUBLE + 0.75::DOUBLE * l.dl / s.avgdl))), 6) AS score
+        FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id), stats s
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    bm25_r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+    ),
+    freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq),
+    ce AS (
+        SELECT t.doc_id,
+               round(-AVG(ln(CAST(f.c + 1 AS DOUBLE) / (tot.n + tot.v))), 6) AS ce
+        FROM toks t JOIN freq f USING (term), tot
+        GROUP BY t.doc_id ORDER BY ce, doc_id LIMIT 50
+    ),
+    ce_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ce, doc_id) AS rank FROM ce
+    ),
+    contrib AS (
+        SELECT doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) AS c FROM bm25_r
+        UNION ALL
+        SELECT doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) AS c FROM ce_r
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           round(SUM(c), 6) AS rrf_score
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/similarity.rrf_fuse): the BM25 keyword top-50 fused with a
+    quality prior (lowest unigram-LM cross-entropy top-50) — the standard
+    sparse+prior combiner of RAG stacks, here with two fully
+    deterministic component rankings so the whole fusion is
+    oracle-checkable. Both lists are tiny; fusion is one union + one
+    aggregation."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = text.bm25_topk(d, ["hash", "vector", "stream"], k=50).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    ql = (
+        text.unigram_logprob(d)
+        .orderBy(F.col("cross_entropy"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cross_entropy"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    return similarity.rrf_fuse([bm, ql], topk=20)
+
+
+@query(
     "docs_epoch_shuffle",
     oracle="""
     WITH k AS (

@@ -216,3 +216,19 @@ def test_bm25_ranking_and_length_normalization(spark):
     # in a mid-length doc under b=0.75 length normalization
     assert scores[1] > scores[4] > scores[2]
     assert ids == sorted(ids, key=lambda i: (-scores[i], i))
+
+
+def test_rrf_fuse_combines_and_orders(spark):
+    from micromegas_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    r2 = spark.createDataFrame([(2, 1), (4, 2)], "doc_id bigint, rank int")
+    out = rrf_fuse([r1, r2]).collect()
+    got = {r.doc_id: (r.n_lists, r.rrf_score) for r in out}
+    # doc 2 is in both lists → highest fused score
+    assert got[2][0] == 2 and out[0].doc_id == 2
+    assert got[2][1] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    # single-list docs keep one contribution each; ordering is score desc
+    assert got[1] == (1, pytest.approx(1 / 61, abs=1e-6))
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)
