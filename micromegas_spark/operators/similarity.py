@@ -295,21 +295,51 @@ def scalar_quantize(
     codes and dequantize back to mn exactly.
 
         code_i = round(255 · (x_i − mn) / span),  x̂_i = mn + code_i·span/255
-    """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn = F.array_min(v)
-    span = F.array_max(v) - mn
-    codes = F.when(
-        span == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
-    ).otherwise(
-        F.transform(v, lambda x: F.round(F.lit(255.0) * (x - mn) / span).cast("int"))
-    )
+
+    The cast array and the (mn, span) scales are BOUND once via _let
+    before the code lambda uses them: HOFs are CodegenFallback with no
+    common-subexpression elimination, so a lambda body referencing the
+    array_min/max SUBTREES would re-evaluate them per element — O(d²)
+    per vector instead of O(d)."""
+    from micromegas_spark.operators.text import _let
+
+    def _qstruct(vec: Column) -> Column:
+        return _let(
+            F.transform(vec, lambda x: x.cast("double")),
+            lambda v: _let(
+                F.struct(
+                    F.array_min(v).alias("mn"),
+                    (F.array_max(v) - F.array_min(v)).alias("span"),
+                ),
+                lambda ms: F.struct(
+                    F.when(
+                        ms.getField("span") == 0,
+                        F.transform(v, lambda x: F.lit(0).cast("int")),
+                    )
+                    .otherwise(
+                        F.transform(
+                            v,
+                            lambda x: F.round(
+                                F.lit(255.0)
+                                * (x - ms.getField("mn"))
+                                / ms.getField("span")
+                            ).cast("int"),
+                        )
+                    )
+                    .alias("codes"),
+                    ms.getField("mn").alias("mn"),
+                    ms.getField("span").alias("span"),
+                ),
+            ),
+        )
+
+    q = _qstruct(F.col(vec_col))
     return df.select(
         F.col(id_col),
         *(extra_cols or []),
-        codes.alias("codes"),
-        mn.alias("mn"),
-        span.alias("span"),
+        q.getField("codes").alias("codes"),
+        q.getField("mn").alias("mn"),
+        q.getField("span").alias("span"),
     )
 
 
