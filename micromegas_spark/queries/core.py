@@ -855,3 +855,128 @@ def lineitem_histogram_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95")
         )
     )
+
+
+@query(
+    "events_error_anomaly",
+    oracle="""
+    WITH b AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    w AS (
+        SELECT hour_epoch, n,
+               CAST(COUNT(n)  OVER f AS BIGINT) AS k,
+               CAST(SUM(n)    OVER f AS DOUBLE) AS s,
+               CAST(SUM(n*n)  OVER f AS DOUBLE) AS ss
+        FROM b
+        WINDOW f AS (ORDER BY hour_epoch ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_epoch, n,
+           CASE WHEN k >= 8 AND (ss - s*s/k) / (k-1) > 0
+                THEN round((n - s/k) / sqrt((ss - s*s/k) / (k-1)), 6)
+           END AS z,
+           CASE WHEN k >= 8 AND (ss - s*s/k) / (k-1) > 0
+                     AND abs((n - s/k) / sqrt((ss - s*s/k) / (k-1))) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w ORDER BY hour_epoch
+    """,
+)
+def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate anomaly detection — the alerting query of an
+    observability stack: hourly error counts scored as a z-score against
+    the trailing 24 populated bins (explicit sum/sum-sq sample variance,
+    NOT the engines' stddev implementations, so both engines share one
+    float op order; frames evaluate in hour order on both). Bins with
+    fewer than 8 trailing samples or zero variance emit NULL. One
+    aggregation + one ordered window — at fleet scale partition the
+    window by (process, metric) key; the global spine here matches the
+    reference's single-stream alert shape."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            ((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias(
+                "hour_epoch"
+            )
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    f = Window.orderBy("hour_epoch").rowsBetween(-24, -1)
+    w = b.select(
+        "hour_epoch",
+        "n",
+        F.count("n").over(f).cast("bigint").alias("k"),
+        F.sum("n").over(f).cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(f).cast("double").alias("ss"),
+    )
+    # try_divide: ANSI mode raises on the k=0/k=1 rows of the warm-up
+    # prefix even under a when() guard (the branch is analyzed eagerly);
+    # the ok predicate already excludes those rows from the output
+    var = F.try_divide(
+        F.col("ss") - F.try_divide(F.col("s") * F.col("s"), F.col("k")),
+        F.col("k") - 1,
+    )
+    z = F.try_divide(F.col("n") - F.try_divide(F.col("s"), F.col("k")), F.sqrt(var))
+    ok = (F.col("k") >= 8) & (var > 0)
+    return w.select(
+        "hour_epoch",
+        "n",
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok & (F.abs(z) > 2.0), F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+    ).orderBy("hour_epoch")
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM a GROUP BY day),
+    ret AS (
+        SELECT t.day, CAST(COUNT(*) AS BIGINT) AS n_retained
+        FROM a t JOIN a n ON n.user_id = t.user_id AND n.day = t.day + 1
+        GROUP BY t.day
+    )
+    SELECT act.day, act.n_active,
+           COALESCE(ret.n_retained, 0) AS n_retained,
+           round(CAST(COALESCE(ret.n_retained, 0) AS DOUBLE) / act.n_active, 6)
+               AS retention
+    FROM act LEFT JOIN ret USING (day)
+    ORDER BY act.day
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention — the cohort query of product/usage
+    analytics: of the users active on day d, the fraction also active on
+    d+1. One distinct projection feeds both sides; the next-day set is
+    the same relation shifted by one day, left-semi joined per user —
+    cardinality is bounded by distinct (user, day), never raw events.
+    At fleet scale the (user, day) distinct is the only full shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint").alias("day")
+    ).distinct()
+    act = a.groupBy("day").agg(F.count("*").cast("bigint").alias("n_active"))
+    nxt = a.select("user_id", (F.col("day") - 1).alias("day"))
+    ret = (
+        a.join(nxt, ["user_id", "day"], "left_semi")
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_retained"))
+    )
+    return (
+        act.join(ret, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_retained"), F.lit(0)).cast("bigint").alias("n_retained"),
+            F.round(
+                F.coalesce(F.col("n_retained"), F.lit(0)).cast("double")
+                / F.col("n_active"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )
