@@ -980,3 +980,73 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "orders_skew_safe_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC
+    """,
+)
+def orders_skew_safe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof per-key top-k (operators/skew.skew_safe_topk): local
+    top-k inside each input partition, then a global window over the
+    k·partitions survivors — semantically identical to a plain
+    ROW_NUMBER window (the oracle), but a hot customer contributes at
+    most k rows per partition to the shuffle instead of its full volume.
+    The order key is a (price, orderkey) struct so ties are deterministic
+    on both engines."""
+    from micromegas_spark.operators.skew import skew_safe_topk
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.struct(F.col("o_totalprice"), F.col("o_orderkey")).alias("_ord"),
+    )
+    return (
+        skew_safe_topk(o, ["o_custkey"], "_ord", k=3, descending=True)
+        .drop("_ord")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+    )
+
+
+@query(
+    "orders_salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def orders_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact⨝fact join (operators/skew.salted_join): lineitem
+    rows get a deterministic salt bucket, orders replicate across the 16
+    buckets, the join key becomes (orderkey, salt) — a hot order's items
+    spread over 16 tasks. The oracle is the PLAIN join: salting must be
+    invisible in the result. Use when both sides are too big to broadcast
+    and a key is hot enough that AQE's skew split can't keep up."""
+    from micromegas_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, ["o_orderkey"], salt=16, how="inner")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(_DEC2)).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
