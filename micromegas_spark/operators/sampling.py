@@ -186,27 +186,42 @@ def dsir_log_weights(
     log-ratio table against the re-exploded features followed by one
     per-doc aggregation. Nothing shuffles at corpus volume except the
     doc-id aggregation."""
-    from micromegas_spark.operators.text import token_hash32, tokens
+    from micromegas_spark.operators.text import _let, token_hash32, tokens
 
     def feats(c: Column) -> Column:
-        toks = F.transform(tokens(c), lambda t: F.lower(t))
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        # _let binds the lowered token array ONCE: a lambda body indexing
+        # into the token EXPRESSION would re-evaluate the split per element
+        # access — the quadratic n-gram trap (see text._let)
+        def _grams(toks: Column) -> Column:
+            bigrams = F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return F.concat(toks, bigrams)
+            ).otherwise(F.array().cast("array<string>"))
+            return F.concat(toks, bigrams)
 
-    ex = df.select(
-        F.col(id_col),
-        target.cast("int").alias("_t"),
-        F.explode(feats(F.col(text_col))).alias("_g"),
-    ).select(
-        id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket")
+        return _let(F.transform(tokens(c), lambda t: F.lower(t)), _grams)
+
+    from pyspark import StorageLevel
+
+    # persisted: the (id, bucket) feature stream feeds BOTH the model
+    # counts and the scoring join — without the cache the bigram+md5 pass
+    # runs twice (the same materialized-signature trade as
+    # dedup.minhash_near_duplicates; ~13 B/occurrence, MEMORY_AND_DISK so
+    # a 100 TB corpus spills instead of evicting; a production selection
+    # run would write this stream to a table once)
+    ex = (
+        df.select(
+            F.col(id_col),
+            target.cast("int").alias("_t"),
+            F.explode(feats(F.col(text_col))).alias("_g"),
+        )
+        .select(id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = ex.groupBy("bucket").agg(
         F.count("*").alias("c_s"),

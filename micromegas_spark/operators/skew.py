@@ -78,5 +78,10 @@ def salted_join(
     r_salted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    out = l_salted.join(r_salted, [*keys, "_salt"], how)
+    # shuffle_hash on the replicated build side: salting exists precisely
+    # because the key distribution is pathological, and sort-merge would
+    # SORT salt× replicated rows; a shuffled hash join builds a table from
+    # the replica partition instead (AQE cannot pick this itself when
+    # stats mispredict the exploded size)
+    out = l_salted.join(r_salted.hint("shuffle_hash"), [*keys, "_salt"], how)
     return out.drop("_salt")

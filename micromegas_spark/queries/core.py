@@ -1030,7 +1030,7 @@ def orders_skew_safe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe fact⨝fact join (operators/skew.salted_join): lineitem
-    rows get a deterministic salt bucket, orders replicate across the 16
+    rows get a deterministic salt bucket, orders replicate across the 8
     buckets, the join key becomes (orderkey, salt) — a hot order's items
     spread over 16 tasks. The oracle is the PLAIN join: salting must be
     invisible in the result. Use when both sides are too big to broadcast
@@ -1041,7 +1041,7 @@ def orders_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = salted_join(li, o, ["o_orderkey"], salt=16, how="inner")
+    j = salted_join(li, o, ["o_orderkey"], salt=8, how="inner")
     return (
         j.groupBy("o_orderpriority")
         .agg(
