@@ -57,3 +57,35 @@ def test_scale_thread_spans_many_streams(spark):
     # invariant spot check distributed: no negative durations, depths sane
     bad = spans.where((F.col("duration") < 0) | (F.col("depth") < 0) | (F.col("depth") > 10)).count()
     assert bad == 0
+
+
+def test_scale_dedup_and_selection_pipeline(spark):
+    """MinHash near-dup + DSIR weights over a 4x-cloned corpus (20k docs):
+    every clone pair must be discovered through the LSH path (identical
+    signatures land in the same bucket), weights cover every doc, and the
+    pipeline completes without driver-side loops."""
+    from micromegas_spark.operators.dedup import minhash_near_duplicates
+    from micromegas_spark.operators.sampling import dsir_log_weights
+    from micromegas_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n = base.count()
+    # clone the corpus 4x with offset ids: 0..n-1 originals, k*n+i clones
+    d = base
+    for k in (1, 2, 3):
+        d = d.unionByName(
+            base.select(
+                (F.col("doc_id") + k * n).alias("doc_id"), "text", "lang"
+            )
+        )
+    pairs = minhash_near_duplicates(d, threshold=0.99)
+    # every doc has 3 clones → at least 4-choose-2 pairs per distinct text
+    # (near-dups between distinct texts may add more; never fewer)
+    assert pairs.count() >= 6 * n
+    exact = pairs.where(F.col("jaccard") == 1.0)
+    # each original participates in its clone clique via id_a=min
+    assert exact.where(F.col("id_a") < n).count() >= 3 * n * 0.99
+    w = dsir_log_weights(d, target=F.col("lang") == "en")
+    assert w.count() == 4 * n
