@@ -128,6 +128,65 @@ class Client:
         )
         return df.limit(limit).toPandas()
 
+    # -- ingestion + partition admin (client.py:533-781) -------------------
+
+    def bulk_ingest(self, table_name: str, data) -> int:
+        """Arrow/pandas rows → the engine's warehouse (client.py:533-606
+        DoPut bulk_ingest analogue): appends parquet under
+        ``warehouse/ingest/<table>`` and (re)registers the table as a
+        queryable view over the whole directory. Returns rows ingested.
+        Append-only and atomic per call (parquet files land whole), like
+        the reference's replication endpoint."""
+        import os
+
+        import pandas as pd
+
+        if not isinstance(data, pd.DataFrame):
+            data = data.to_pandas()  # pyarrow Table / RecordBatch
+        sdf = self.engine.spark.createDataFrame(data)
+        out = os.path.join(self.engine.warehouse, "ingest", table_name)
+        sdf.write.mode("append").parquet(out)
+        self.engine.register_table(table_name, self.engine.spark.read.parquet(out))
+        return len(data)
+
+    def retire_partitions(self, view_set_name: str, begin, end) -> int:
+        """Admin: drop materialized partitions inside the insert-time range
+        (functions-reference.md retire_partitions UDTF; F20). Returns the
+        number retired."""
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        return self.engine.lakehouse.retire_partitions(
+            view_set_name, to_epoch_ns(begin), to_epoch_ns(end)
+        )
+
+    def materialize_partitions(
+        self, view_name: str, begin, end, partition_delta_seconds: int
+    ) -> dict:
+        """Admin: materialize aligned insert-time buckets for a registered
+        batch view (skips fresh ones — the maintenance tick semantics)."""
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        return self.engine.lakehouse.materialize_range(
+            self.engine.batch_view(view_name),
+            to_epoch_ns(begin),
+            to_epoch_ns(end),
+            partition_delta_seconds * 1_000_000_000,
+        )
+
+    def regenerate_partitions(
+        self, view_name: str, begin, end, partition_delta_seconds: int
+    ) -> dict:
+        """Admin: force-rebuild buckets bypassing the freshness check
+        (batch_update.rs:278-356)."""
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        return self.engine.lakehouse.regenerate_partitions(
+            self.engine.batch_view(view_name),
+            to_epoch_ns(begin),
+            to_epoch_ns(end),
+            partition_delta_seconds * 1_000_000_000,
+        )
+
 
 class PreparedStatement:
     def __init__(self, client: Client, sql: str):

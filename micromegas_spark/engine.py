@@ -104,6 +104,36 @@ class Engine:
             eng.register_table(name, df, time_column="ts" if name == "events" else None)
         return eng
 
+    # -- lakehouse / batch views ----------------------------------------------
+
+    @property
+    def lakehouse(self):
+        """Lazily-built partition catalog over this engine's warehouse —
+        the admin surface (retire/materialize/regenerate) delegates here
+        (the reference's admin UDFs mutate the same catalog,
+        query.rs:150-175)."""
+        if not hasattr(self, "_lakehouse"):
+            from micromegas_spark.materialize import Lakehouse
+
+            self._lakehouse = Lakehouse(self.spark, self.warehouse)
+        return self._lakehouse
+
+    def register_batch_view(self, spec) -> None:
+        """Register a BatchViewSpec so client admin calls can address it by
+        view name (the reference's view_factory registry role)."""
+        if not hasattr(self, "_batch_views"):
+            self._batch_views: dict[str, object] = {}
+        self._batch_views[spec.name] = spec
+
+    def batch_view(self, name: str):
+        specs = getattr(self, "_batch_views", {})
+        if name not in specs:
+            raise KeyError(
+                f"unknown batch view {name!r}; register_batch_view() it first "
+                f"(known: {sorted(specs)})"
+            )
+        return specs[name]
+
     # -- JIT view instances ----------------------------------------------------
 
     def register_jit_view_set(self, vs: JitViewSet) -> None:

@@ -76,3 +76,56 @@ def test_retention(spark, tmp_path):
     dropped = lake.retire_older_than("log_stats", lo + HOUR)
     assert dropped >= 1
     assert len(lake.list_partitions("log_stats")) == n - dropped
+
+
+def test_client_admin_and_bulk_ingest(spark, tmp_path):
+    import pandas as pd
+
+    from micromegas_spark.materialize import LOG_STATS
+    from micromegas_spark.sources.synthetic import generate
+
+    HOUR = 3_600 * 10**9
+    data = generate(seed=7)
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"), "stream_id"
+    ).createOrReplaceTempView("blocks")
+    spark.createDataFrame(data["log_entries"]).createOrReplaceTempView("log_entries")
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.register_batch_view(LOG_STATS)
+    c = Client(eng)
+
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+
+    stats = c.materialize_partitions("log_stats", lo, hi, 3600)
+    assert stats.get("created", 0) >= 1
+    n_parts = len(eng.lakehouse.list_partitions("log_stats"))
+    assert n_parts >= 1
+
+    # regenerate force-rebuilds the same buckets
+    stats2 = c.regenerate_partitions("log_stats", lo, hi, 3600)
+    assert stats2.get("created", 0) == stats.get("created", 0) + stats.get(
+        "empty", 0
+    ) or stats2.get("created", 0) >= 1
+
+    # retire drops them all
+    dropped = c.retire_partitions("log_stats", lo, hi)
+    assert dropped >= n_parts - 1
+    assert eng.lakehouse.list_partitions("log_stats") == []
+
+    # bulk ingest: rows land append-only and are immediately queryable
+    n = c.bulk_ingest(
+        "custom_metrics", pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    assert n == 2
+    c.bulk_ingest("custom_metrics", pd.DataFrame({"k": ["c"], "v": [3.0]}))
+    got = c.query("SELECT COUNT(*) AS n, SUM(v) AS s FROM custom_metrics")
+    assert got["n"][0] == 3 and got["s"][0] == 6.0
+
+    # unknown batch view name is a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        c.materialize_partitions("nope", lo, hi, 3600)
