@@ -133,6 +133,35 @@ def stream_sessionize(
     )
 
 
+def stream_sliding_rates(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "event_time",
+    key_col: str = "level",
+) -> DataFrame:
+    """Sliding-window rates over a stream — the remaining window shape of
+    SURVEY §2.9 (tumbling = stream_log_stats, session =
+    stream_sessionize; the reference has neither sliding nor session,
+    this is Spark-extra surface): each event lands in window/slide
+    overlapping windows, so per-window counts give a smoothed rate
+    without a separate smoothing pass. State is bounded by
+    (keys × windows inside the watermark horizon); windows emit on
+    watermark passage in append mode."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window, slide).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
 def _signatures(
     df: DataFrame,
     text_col: str,

@@ -104,3 +104,31 @@ def test_append_mode_emits_closed_sessions_once(spark, tmp_path):
     # re-emit already-closed sessions
     second = tick([])
     assert sorted((r.user_id, r.sess_start, r.n_events) for r in second) == sorted(emitted)
+
+
+def test_sliding_window_rates_overlap(spark, tmp_path):
+    from micromegas_spark.streaming.incremental import stream_sliding_rates
+
+    # u-events at minutes 0..14: with 10-min windows sliding by 5, the
+    # event at minute 7 belongs to windows [0,10) and [5,15)
+    rows = [_mk(1, m) for m in (0, 3, 7, 12, 14)]
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        stream_sliding_rates(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName("sliding_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows_ = spark.sql(
+        "SELECT win_start, n_events FROM sliding_rates ORDER BY win_start"
+    ).collect()
+    # windows: [-5,5): events 0,3 → 2 | [0,10): 0,3,7 → 3 |
+    #          [5,15): 7,12,14 → 3 | [10,20): 12,14 → 2
+    assert [r.n_events for r in rows_] == [2, 3, 3, 2]
+    # overlap check: total window-event memberships = 2 per event
+    assert sum(r.n_events for r in rows_) == 2 * 5
