@@ -574,3 +574,81 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> "list[tuple[str, str, int]]":
+    """Byte-pair-encoding merge training over a corpus (Sennrich et al.
+    2016 — the vocabulary-induction step of an LLM data pipeline),
+    distributed: returns the ordered merge list
+    ``[(left_sym, right_sym, pair_count), ...]``.
+
+    Classic word-internal BPE: every distinct word becomes a
+    space-separated symbol sequence of its characters plus a ``</w>``
+    end marker; each round counts adjacent symbol pairs weighted by word
+    frequency, merges the most frequent pair (ties: lexicographic
+    smallest pair — deterministic on any engine), and rewrites the
+    sequences.
+
+    Scale shape (the kmeans-style driver loop of declarative jobs): the
+    corpus collapses ONCE to distinct (word, count) — vocabulary-bound,
+    not token-bound, the same reduction every BPE trainer relies on —
+    and each round is one explode + one weighted count + one argmax
+    collect of a single row, then a map-side regexp rewrite. Lineage is
+    cut by a LAZY localCheckpoint each round (the plan would otherwise
+    double per round); laziness folds the rewrite materialization into
+    the next round's count job — one job per merge, not two."""
+    sep = " "
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.concat_ws(sep, F.split(F.col("w"), "")), F.lit(" </w>")
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _ in range(n_merges):
+        arr = F.split(F.col("syms"), sep)
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.zip_with(
+                        F.slice(arr, 1, F.size(arr) - 1),
+                        F.slice(arr, 2, F.size(arr) - 1),
+                        lambda a, b: F.concat_ws(sep, a, b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(sep)
+        merges.append((left, right, n))
+        # whole-symbol match: the pair bounded by start/space on the left
+        # and space/end on the right; \Q..\E quotes regex metacharacters
+        pat = f"(?<=^|\\s)\\Q{left}\\E \\Q{right}\\E(?=\\s|$)"
+        cur = cur.select(
+            F.regexp_replace(F.col("syms"), pat, left + right).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    return merges

@@ -1382,6 +1382,28 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([bm, ql], topk=20)
 
 
+@query("docs_bpe_merges")
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over the corpus (operators/text.bpe_train,
+    Sennrich et al. 2016): the first 8 merge rules with their pair counts
+    — the tokenizer-training step of an LLM data pipeline as a driver
+    loop of declarative jobs (distinct-word collapse, then per round one
+    weighted pair count + one argmax + a map-side rewrite).
+
+    Rows-only check by design (the sanctioned iterative-algorithm class):
+    the per-round rewrite needs lookaround regex or an imperative list
+    scan, neither of which DuckDB's RE2/SQL surface can mirror
+    deterministically — exact semantics are pinned instead by the
+    in-test reference implementation
+    (tests/test_text_pipeline.py::test_bpe_train_matches_reference_algorithm)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
 @query(
     "docs_epoch_shuffle",
     oracle="""

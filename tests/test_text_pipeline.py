@@ -232,3 +232,47 @@ def test_rrf_fuse_combines_and_orders(spark):
     assert got[1] == (1, pytest.approx(1 / 61, abs=1e-6))
     scores = [r.rrf_score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    from collections import Counter
+
+    from micromegas_spark.operators.text import bpe_train
+
+    # Sennrich-style corpus: word frequencies drive the merge order
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in vocab.items() for _ in range(c))
+
+    def ref_bpe(vocab, n):
+        segs = {w: list(w) + ["</w>"] for w in vocab}
+        out = []
+        for _ in range(n):
+            counts = Counter()
+            for w, c in vocab.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += c
+            if not counts:
+                break
+            # max count, ties by lexicographic smallest "left right"
+            best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), n_ = best
+            out.append((a, b, n_))
+            for w in vocab:
+                s, i, ns = segs[w], 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                segs[w] = ns
+        return out
+
+    expected = ref_bpe(vocab, 6)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = bpe_train(df, n_merges=6)
+    assert got == expected
+    # sanity on the classic example: ('e','s') with count 9 merges first
+    assert got[0] == ("e", "s", 9)
