@@ -14,6 +14,7 @@ queries/llm.py, so both engines produce byte-identical results:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -652,3 +653,54 @@ def bpe_train(
             "cnt",
         ).localCheckpoint(eager=False)
     return merges
+
+
+def bpe_segment(
+    text: Column, merges: "list[tuple[str, str, int]]"
+) -> Column:
+    """Apply trained BPE merges (``bpe_train`` output) to a text column →
+    array of sub-word pieces — the tokenize-the-corpus step that actually
+    runs at 100 TB once the vocabulary exists.
+
+    The merge table rides to executors inside the UDF closure (it is
+    vocabulary-sized — KBs to low MBs); encoding is the classic
+    rank-greedy loop per word, vectorized over Arrow batches with a
+    pandas UDF (the per-word merge loop is inherently imperative — this
+    is the sanctioned Python crossing, same class as the call-tree stack
+    machine)."""
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            # merge ALL occurrences of the best pair, left to right
+            a, b = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda t: [
+                p
+                for w in (t or "").split()
+                for p in encode_word(w)
+            ]
+        )
+
+    return seg(text)

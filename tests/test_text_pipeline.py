@@ -276,3 +276,31 @@ def test_bpe_train_matches_reference_algorithm(spark):
     assert got == expected
     # sanity on the classic example: ('e','s') with count 9 merges first
     assert got[0] == ("e", "s", 9)
+
+
+def test_bpe_segment_applies_trained_merges(spark):
+    from micromegas_spark.operators.text import bpe_segment, bpe_train
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in vocab.items() for _ in range(c))
+    corpus = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    merges = bpe_train(corpus, n_merges=10)
+
+    probe = spark.createDataFrame(
+        [(1, "lowest low"), (2, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.pieces
+        for r in probe.select(
+            "doc_id", bpe_segment(F.col("text"), merges).alias("pieces")
+        ).collect()
+    }
+    # training words segment to their fully-merged forms; 'lowest' reuses
+    # the 'est</w>' and 'lo'/'low' merges learned from the corpus
+    flat = got[1]
+    assert "".join(flat).replace("</w>", "") == "lowestlow"
+    assert got[2] == []
+    # every piece is either a learned merge product or a single char+marker
+    learned = {a + b for a, b, _ in merges}
+    for p in flat:
+        assert p in learned or len(p.replace("</w>", "")) <= 1
