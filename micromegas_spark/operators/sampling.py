@@ -164,6 +164,7 @@ def dsir_log_weights(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every document
@@ -208,21 +209,21 @@ def dsir_log_weights(
 
     from pyspark import StorageLevel
 
-    # persisted: the (id, bucket) feature stream feeds BOTH the model
-    # counts and the scoring join — without the cache the bigram+md5 pass
-    # runs twice (the same materialized-signature trade as
-    # dedup.minhash_near_duplicates; ~13 B/occurrence, MEMORY_AND_DISK so
-    # a 100 TB corpus spills instead of evicting; a production selection
-    # run would write this stream to a table once)
-    ex = (
-        df.select(
-            F.col(id_col),
-            target.cast("int").alias("_t"),
-            F.explode(feats(F.col(text_col))).alias("_g"),
-        )
-        .select(id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # cache=True persists the (id, bucket) feature stream, which feeds
+    # BOTH the model counts and the scoring join — without the cache the
+    # bigram+md5 pass runs twice (the same materialized-signature trade
+    # as dedup.minhash_near_duplicates; ~13 B/occurrence,
+    # MEMORY_AND_DISK so a 100 TB corpus spills instead of evicting).
+    # The cache lives until the session unpersists or clears it — pass
+    # cache=False for one-shot callers that prefer the recompute; a
+    # production selection run would write this stream to a table once.
+    ex = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_t"),
+        F.explode(feats(F.col(text_col))).alias("_g"),
+    ).select(id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket"))
+    if cache:
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     counts = ex.groupBy("bucket").agg(
         F.count("*").alias("c_s"),
         F.sum("_t").alias("c_t"),

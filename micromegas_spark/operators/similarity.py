@@ -333,13 +333,21 @@ def scalar_quantize(
             ),
         )
 
+    # explode(array(q)) is a Generate-node BARRIER (same trick as the
+    # minhash signature fold): unpacking the struct via three getFields in
+    # ONE projection would embed three copies of the whole quantization
+    # expression — CodegenFallback HOFs get no subexpression elimination,
+    # so the transform/min/max work would run three times per row
     q = _qstruct(F.col(vec_col))
-    return df.select(
+    inner = df.select(
+        F.col(id_col), *(extra_cols or []), F.explode(F.array(q)).alias("_q")
+    )
+    return inner.select(
         F.col(id_col),
         *(extra_cols or []),
-        q.getField("codes").alias("codes"),
-        q.getField("mn").alias("mn"),
-        q.getField("span").alias("span"),
+        F.col("_q").getField("codes").alias("codes"),
+        F.col("_q").getField("mn").alias("mn"),
+        F.col("_q").getField("span").alias("span"),
     )
 
 
@@ -516,6 +524,8 @@ def rrf_fuse(
     aggregation on the id — no outer-join chain, so fusing N lists stays
     one shuffle regardless of N, and the inputs are typically already
     tiny (top-k lists)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be a non-empty list")
     parts = [
         r.select(
             F.col(id_col),

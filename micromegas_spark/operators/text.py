@@ -646,10 +646,18 @@ def bpe_train(
         left, right = pair.split(sep)
         merges.append((left, right, n))
         # whole-symbol match: the pair bounded by start/space on the left
-        # and space/end on the right; \Q..\E quotes regex metacharacters
-        pat = f"(?<=^|\\s)\\Q{left}\\E \\Q{right}\\E(?=\\s|$)"
+        # and space/end on the right. Symbols are escaped per character
+        # (not \Q..\E, which a symbol containing the literal '\\E' would
+        # break), and the REPLACEMENT is escaped too — Java's
+        # appendReplacement treats '$' as a group reference and '\\' as
+        # an escape, so a corpus token like '$5' would otherwise crash
+        # the rewrite (Matcher.quoteReplacement semantics).
+        import re as _re
+
+        pat = f"(?<=^|\\s){_re.escape(left)} {_re.escape(right)}(?=\\s|$)"
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
         cur = cur.select(
-            F.regexp_replace(F.col("syms"), pat, left + right).alias("syms"),
+            F.regexp_replace(F.col("syms"), pat, repl).alias("syms"),
             "cnt",
         ).localCheckpoint(eager=False)
     return merges

@@ -98,7 +98,7 @@ def events_hourly_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.where(F.col("event_type") == "error")
-        .groupBy(((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"))
+        .groupBy((F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast(_DEC2)).cast("double").alias("sum_value"),
@@ -127,7 +127,7 @@ def events_datebin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            ((F.col("ts_us") / F.lit(900_000_000)).cast("bigint") * 900).alias("bin_epoch"),
+            (F.floor(F.col("ts_us") / F.lit(900_000_000)).cast("bigint") * 900).alias("bin_epoch"),
             "event_type",
         )
         .agg(
@@ -158,7 +158,7 @@ def log_stats_merge_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans this as partial+final aggregate with map-side combine."""
     ev = load_table(spark, sf_dir, "events")
     extract = ev.groupBy(
-        ((F.col("ts_us") / F.lit(60_000_000)).cast("bigint") * 60).alias("bin_epoch"),
+        (F.floor(F.col("ts_us") / F.lit(60_000_000)).cast("bigint") * 60).alias("bin_epoch"),
         "event_type",
     ).agg(F.count("*").alias("n"))
     merged = (
@@ -233,11 +233,11 @@ def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid via sequence() + left join + coalesce. The grid generation is a
     one-row explode, not a driver loop."""
     ev = load_table(spark, sf_dir, "events")
-    hour = ((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch")
+    hour = (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch")
     agg = ev.where(F.col("event_type") == "signup").groupBy(hour).agg(F.count("*").alias("n"))
     bounds = ev.agg(
-        ((F.min("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("lo"),
-        ((F.max("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hi"),
+        (F.floor(F.min("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("lo"),
+        (F.floor(F.max("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hi"),
     )
     grid = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("hour_epoch")
@@ -897,7 +897,7 @@ def events_error_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.where(F.col("event_type") == "error")
         .groupBy(
-            ((F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias(
+            (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias(
                 "hour_epoch"
             )
         )
@@ -957,7 +957,7 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     At fleet scale the (user, day) distinct is the only full shuffle."""
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
-        "user_id", (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint").alias("day")
+        "user_id", F.floor(F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint").alias("day")
     ).distinct()
     act = a.groupBy("day").agg(F.count("*").cast("bigint").alias("n_active"))
     nxt = a.select("user_id", (F.col("day") - 1).alias("day"))

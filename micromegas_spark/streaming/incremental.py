@@ -272,6 +272,23 @@ def stream_minhash_neardup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
+    def _read_store(sig_dir: str) -> DataFrame:
+        """Signature store read with a migration shim: a store written by
+        the pre-(id, sh, mhs) layout carries only (id, sh) — derive the
+        signature array from the stored shingle sets on read (one extra
+        fold per old row; new appends carry mhs and skip it)."""
+        from micromegas_spark.operators.dedup import minhash_signature_from_hashes
+
+        st = spark.read.parquet(sig_dir)
+        derived = minhash_signature_from_hashes(F.col("sh"), n_hashes)
+        if "mhs" not in st.columns:
+            st = st.withColumn("mhs", derived)
+        else:
+            # a mixed store (old files appended to before the upgrade,
+            # new files after) surfaces the missing column as NULLs
+            st = st.withColumn("mhs", F.coalesce(F.col("mhs"), derived))
+        return st
+
     def tick(batch_df: DataFrame, batch_id: int) -> None:
         # compaction happens at WRITE time only — the persisted relation
         # keeps its natural partitioning so the candidate/verify joins
@@ -286,7 +303,7 @@ def stream_minhash_neardup(
             cands = None
             if os.path.isdir(sig_dir):
                 old_b = _band_keys(
-                    spark.read.parquet(sig_dir).select(id_col, "mhs"),
+                    _read_store(sig_dir).select(id_col, "mhs"),
                     id_col,
                     n_hashes,
                     bands,

@@ -102,3 +102,61 @@ def test_query_stream_is_incremental(spark):
     assert first.num_rows == 100
     total = first.num_rows + sum(b.num_rows for b in gen)
     assert total == 1000
+
+
+# --- round-4 review findings ------------------------------------------------
+
+
+def test_bpe_train_handles_regex_special_symbols(spark):
+    """Merge pairs containing '$'/'\\' must not crash or corrupt the
+    rewrite (Java appendReplacement treats them specially)."""
+    from micromegas_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "$5 $5 $5 $5 a\\b a\\b a\\b")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, n_merges=3)
+    assert merges, "special-char corpus must still train"
+    assert merges[0][:2] == ("$", "5")  # most frequent pair, crash-free
+
+
+def test_rrf_fuse_rejects_empty_rankings(spark):
+    import pytest as _pytest
+
+    from micromegas_spark.operators.similarity import rrf_fuse
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+
+
+def test_stream_minhash_reads_pre_mhs_store(spark, tmp_path):
+    """A signature store written by the old (id, sh)-only layout must
+    still be joinable after the upgrade (mhs derived on read)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from micromegas_spark.operators.dedup import _shingle_sets
+    from micromegas_spark.streaming.incremental import stream_minhash_neardup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    rows0 = [(1, t), (2, "totally unrelated content words here for the second doc")]
+    rows1 = [(3, t)]  # near-dup of doc 1, arriving after the upgrade
+
+    # simulate the OLD store: (id, sh) only, written directly
+    store = tmp_path / "store"
+    old = _shingle_sets(
+        spark.createDataFrame(rows0, schema), "text", "doc_id", 3
+    )
+    old.write.mode("append").parquet(str(store / "sigs"))
+
+    src, pairs, ckpt = (str(tmp_path / x) for x in ("src", "pairs", "ckpt"))
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    q = stream_minhash_neardup(
+        spark, src, schema, str(store), pairs, ckpt, threshold=0.9, store_files=1
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(pairs).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 3)]
