@@ -58,6 +58,14 @@ def main() -> None:
             except Exception as e:  # one broken query must not sink the run
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 break
+            finally:
+                # several operators persist intermediates (minhash
+                # signatures, DSIR features); each repeat builds a FRESH
+                # lineage, so without clearing, dead cached copies pile
+                # up across the run and GC/eviction pressure bleeds into
+                # later queries' timings. Clearing between runs also
+                # makes every timing a cold-cache measurement.
+                spark.catalog.clearCache()
         if best is not None:
             timings[name] = round(best, 4)
 
