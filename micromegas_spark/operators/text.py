@@ -712,3 +712,88 @@ def bpe_segment(
         )
 
     return seg(text)
+
+
+def nb_classify(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, trained and applied
+    in one declarative plan — the domain/quality classifier stage of LLM
+    data pipelines (fastText-style supervised filtering, linear-model
+    flavor; e.g. the GPT-3/CCNet quality classifiers), here with the
+    closed-form generative model so training is pure aggregation:
+
+        prior(c)   = ln(docs_c / N_docs)
+        loglik(t|c)= ln((count(t,c) + alpha) / (tokens_c + alpha * V))
+        score(d,c) = prior(c) + sum_t tf(d,t) * loglik(t|c)
+        pred(d)    = argmax_c score(d,c)   (ties: smallest label)
+
+    Output: (id, label, pred, score) per document — actual label kept so
+    the self-train confusion is one groupBy away.
+
+    Scale shape: one token explode feeds (a) the (term, class) count
+    aggregate and (b) the per-doc tf aggregate — both map-side
+    combinable. The likelihood table is densified to vocab x classes
+    (classes are few; vocab is Zipf-bounded) via a broadcast cross join
+    with the class stats, then joined to the tf stream on the term —
+    broadcast when it fits, hash-shuffle on the term otherwise. Corpus
+    scalars (V, N_docs) and per-class totals ride as broadcast
+    aggregates, never a window over (). The argmax is a per-id window
+    over |classes| rows."""
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col)
+    docs = df.select(F.col(id_col), lbl.alias("_y"), F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), "_y", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, "_y", F.lower(F.col("tok")).alias("term"))
+
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tc = toks.groupBy("term", "_y").agg(F.count("*").alias("ctc"))
+    classes = docs.groupBy("_y").agg(F.count("*").alias("n_docs"))
+    ctot = tc.groupBy("_y").agg(F.sum("ctc").alias("t_c"))
+    vocab = tc.select("term").distinct()
+    scalars = vocab.agg(F.count("*").cast("double").alias("_v")).crossJoin(
+        docs.agg(F.count("*").cast("double").alias("_nd"))
+    )
+
+    dense = (
+        vocab.crossJoin(F.broadcast(ctot))
+        .join(tc, ["term", "_y"], "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            "_y",
+            F.log(
+                (F.coalesce(F.col("ctc"), F.lit(0)) + F.lit(alpha)).cast("double")
+                / (F.col("t_c") + F.lit(alpha) * F.col("_v"))
+            ).alias("_ll"),
+        )
+    )
+    priors = classes.crossJoin(F.broadcast(scalars.select("_nd"))).select(
+        "_y", F.log(F.col("n_docs").cast("double") / F.col("_nd")).alias("_lp")
+    )
+
+    scored = (
+        tf.join(dense, "term")
+        .groupBy(id_col, "_y")
+        .agg(F.sum(F.col("tf") * F.col("_ll")).alias("_s"))
+        .join(F.broadcast(priors), "_y")
+        .select(id_col, "_y", (F.col("_s") + F.col("_lp")).alias("_score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("_y"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        docs.select(id_col, F.col("_y").alias(label_col))
+        .join(best.select(id_col, F.col("_y").alias("pred"), "_score"), id_col)
+        .select(
+            id_col,
+            label_col,
+            "pred",
+            F.round("_score", 6).alias("score"),
+        )
+    )

@@ -1485,3 +1485,56 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC scores must all agree."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_label_topk(e, query_id=0, k=10, m=4)
+
+
+@query(
+    "docs_nb_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source AS y, lower(unnest({_TOKS})) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    tc AS (SELECT term, y, COUNT(*) AS ctc FROM toks GROUP BY term, y),
+    classes AS (SELECT source AS y, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    ctot AS (SELECT y, SUM(ctc) AS t_c FROM tc GROUP BY y),
+    vocab AS (SELECT DISTINCT term FROM tc),
+    scalars AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM vocab) AS v,
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS nd),
+    dense AS (
+        SELECT vo.term, ct.y,
+               ln((COALESCE(tc.ctc, 0) + 1.0) / (ct.t_c + s.v)) AS ll
+        FROM vocab vo CROSS JOIN ctot ct
+        LEFT JOIN tc ON tc.term = vo.term AND tc.y = ct.y
+        CROSS JOIN scalars s
+    ),
+    priors AS (
+        SELECT c.y, ln(CAST(c.n_docs AS DOUBLE) / s.nd) AS lp
+        FROM classes c CROSS JOIN scalars s
+    ),
+    scored AS (
+        SELECT tf.doc_id, d.y, SUM(tf.tf * d.ll) + ANY_VALUE(p.lp) AS score
+        FROM tf JOIN dense d USING (term) JOIN priors p ON p.y = d.y
+        GROUP BY tf.doc_id, d.y
+    ),
+    best AS (
+        SELECT doc_id, y AS pred, score FROM (
+            SELECT doc_id, y, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, y) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.source, b.pred, round(b.score, 6) AS score
+    FROM documents d JOIN best b USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier, trained and applied in
+    one declarative plan (operators/text.nb_classify) — the
+    domain/quality classifier stage of LLM ingest pipelines (fastText-
+    style supervised filtering), with closed-form training so the whole
+    model (priors + smoothed token likelihoods + argmax) is pure
+    aggregation and fully differentially checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.nb_classify(d).orderBy("doc_id")

@@ -304,3 +304,24 @@ def test_bpe_segment_applies_trained_merges(spark):
     learned = {a + b for a, b, _ in merges}
     for p in flat:
         assert p in learned or len(p.replace("</w>", "")) <= 1
+
+
+def test_nb_classify_separable_toy_corpus(spark):
+    from micromegas_spark.operators.text import nb_classify
+
+    rows = [
+        (1, "goal match striker goal", "sport"),
+        (2, "match referee goal pitch", "sport"),
+        (3, "stock market shares fund", "finance"),
+        (4, "market fund bond shares", "finance"),
+        (5, "goal goal striker pitch", "sport"),
+        (6, "bond stock market fund", "finance"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.doc_id: r for r in nb_classify(df).collect()}
+    assert len(out) == 6
+    # self-train on a separable corpus recovers every label
+    for i, (_, _, y) in zip(range(1, 7), rows):
+        assert out[i].pred == out[i].source == y
+    # scores are finite log-probs (negative)
+    assert all(r.score < 0 for r in out.values())
