@@ -735,15 +735,23 @@ def nb_classify(
     Output: (id, label, pred, score) per document — actual label kept so
     the self-train confusion is one groupBy away.
 
-    Scale shape: one token explode feeds (a) the (term, class) count
-    aggregate and (b) the per-doc tf aggregate — both map-side
-    combinable. The likelihood table is densified to vocab x classes
-    (classes are few; vocab is Zipf-bounded) via a broadcast cross join
-    with the class stats, then joined to the tf stream on the term —
-    broadcast when it fits, hash-shuffle on the term otherwise. Corpus
-    scalars (V, N_docs) and per-class totals ride as broadcast
-    aggregates, never a window over (). The argmax is a per-id window
-    over |classes| rows."""
+    Scale shape — SPARSE scoring, no vocab x classes densification: an
+    absent (term, class) pair contributes the per-class constant
+    base(c) = ln(alpha / (tokens_c + alpha*V)), so
+
+        score(d,c) = prior(c) + len_d * base(c)
+                     + sum_{(t,c) observed} tf(d,t) * ln((count(t,c)+alpha)/alpha)
+
+    (the adjusted weight ln((ctc+alpha)/alpha) is what remains after
+    factoring base(c) out of loglik). One token explode feeds the
+    (term, class) count aggregate and the per-doc tf aggregate — both
+    map-side combinable; the scoring join then carries ONLY observed
+    (term, class) stats (Zipf-bounded model rows, broadcast when small,
+    hash-shuffle on the term otherwise) instead of |V| x |C| dense rows.
+    Per-class scalars (prior, base) ride as one broadcast table; doc
+    length is a map-side expression. The argmax is a per-id window over
+    |classes| rows. Unseen-at-train terms (train/apply splits) fall into
+    the same smoothing mass via the length term."""
     from pyspark.sql import Window
 
     lbl = F.col(label_col)
@@ -753,37 +761,59 @@ def nb_classify(
     ).select(id_col, "_y", F.lower(F.col("tok")).alias("term"))
 
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    tc = toks.groupBy("term", "_y").agg(F.count("*").alias("ctc"))
+    # the model table: (term, class) counts — vocab-bound (Zipf), not
+    # corpus-bound. Materialized ONCE (lazy localCheckpoint) because three
+    # consumers read it (class totals, vocab size, scoring join) and
+    # exchange reuse across differently-projected subtrees is not
+    # guaranteed — without this the corpus is tokenized and exploded
+    # three times.
+    tc = (
+        toks.groupBy("term", "_y")
+        .agg(F.count("*").alias("ctc"))
+        .localCheckpoint(eager=False)
+    )
     classes = docs.groupBy("_y").agg(F.count("*").alias("n_docs"))
     ctot = tc.groupBy("_y").agg(F.sum("ctc").alias("t_c"))
-    vocab = tc.select("term").distinct()
-    scalars = vocab.agg(F.count("*").cast("double").alias("_v")).crossJoin(
-        docs.agg(F.count("*").cast("double").alias("_nd"))
-    )
+    scalars = tc.select("term").distinct().agg(
+        F.count("*").cast("double").alias("_v")
+    ).crossJoin(docs.agg(F.count("*").cast("double").alias("_nd")))
 
-    dense = (
-        vocab.crossJoin(F.broadcast(ctot))
-        .join(tc, ["term", "_y"], "left")
+    # per-class scalar table: prior + the absent-pair base weight
+    stats = (
+        classes.join(ctot, "_y")
         .crossJoin(F.broadcast(scalars))
         .select(
-            "term",
             "_y",
+            F.log(F.col("n_docs").cast("double") / F.col("_nd")).alias("_lp"),
             F.log(
-                (F.coalesce(F.col("ctc"), F.lit(0)) + F.lit(alpha)).cast("double")
-                / (F.col("t_c") + F.lit(alpha) * F.col("_v"))
-            ).alias("_ll"),
+                F.lit(alpha) / (F.col("t_c") + F.lit(alpha) * F.col("_v"))
+            ).alias("_base"),
         )
     )
-    priors = classes.crossJoin(F.broadcast(scalars.select("_nd"))).select(
-        "_y", F.log(F.col("n_docs").cast("double") / F.col("_nd")).alias("_lp")
+
+    # observed-pair contributions only: tf ⨝ tc on the term
+    partial = (
+        tf.join(
+            tc.select("term", "_y", F.log((F.col("ctc") + F.lit(alpha)) / F.lit(alpha)).alias("_w")),
+            "term",
+        )
+        .groupBy(id_col, "_y")
+        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_s"))
     )
 
     scored = (
-        tf.join(dense, "term")
-        .groupBy(id_col, "_y")
-        .agg(F.sum(F.col("tf") * F.col("_ll")).alias("_s"))
-        .join(F.broadcast(priors), "_y")
-        .select(id_col, "_y", (F.col("_s") + F.col("_lp")).alias("_score"))
+        docs.select(F.col(id_col), token_count(F.col(text_col)).alias("_dl"))
+        .crossJoin(F.broadcast(stats))
+        .join(partial, [id_col, "_y"], "left")
+        .select(
+            id_col,
+            "_y",
+            (
+                F.col("_lp")
+                + F.col("_dl").cast("double") * F.col("_base")
+                + F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("_score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("_y"))
     best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)

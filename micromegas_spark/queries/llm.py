@@ -1498,24 +1498,25 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (SELECT term, y, COUNT(*) AS ctc FROM toks GROUP BY term, y),
     classes AS (SELECT source AS y, COUNT(*) AS n_docs FROM documents GROUP BY source),
     ctot AS (SELECT y, SUM(ctc) AS t_c FROM tc GROUP BY y),
-    vocab AS (SELECT DISTINCT term FROM tc),
-    scalars AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM vocab) AS v,
+    scalars AS (SELECT (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) FROM tc) AS v,
                        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS nd),
-    dense AS (
-        SELECT vo.term, ct.y,
-               ln((COALESCE(tc.ctc, 0) + 1.0) / (ct.t_c + s.v)) AS ll
-        FROM vocab vo CROSS JOIN ctot ct
-        LEFT JOIN tc ON tc.term = vo.term AND tc.y = ct.y
-        CROSS JOIN scalars s
+    stats AS (
+        SELECT c.y,
+               ln(CAST(c.n_docs AS DOUBLE) / s.nd) AS lp,
+               ln(1.0 / (ct.t_c + s.v)) AS base
+        FROM classes c JOIN ctot ct USING (y) CROSS JOIN scalars s
     ),
-    priors AS (
-        SELECT c.y, ln(CAST(c.n_docs AS DOUBLE) / s.nd) AS lp
-        FROM classes c CROSS JOIN scalars s
+    partial AS (
+        SELECT tf.doc_id, tc.y, SUM(tf.tf * ln((tc.ctc + 1.0) / 1.0)) AS s
+        FROM tf JOIN tc USING (term)
+        GROUP BY tf.doc_id, tc.y
     ),
+    lens AS (SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents),
     scored AS (
-        SELECT tf.doc_id, d.y, SUM(tf.tf * d.ll) + ANY_VALUE(p.lp) AS score
-        FROM tf JOIN dense d USING (term) JOIN priors p ON p.y = d.y
-        GROUP BY tf.doc_id, d.y
+        SELECT l.doc_id, st.y,
+               st.lp + l.dl * st.base + COALESCE(p.s, 0.0) AS score
+        FROM lens l CROSS JOIN stats st
+        LEFT JOIN partial p ON p.doc_id = l.doc_id AND p.y = st.y
     ),
     best AS (
         SELECT doc_id, y AS pred, score FROM (
