@@ -177,3 +177,129 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution: (node, rank)
+    after ``n_iter`` power iterations from the uniform vector —
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u) * w(u,v)/out_w(u)
+                                  + dangling_mass / N)
+
+    where dangling_mass is the rank held by nodes with no out-edges.
+    Fixed iteration count (no convergence test) keeps the run — and any
+    differential oracle that unrolls the same recurrence — exactly
+    reproducible.
+
+    Scale shape (the k-means/connected-components driver-loop template):
+    multi-edges collapse once into a (src, dst, p) transition table
+    (edge-bound, shuffles on src for the out-weight normalization); each
+    round is one join of the vertex-bound rank vector with the
+    transitions + one aggregation on dst; the dangling mass rides as a
+    broadcast single-row aggregate inside the same plan — no per-round
+    collect. Lineage is cut per round with an eager localCheckpoint
+    (constant-size plan, one job per iteration).
+
+    Small-graph fast path (the connected_components dispatch): the
+    collapsed edge list is edge-bound, so when it fits
+    ``local_threshold`` rows the power iteration runs driver-side off
+    ONE action — each distributed round costs a job, pure overhead for
+    the dimension-level graphs (nations, domains, class labels) this is
+    typically applied to."""
+    w_col = (F.col(weight) if weight else F.lit(1.0)).cast("double")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    probe = e.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _local_pagerank(e, probe, damping, n_iter)
+    del probe
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    srcs = outw.select(F.col("src").alias("node"))
+    for _ in range(n_iter):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("cm"))
+        )
+        dangling = (
+            ranks.join(srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dangling))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("cm"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    trans.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def _local_pagerank(
+    e: DataFrame, rows_in, damping: float, n_iter: int
+) -> DataFrame:
+    """Power iteration over an already-collected collapsed edge list
+    (small-graph strategy). Same recurrence as the distributed loop;
+    result schema matches: (node, rank) with the node column's type."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    outw: dict = {}
+    nodes_set = set()
+    for r in rows_in:
+        outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
+        nodes_set.add(r["src"])
+        nodes_set.add(r["dst"])
+    trans = [(r["src"], r["dst"], r["w"] / outw[r["src"]]) for r in rows_in]
+    nodes = sorted(nodes_set)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[v] for v in nodes if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for s_, d_, p in trans:
+            contrib[d_] += rank[s_] * p
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    node_t = e.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("rank", DoubleType())]
+    )
+    pdf = pd.DataFrame([(v, rank[v]) for v in nodes], columns=["node", "rank"])
+    return e.sparkSession.createDataFrame(pdf, schema)

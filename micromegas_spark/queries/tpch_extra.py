@@ -259,3 +259,84 @@ def q22_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 4) -> str:
+    """Fully-unrolled weighted PageRank over the nation trade graph as
+    one DuckDB query (the emb_kmeans template: fixed iterations make the
+    whole iterative algorithm differentially checkable). Edge weights go
+    through DECIMAL so both engines start from identical doubles."""
+    d = damping
+    parts = [
+        """e AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name)""",
+        "outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src)",
+        "t AS (SELECT e.src, e.dst, e.w / o.outw AS p FROM e JOIN outw o USING (src))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{i-1}"
+            f"         WHERE node NOT IN (SELECT src FROM outw))",
+            f"c{i} AS (SELECT t.dst AS node, SUM(r.rank * t.p) AS cm"
+            f"         FROM t JOIN r{i-1} r ON r.node = t.src GROUP BY t.dst)",
+            f"r{i} AS (SELECT nodes.node,"
+            f"         (1.0 - {d}) / nn.n + {d} * (COALESCE(c.cm, 0.0) + d.dm / nn.n) AS rank"
+            f"         FROM nodes CROSS JOIN nn CROSS JOIN d{i} d"
+            f"         LEFT JOIN c{i} c ON c.node = nodes.node)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts) + f"\n"
+        f"SELECT node AS nation, round(rank, 6) AS rank FROM r{n_iter}\n"
+        "ORDER BY rank DESC, nation"
+    )
+
+
+@query("nations_trade_pagerank", oracle=_pagerank_oracle_sql())
+def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation->nation trade graph (edges =
+    supplier nation -> customer nation, weight = lineitem revenue): which
+    nations sit at the center of the trade network. Exercises the
+    iterative-graph-algorithm class (operators/graph.pagerank — the
+    k-means/CC driver-loop template) with a full differential check: 4
+    power iterations unroll into one generated DuckDB query. Edge
+    weights aggregate through DECIMAL so both engines hand the iteration
+    identical doubles; the per-round sums are 25-term and absorbed by
+    round(6)."""
+    from micromegas_spark.operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("src"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("dst"))
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC6))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    ranks = pagerank(edges, weight="w", damping=0.85, n_iter=4)
+    return ranks.select(
+        F.col("node").alias("nation"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "nation")

@@ -177,3 +177,51 @@ def test_mixture_sample_weight_col(spark):
     # domain b is tiny by tokens → rate caps at 1.0 → all 1000 b-rows kept
     assert shares["b"] == 1000
     assert shares["a"] < 1000
+
+
+def test_pagerank_dangling_and_weights(spark):
+    """Two-node graph a->b: b is dangling; its rank redistributes
+    uniformly. Mirrors the exact recurrence in plain Python."""
+    from micromegas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, w double")
+    n_iter, d = 3, 0.85
+    ra = rb = 0.5
+    for _ in range(n_iter):
+        dm = rb  # b has no out-edges
+        ra, rb = (
+            (1 - d) / 2 + d * (dm / 2),
+            (1 - d) / 2 + d * (ra * 1.0 + dm / 2),
+        )
+    out = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", damping=d, n_iter=n_iter).collect()}
+    assert abs(out["a"] - ra) < 1e-12 and abs(out["b"] - rb) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9  # total rank conserved
+
+
+def test_pagerank_weight_split(spark):
+    """Weighted transitions: a splits 3:1 between b and c."""
+    from micromegas_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", damping=0.85, n_iter=20).collect()}
+    assert out["b"] > out["c"]  # 3x the inbound probability mass
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_matches_local(spark):
+    """local_threshold=0 forces the distributed driver-loop; both
+    strategies implement the same recurrence."""
+    from micromegas_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "d", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    loc = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", n_iter=5).collect()}
+    dist = {r["node"]: r["rank"] for r in
+            pagerank(df, weight="w", n_iter=5, local_threshold=0).collect()}
+    assert set(loc) == set(dist)
+    for v in loc:
+        assert abs(loc[v] - dist[v]) < 1e-12
