@@ -131,3 +131,80 @@ def kmeans(
 def inertia(assignments: DataFrame) -> float:
     """Σ sq_dist — the k-means objective."""
     return assignments.agg(F.sum("sq_dist")).collect()[0][0]
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.7,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then within-cluster cosine
+    pruning. A vector is DROPPED iff some same-cluster vector is
+    cosine-similar above ``threshold`` AND more keepable — farther from
+    the centroid (the paper keeps low-centroid-similarity examples to
+    preserve diversity), ties broken toward the smaller id. Output:
+    (id, cluster, keep).
+
+    Scale shape — this is WHY SemDeDup clusters first: the O(n²) cosine
+    comparison is confined to clusters (k grows with the corpus, cluster
+    size stays bounded), so the pair space is Σ|cluster|² not |corpus|².
+    The pair join shuffles on the cluster id; norms are computed once
+    per vector, map-side; the kmeans assignment is the existing
+    driver-loop operator."""
+    assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    a = (
+        assigned.join(df.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col), "cluster", "sq_dist", F.col(vec_col), norm.alias("_n")
+        )
+        .persist()
+    )
+    left = a.select(
+        "cluster",
+        F.col(id_col).alias("_ia"),
+        F.col("sq_dist").alias("_da"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    right = a.select(
+        "cluster",
+        F.col(id_col).alias("_ib"),
+        F.col("sq_dist").alias("_db"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    keepable = (F.col("_db") > F.col("_da")) | (
+        (F.col("_db") == F.col("_da")) & (F.col("_ib") < F.col("_ia"))
+    )
+    dropped = (
+        left.join(right, "cluster")
+        .where((F.col("_ia") != F.col("_ib")) & keepable)
+        .where(dot / (F.col("_na") * F.col("_nb")) >= F.lit(threshold))
+        .select(F.col("_ia").alias(id_col))
+        .distinct()
+    )
+    out = (
+        a.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+    return out

@@ -196,13 +196,21 @@ def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
-    """Fully-unrolled Lloyd's k-means as one DuckDB query: farthest-point
-    init (k-1 argmax sweeps) + n_iter assignment/update rounds + final
-    assignment. Valid whenever the table fits the operator's 4096-row init
-    sample (it does at the driver's correctness SF), making the whole
-    iterative algorithm differentially checkable. Tie-breaks mirror
-    numpy: argmax → ORDER BY d DESC, id; argmin → ORDER BY d, cluster."""
+def _kmeans_oracle_parts(k: int = 8, n_iter: int = 2) -> list[str]:
+    """CTE chain for fully-unrolled Lloyd's k-means: farthest-point init
+    (k-1 argmax sweeps) + n_iter assignment/update rounds + final
+    assignment (``assign_f``: id, cluster, d). Valid whenever the table
+    fits the operator's 4096-row init sample (it does at the driver's
+    correctness SF), making the whole iterative algorithm differentially
+    checkable. Tie-breaks mirror numpy: argmax → ORDER BY d DESC, id;
+    argmin → ORDER BY d, cluster. Shared by the emb_kmeans and
+    emb_semdedup oracles.
+
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+    mind_j/cent_i chains reference their predecessor twice — inlining
+    makes the plan tree EXPONENTIAL in k and the solo kmeans oracle took
+    138 s (semdedup's three assign_f references never finished);
+    materialization brings both to ~1 s."""
     parts = [
         "pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
         "px AS (SELECT id, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM pts)",
@@ -246,8 +254,12 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
         "  SELECT id, cluster, d, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn"
         "  FROM dist_f) WHERE rn = 1)",
     ]
+    return [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
     return (
-        "WITH " + ",\n".join(parts) + "\n"
+        "WITH " + ",\n".join(_kmeans_oracle_parts(k, n_iter)) + "\n"
         "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,"
         " ROUND(AVG(d), 4) AS avg_sq_dist"
         " FROM assign_f GROUP BY cluster ORDER BY cluster"
@@ -344,4 +356,58 @@ def docs_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("content_hash").alias("n_distinct"),
         )
         .orderBy("source")
+    )
+
+
+def _semdedup_oracle_sql(k: int = 8, n_iter: int = 2, threshold: float = 0.3) -> str:
+    """SemDeDup oracle: the unrolled kmeans assignment CTEs + exact
+    within-cluster cosine pruning recomputed in DuckDB."""
+    parts = _kmeans_oracle_parts(k, n_iter)
+    parts += [
+        "norms AS MATERIALIZED (SELECT id, sqrt(SUM(x * x)) AS nrm FROM px GROUP BY id)",
+        "cpairs AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, a.cluster, a.d AS da, b.d AS db"
+        "           FROM assign_f a JOIN assign_f b"
+        "             ON a.cluster = b.cluster AND a.id <> b.id"
+        "           WHERE b.d > a.d OR (b.d = a.d AND b.id < a.id))",
+        "dots AS MATERIALIZED (SELECT cp.ia, cp.ib, SUM(pa.x * pb.x) AS dot"
+        "         FROM cpairs cp"
+        "         JOIN px pa ON pa.id = cp.ia"
+        "         JOIN px pb ON pb.id = cp.ib AND pb.dim = pa.dim"
+        "         GROUP BY cp.ia, cp.ib)",
+        f"dropped AS MATERIALIZED (SELECT DISTINCT cp.ia AS id"
+        f"            FROM cpairs cp"
+        f"            JOIN dots dt ON dt.ia = cp.ia AND dt.ib = cp.ib"
+        f"            JOIN norms na ON na.id = cp.ia"
+        f"            JOIN norms nb ON nb.id = cp.ib"
+        f"            WHERE dt.dot / (na.nrm * nb.nrm) >= {threshold})",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n,"
+        "       CAST(SUM(CASE WHEN d.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped\n"
+        "FROM assign_f a LEFT JOIN dropped d ON d.id = a.id\n"
+        "GROUP BY a.cluster ORDER BY a.cluster"
+    )
+
+
+@query("emb_semdedup", oracle=_semdedup_oracle_sql())
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clustering confines the
+    O(n²) cosine comparison to clusters, then within-cluster pairs above
+    the threshold drop the centroid-closer member (keep-diverse rule).
+    Threshold 0.3 on this corpus (random synthetic embeddings top out
+    near cos 0.5 — same rationale as emb_cosine_neardup). Differentially
+    checked end-to-end: the oracle unrolls the kmeans assignment and
+    recomputes the exact pairwise pruning (operators/clustering.semdedup)."""
+    from micromegas_spark.operators.clustering import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    marked = semdedup(e, k=8, threshold=0.3, max_iter=2)
+    return (
+        marked.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+        )
+        .orderBy("cluster")
     )

@@ -137,3 +137,35 @@ def test_lsh_partitioned_ann_prunes(spark, tmp_path):
         if r["vec_id"] != 0
     ]
     assert got == expect
+
+
+def test_semdedup_drops_planted_near_duplicate(spark):
+    """Two clusters of well-separated vectors; one pair inside a cluster
+    is near-identical → exactly the centroid-closer member drops."""
+    import numpy as np
+
+    from micromegas_spark.operators.clustering import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two spatial clusters at ±3 in dim 0 — far enough to cluster, small
+    # enough that intra-cluster cosines stay well under the threshold
+    # (a dominant shared spike would make ALL members near-parallel)
+    for i in range(20):
+        v = rng.normal(0, 1, 8)
+        v[0] = 3.0 if i < 10 else -3.0
+        rows.append((i, [float(x) for x in v]))
+    # plant a near-duplicate of vector 0 inside cluster A
+    dup = list(rows[0][1])
+    dup[1] += 1e-3
+    rows.append((100, dup))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semdedup(df, k=2, threshold=0.95, max_iter=4).collect()}
+    assert len(out) == 21
+    # the planted pair shares a cluster; exactly one of the two dropped
+    assert out[0][0] == out[100][0]
+    assert {out[0][1], out[100][1]} == {True, False}
+    # everything else survives (random gaussians don't hit cos >= 0.95)
+    dropped = [i for i, (_, kp) in out.items() if not kp]
+    assert len(dropped) == 1 and dropped[0] in (0, 100)
