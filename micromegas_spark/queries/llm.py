@@ -1539,3 +1539,76 @@ def docs_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and fully differentially checkable."""
     d = load_table(spark, sf_dir, "documents")
     return text.nb_classify(d).orderBy("doc_id")
+
+
+@query(
+    "docs_data_card",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents),
+    per_doc AS (
+        SELECT source, lang, {_FP} AS fp, len(toks) AS n_tok,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                   / len(toks) AS sw
+        FROM t
+    ),
+    by_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               round(AVG(sw), 6) AS avg_stopword_ratio,
+               CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+        FROM per_doc GROUP BY source
+    ),
+    lang_counts AS (
+        SELECT source, lang, COUNT(*) AS c FROM per_doc GROUP BY source, lang
+    ),
+    lang_entropy AS (
+        SELECT lc.source,
+               round(-SUM((c::DOUBLE / s.n) * ln(c::DOUBLE / s.n)), 6) AS lang_entropy
+        FROM lang_counts lc
+        JOIN (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM lang_counts GROUP BY source) s
+          ON s.source = lc.source
+        GROUP BY lc.source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.avg_stopword_ratio,
+           b.n_exact_dups, e.lang_entropy
+    FROM by_source b JOIN lang_entropy e ON e.source = b.source
+    ORDER BY b.source
+    """,
+)
+def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card — the summary table every training-data
+    release ships (docs, token budget, quality proxy, exact-dup count,
+    language-mix entropy), composed from the existing operators
+    (operators/text.{token_count,stopword_ratio,fingerprint}) in ONE
+    declarative plan: two aggregations over a single corpus scan plus a
+    broadcast-sized per-(source, lang) rollup. At 100 TB each piece is
+    map-side combinable; nothing shuffles except the per-source and
+    per-(source, lang) keys."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+    )
+    by_source = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+    lc = per_doc.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    totals = lc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    ent = (
+        lc.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return by_source.join(ent, "source").orderBy("source")
