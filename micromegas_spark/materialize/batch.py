@@ -84,6 +84,41 @@ LOG_STATS = BatchViewSpec(
 )
 
 
+# Sketch-typed instance: hourly DISTINCT emitting processes per level.
+# Plain counts can't compose across partitions for COUNT DISTINCT; a
+# DataSketches HLL column can — extract writes binary sketch partials to
+# parquet, merge re-unions them (the same composable-aggregate contract as
+# LOG_STATS's sum(count), sql_batch_view.rs:170-175, extended to distinct
+# counting). Readers estimate with hll_sketch_estimate(proc_sketch).
+PROC_STATS = BatchViewSpec(
+    name="proc_stats",
+    count_query="""
+        SELECT COALESCE(SUM(nb_objects), 0) AS src
+        FROM blocks
+        WHERE array_contains(tags, 'log')
+          AND insert_time_ns >= {begin} AND insert_time_ns < {end}
+    """,
+    extract_query="""
+        SELECT time_ns - time_ns % 3600000000000 AS time_bin_ns,
+               level,
+               hll_sketch_agg(process_id) AS proc_sketch,
+               COUNT(*) AS count
+        FROM log_entries
+        WHERE insert_time_ns >= {begin} AND insert_time_ns < {end}
+        GROUP BY 1, 2
+    """,
+    merge_query="""
+        SELECT time_bin_ns, level,
+               hll_union_agg(proc_sketch) AS proc_sketch,
+               SUM(count) AS count
+        FROM source
+        GROUP BY time_bin_ns, level
+    """,
+    time_column="time_bin_ns",
+    update_group=3000,
+)
+
+
 @dataclass
 class Partition:
     begin_insert_ns: int

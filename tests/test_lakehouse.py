@@ -249,3 +249,47 @@ def test_schema_hash_lifecycle(spark, telemetry, tmp_path):
     survivors = lake.list_partitions("log_stats")
     assert len(survivors) == 1 and survivors[0].schema_hash == new_cur
     assert lake.read("log_stats", schema_hash=new_cur).count() > 0
+
+
+def test_hll_sketch_extract_merge_equals_direct(spark, telemetry, tmp_path):
+    """Sketch-typed composability: hourly HLL partials written to parquet,
+    merged with hll_union_agg — the distinct-process estimate must equal a
+    direct COUNT(DISTINCT) over the raw rows (exact in the sketch's
+    sparse regime at test cardinalities)."""
+    from micromegas_spark.materialize import PROC_STATS
+
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh_hll"))
+    lo, hi = _window(data)
+    lake.materialize_range(PROC_STATS, lo, hi, HOUR)
+    assert len(lake.list_partitions("proc_stats")) > 1
+    lake.merge_partitions(PROC_STATS, lo, hi)
+    assert len(lake.list_partitions("proc_stats")) == 1
+
+    got = {
+        (r["time_bin_ns"], r["level"]): (r["n_procs"], r["count"])
+        for r in lake.read("proc_stats")
+        .groupBy("time_bin_ns", "level")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("proc_sketch"))
+            .cast("bigint")
+            .alias("n_procs"),
+            F.sum("count").alias("count"),
+        )
+        .collect()
+    }
+    want = {
+        (r["b"], r["level"]): (r["n"], r["c"])
+        for r in dfs["log_entries"]
+        .groupBy(
+            (F.col("time_ns") - F.col("time_ns") % (3600 * 10**9)).alias("b"),
+            "level",
+        )
+        .agg(
+            F.countDistinct("process_id").alias("n"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
