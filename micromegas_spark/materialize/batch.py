@@ -133,6 +133,14 @@ class Partition:
     # recorded hash mismatches the current one (SCHEMA_VERSION constants,
     # log_view.rs:37; materialized_view.rs:74-83 hash mismatch → rebuild).
     schema_hash: str = ""
+    # per-column [min, max] of orderable columns (numeric/string), collected
+    # in the same job as the event-time bounds at write time. Delta-style
+    # data skipping beyond the reference's time-only pruning
+    # (partition_cache.rs prunes on insert/event time alone): at 100 TB a
+    # catalog filter on e.g. process_id is the difference between opening
+    # every partition file and only those whose range can match. {} on
+    # pre-upgrade manifests — missing stats never prune (safe default).
+    column_stats: dict = field(default_factory=dict)
 
 
 def schema_fingerprint(df: DataFrame) -> str:
@@ -226,9 +234,25 @@ class Lakehouse:
             return "empty"
 
         df = self.spark.sql(spec.extract_query.format(begin=begin_ns, end=end_ns))
-        bounds = df.agg(
-            F.min(spec.time_column).alias("mn"), F.max(spec.time_column).alias("mx")
-        ).collect()[0]
+        # event-time bounds + per-column min/max stats in ONE aggregation
+        # job (stats are free at write time; they buy catalog-level data
+        # skipping at read time)
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name != spec.time_column
+            and f.dataType.simpleString()
+            in ("int", "bigint", "smallint", "tinyint", "float", "double", "string", "date")
+        ]
+        aggs = [F.min(spec.time_column).alias("mn"), F.max(spec.time_column).alias("mx")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        bounds = df.agg(*aggs).collect()[0]
+        column_stats = {
+            c: [bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]]
+            for c in stat_cols
+            if bounds[f"_mn_{c}"] is not None
+        }
         out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
         tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp_dir)
@@ -246,6 +270,7 @@ class Lakehouse:
                 max_event_ns=int(bounds.mx) if bounds.mx is not None else end_ns,
                 path=out_dir,
                 schema_hash=schema_fingerprint(df),
+                column_stats=column_stats,
             )
         )
         self._save_manifest(spec.name, parts)
@@ -447,13 +472,22 @@ class Lakehouse:
     def read(
         self, view: str, begin_event_ns: int | None = None, end_event_ns: int | None = None,
         time_column: str | None = None, schema_hash: str | None = None,
+        column_predicates: dict | None = None,
     ) -> DataFrame:
         """Partition-pruned read: catalog-level event-time overlap test
         (partition_cache.rs:329-466), then the row-level filter re-applied
         above the scan (inexact pushdown, materialized_view.rs:99-107).
         ``schema_hash`` filters to schema-compatible partitions only
         (partition fetch is schema-hash-keyed, materialized_view.rs:74-96:
-        stale-schema partitions are invisible, not errors)."""
+        stale-schema partitions are invisible, not errors).
+
+        ``column_predicates``: {col: (op, value)} with op in
+        {'=', '>', '>=', '<', '<='} — Delta-style data skipping against
+        the manifest's per-partition column_stats [min, max]; partitions
+        whose range cannot satisfy the predicate are never opened, and
+        the predicate is re-applied as a row filter above the scan (same
+        inexact contract as the time filter). Partitions without recorded
+        stats for the column are kept (safe default)."""
         parts = self.list_partitions(view)
         if schema_hash is not None:
             parts = [p for p in parts if p.schema_hash == schema_hash]
@@ -461,6 +495,20 @@ class Lakehouse:
             parts = [p for p in parts if p.max_event_ns >= begin_event_ns]
         if end_event_ns is not None:
             parts = [p for p in parts if p.min_event_ns < end_event_ns]
+        for col, (op, val) in (column_predicates or {}).items():
+            def can_match(p, col=col, op=op, val=val):
+                st = (p.column_stats or {}).get(col)
+                if st is None:
+                    return True
+                mn, mx = st
+                return {
+                    "=": mn <= val <= mx,
+                    ">": mx > val,
+                    ">=": mx >= val,
+                    "<": mn < val,
+                    "<=": mn <= val,
+                }[op]
+            parts = [p for p in parts if can_match(p)]
         if not parts:
             return self.spark.range(0).select()  # empty, schema-less guard
         df = self.spark.read.parquet(*[p.path for p in parts])
@@ -469,4 +517,13 @@ class Lakehouse:
                 df = df.where(F.col(time_column) >= begin_event_ns)
             if end_event_ns is not None:
                 df = df.where(F.col(time_column) < end_event_ns)
+        _OPS = {
+            "=": lambda c, v: c == v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+        }
+        for col, (op, val) in (column_predicates or {}).items():
+            df = df.where(_OPS[op](F.col(col), F.lit(val)))
         return df
