@@ -760,18 +760,21 @@ def nb_classify(
         F.col(id_col), "_y", F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(id_col, "_y", F.lower(F.col("tok")).alias("term"))
 
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # the model table: (term, class) counts — vocab-bound (Zipf), not
-    # corpus-bound. Materialized ONCE (lazy localCheckpoint) because three
-    # consumers read it (class totals, vocab size, scoring join) and
-    # exchange reuse across differently-projected subtrees is not
-    # guaranteed — without this the corpus is tokenized and exploded
-    # three times.
-    tc = (
-        toks.groupBy("term", "_y")
-        .agg(F.count("*").alias("ctc"))
+    # ONE tokenize/explode pass: the (doc, term) frequency relation is the
+    # pipeline's natural materialization point (each doc has one class, so
+    # the class rides along), and every model table derives from it by
+    # re-aggregation — without this the corpus is tokenized and exploded
+    # once per consumer (exchange reuse across differently-projected
+    # subtrees is not guaranteed; measured 3 scans).
+    g = (
+        toks.groupBy(id_col, "_y", "term")
+        .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
+    tf = g.select(id_col, "term", "tf")
+    # the model table: (term, class) occurrence counts — vocab-bound
+    # (Zipf), not corpus-bound; aggregated from the materialized g
+    tc = g.groupBy("term", "_y").agg(F.sum("tf").alias("ctc"))
     classes = docs.groupBy("_y").agg(F.count("*").alias("n_docs"))
     ctot = tc.groupBy("_y").agg(F.sum("ctc").alias("t_c"))
     scalars = tc.select("term").distinct().agg(
