@@ -137,3 +137,36 @@ def test_unigram_logprob_broadcast_totals(spark):
     # BroadcastNestedLoopJoin/cross of one row), never a window over ()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "WindowExec" not in plan, plan
+
+
+def test_semdedup_single_cluster_shuffle(spark):
+    """The gram-matrix pruning stage shuffles each vector exactly once
+    (hash on the cluster id into FlatMapGroupsInPandas) — no pair join
+    duplicating embeddings."""
+    plan = _plan(spark, "emb_semdedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one exchange feeds the Python stage, one the per-cluster rollup
+    assert len(re.findall(r"Exchange hashpartitioning\(cluster", plan)) <= 2
+
+
+def test_nb_classifier_sparse_model_join_and_argmax_pushdown(spark):
+    """Sparse NB: the scoring join is on the term (observed model rows
+    only — no vocab x classes densification, so no nested-loop join of
+    two multi-row sides), per-class scalars ride as 1-row broadcasts, and
+    the argmax prunes through WindowGroupLimit."""
+    plan = _plan(spark, "docs_nb_classifier")
+    assert "WindowGroupLimit" in plan
+    # the only nested-loop joins are the broadcast scalar cross joins
+    for ln in [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]:
+        assert "Cross" in ln
+    assert "term" in plan  # scoring join keyed on the term
+
+
+def test_pagerank_small_graph_result_is_local_relation(spark):
+    """Dimension-level graphs take the driver-side fast path: the result
+    scans as a JVM-local relation — downstream consumers never re-execute
+    the 5-way edge-build join or the power iteration."""
+    plan = _plan(spark, "nations_trade_pagerank")
+    assert "LocalTableScan" in plan
+    assert "FileScan" not in plan
