@@ -32,6 +32,7 @@ Catalyst still sees plain parquet with full pushdown.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -143,6 +144,39 @@ class Partition:
     column_stats: dict = field(default_factory=dict)
 
 
+def _bounds_and_stats(df: DataFrame, time_column: str):
+    """Event-time bounds + per-column [min, max] for orderable primitive
+    columns in one aggregation job. Dates/timestamps are excluded (not
+    JSON-serializable in the manifest); non-finite float endpoints (NaN —
+    Spark's max orders it largest — or ±Inf) drop that column's stats
+    entirely, because a NaN bound would make every skipping comparison
+    False and silently prune partitions that DO contain matching rows —
+    missing stats never prune."""
+    stat_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name != time_column
+        and f.dataType.simpleString()
+        in ("int", "bigint", "smallint", "tinyint", "float", "double", "string")
+    ]
+    aggs = [F.min(time_column).alias("mn"), F.max(time_column).alias("mx")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    bounds = df.agg(*aggs).collect()[0]
+
+    def finite(v):
+        return not (isinstance(v, float) and (math.isnan(v) or math.isinf(v)))
+
+    column_stats = {
+        c: [bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]]
+        for c in stat_cols
+        if bounds[f"_mn_{c}"] is not None
+        and finite(bounds[f"_mn_{c}"])
+        and finite(bounds[f"_mx_{c}"])
+    }
+    return bounds, column_stats
+
+
 def schema_fingerprint(df: DataFrame) -> str:
     """Deterministic fingerprint of a DataFrame's schema (name:type pairs,
     order-sensitive like the reference's Arrow schema hash)."""
@@ -237,22 +271,7 @@ class Lakehouse:
         # event-time bounds + per-column min/max stats in ONE aggregation
         # job (stats are free at write time; they buy catalog-level data
         # skipping at read time)
-        stat_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name != spec.time_column
-            and f.dataType.simpleString()
-            in ("int", "bigint", "smallint", "tinyint", "float", "double", "string", "date")
-        ]
-        aggs = [F.min(spec.time_column).alias("mn"), F.max(spec.time_column).alias("mx")]
-        for c in stat_cols:
-            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-        bounds = df.agg(*aggs).collect()[0]
-        column_stats = {
-            c: [bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]]
-            for c in stat_cols
-            if bounds[f"_mn_{c}"] is not None
-        }
+        bounds, column_stats = _bounds_and_stats(df, spec.time_column)
         out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
         tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp_dir)
@@ -303,6 +322,11 @@ class Lakehouse:
         merged = self.spark.sql(spec.merge_query)
         out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
         tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
+        # recompute column stats from the MERGED rows — child stats can't
+        # be unioned because merge_query re-aggregates (a SUM(count) can
+        # exceed any child's max); merged partitions are the biggest, so
+        # skipping matters most exactly here
+        _, column_stats = _bounds_and_stats(merged, spec.time_column)
         merged.write.mode("overwrite").parquet(tmp_dir)
         bounds_mn = min(p.min_event_ns for p in inside)
         bounds_mx = max(p.max_event_ns for p in inside)
@@ -321,6 +345,7 @@ class Lakehouse:
                 max_event_ns=bounds_mx,
                 path=out_dir,
                 schema_hash=schema_fingerprint(merged),
+                column_stats=column_stats,
             )
         )
         self._save_manifest(spec.name, rest)
@@ -501,6 +526,13 @@ class Lakehouse:
                 if st is None:
                     return True
                 mn, mx = st
+                # non-finite endpoints (NaN/Inf from a pre-guard manifest)
+                # behave like missing stats: never prune
+                if any(
+                    isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+                    for v in (mn, mx)
+                ):
+                    return True
                 return {
                     "=": mn <= val <= mx,
                     ">": mx > val,

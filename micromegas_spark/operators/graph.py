@@ -225,8 +225,12 @@ def pagerank(
         return _local_pagerank(e, probe, damping, n_iter)
     del probe
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    trans = e.join(outw, "src").select(
+    # zero-total-out-weight nodes are DANGLING, not divisors: build the
+    # transition table from positive out-weight only (a 0/0 would make p
+    # NULL and silently drain rank mass each round)
+    pos = e.where(F.col("w") > 0)
+    outw = pos.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = pos.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
@@ -278,13 +282,20 @@ def _local_pagerank(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # zero/negative-weight edges carry no transition: nodes whose total
+    # positive out-weight is 0 are dangling (mirrors the distributed loop)
     outw: dict = {}
     nodes_set = set()
     for r in rows_in:
-        outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
+        if r["w"] > 0:
+            outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
         nodes_set.add(r["src"])
         nodes_set.add(r["dst"])
-    trans = [(r["src"], r["dst"], r["w"] / outw[r["src"]]) for r in rows_in]
+    trans = [
+        (r["src"], r["dst"], r["w"] / outw[r["src"]])
+        for r in rows_in
+        if r["w"] > 0
+    ]
     nodes = sorted(nodes_set)
     n = len(nodes)
     rank = {v: 1.0 / n for v in nodes}

@@ -1055,7 +1055,7 @@ def orders_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hll_distinct_users",
     oracle="""
-    SELECT date_trunc('hour', ts) AS h,
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1 ORDER BY 1
@@ -1080,21 +1080,26 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented ±~1.6% HLL error — the merge identity, not the
     estimate, is the contract."""
     ev = load_table(spark, sf_dir, "events")
+    # epoch-integer hour key (registry convention: event timestamps are
+    # compared as epoch integers — timezone-proof on both engines)
+    hour = (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias(
+        "hour_epoch"
+    )
     part = (
         ev.select(
-            F.date_trunc("hour", F.col("event_time")).alias("h"),
+            hour,
             F.floor(F.col("ts_us") / (15 * 60 * 1000 * 1000)).alias("_b15"),
             "user_id",
         )
-        .groupBy("h", "_b15")
+        .groupBy("hour_epoch", "_b15")
         .agg(F.hll_sketch_agg("user_id").alias("_sk"))
     )
     return (
-        part.groupBy("h")
+        part.groupBy("hour_epoch")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("_sk"))
             .cast("bigint")
             .alias("n_users")
         )
-        .orderBy("h")
+        .orderBy("hour_epoch")
     )

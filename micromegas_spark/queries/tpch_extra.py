@@ -296,6 +296,11 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 4) -> str:
             f"         FROM nodes CROSS JOIN nn CROSS JOIN d{i} d"
             f"         LEFT JOIN c{i} c ON c.node = nodes.node)",
         ]
+    # MATERIALIZED: each r{i} is referenced twice (d{i+1}, c{i+1}) — with
+    # DuckDB's default CTE inlining the plan tree would grow 2^n_iter
+    # copies of the whole upstream chain including the 5-way edge join
+    # (the same blowup fixed in engine_ops._kmeans_oracle_parts)
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
     return (
         "WITH " + ",\n".join(parts) + f"\n"
         f"SELECT node AS nation, round(rank, 6) AS rank FROM r{n_iter}\n"

@@ -225,3 +225,21 @@ def test_pagerank_distributed_matches_local(spark):
     assert set(loc) == set(dist)
     for v in loc:
         assert abs(loc[v] - dist[v]) < 1e-12
+
+
+def test_pagerank_zero_weight_edges_are_dangling(spark):
+    """A node whose only out-edge has weight 0 is dangling — no division
+    by zero locally, no silent rank-mass drain distributed; both paths
+    agree and total rank is conserved."""
+    from micromegas_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 1.0), ("b", "c", 0.0), ("c", "a", 2.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    loc = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", n_iter=4).collect()}
+    dist = {r["node"]: r["rank"] for r in
+            pagerank(df, weight="w", n_iter=4, local_threshold=0).collect()}
+    assert set(loc) == {"a", "b", "c"}
+    assert abs(sum(loc.values()) - 1.0) < 1e-9
+    for v in loc:
+        assert abs(loc[v] - dist[v]) < 1e-12

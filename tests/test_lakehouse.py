@@ -334,3 +334,31 @@ def test_column_stats_data_skipping(spark, tmp_path):
         lake.read("seq_view", column_predicates={"seq": ("=", 2005)}).inputFiles()
     )
     assert {r["who"] for r in one.collect()} == {"u2"}
+
+
+def test_column_stats_nan_never_prunes_and_dates_excluded(spark, tmp_path):
+    """A partition whose double column contains NaN records no stats for
+    it (NaN bounds would prune everything); date columns are excluded
+    from stats (not JSON-serializable) but the view still materializes."""
+    from micromegas_spark.materialize import BatchViewSpec
+
+    spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS time_ns, CAST('NaN' AS DOUBLE) AS x,"
+        "       DATE'2026-01-01' AS d, 7 AS ok"
+        " UNION ALL SELECT 60000000000, 5.0, DATE'2026-01-02', 9"
+    ).createOrReplaceTempView("evnan")
+    spec = BatchViewSpec(
+        name="nan_view",
+        count_query="SELECT COUNT(*) FROM evnan WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT * FROM evnan WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_nan"))
+    assert lake.materialize_bucket(spec, 0, HOUR) == "created"
+    (p,) = lake.list_partitions("nan_view")
+    assert "x" not in p.column_stats and "d" not in p.column_stats
+    assert p.column_stats["ok"] == [7, 9]
+    # NaN-bearing column: predicate never prunes, row filter still applies
+    got = lake.read("nan_view", column_predicates={"x": ("=", 5.0)})
+    assert [r["x"] for r in got.collect()] == [5.0]
