@@ -89,3 +89,50 @@ def test_scale_dedup_and_selection_pipeline(spark):
     assert exact.where(F.col("id_a") < n).count() >= 3 * n * 0.99
     w = dsir_log_weights(d, target=F.col("lang") == "en")
     assert w.count() == 4 * n
+
+
+def test_scale_nb_and_semdedup(spark):
+    """NB classifier over a 4x corpus and SemDeDup over a 4x embedding
+    table: one tokenize pass + sparse scoring must classify every doc
+    (clones classify identically), and every planted clone clique must
+    lose exactly 3 of its 4 members to the gram-matrix pruning."""
+    from micromegas_spark.operators.clustering import semdedup
+    from micromegas_spark.operators.text import nb_classify
+    from micromegas_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "source"
+    )
+    n = base.count()
+    d = base
+    for k in (1, 2, 3):
+        d = d.unionByName(
+            base.select((F.col("doc_id") + k * n).alias("doc_id"), "text", "source")
+        )
+    out = nb_classify(d)
+    assert out.count() == 4 * n
+    # clones carry identical text → identical predictions as the original
+    clone_diff = (
+        out.select((F.col("doc_id") % n).alias("k"), "pred")
+        .groupBy("k")
+        .agg(F.countDistinct("pred").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+    )
+    assert clone_diff == 0
+
+    ebase = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    m = ebase.count()
+    e = ebase
+    for k in (1, 2, 3):
+        e = e.unionByName(
+            ebase.select((F.col("vec_id") + k * m).alias("vec_id"), "embedding")
+        )
+    marked = semdedup(e, k=8, threshold=0.999999, max_iter=2)
+    assert marked.count() == 4 * m
+    # identical vectors share a cluster (equal distances) and cos == 1:
+    # exactly one member of each 4-clique survives
+    kept = marked.where(F.col("keep")).count()
+    assert kept == m
