@@ -374,17 +374,51 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_quantiles", oracle=None)
+@query(
+    "events_approx_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles + approx distinct (SURVEY §2.4 A8/A9;
     async-performance-analysis.md:73-75 uses approx_percentile_cont).
-    Approximate by construction → rows-only driver check; the exact-oracle
-    counterpart is lineitem_histogram_p95."""
+
+    Oracle-checked, not rows-only: both sketches run in their exact
+    regimes at the driver's correctness SF — percentile_approx with
+    accuracy (50k) >> group size keeps every sample (exact mode, equal to
+    DuckDB's quantile_disc), and approx_count_distinct at rsd 0.02
+    stays in HLL++ sparse-exact range for the per-type user
+    cardinality (empirically verified; rsd tighter than needed costs
+    10x in register count for no bench-SF benefit). At production cardinalities the same plan degrades to
+    the documented sketch error — the plan shape (map-side mergeable
+    sketches, no distinct Expand), not the estimate, is the contract;
+    lineitem_histogram_p95 is the always-exact counterpart."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count("*").alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            # ONE sketch for all three quantiles (three separate calls
+            # would retain three copies of the sample buffer)
+            F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(50_000)).alias("_q"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("_q")[0].alias("p50"),
+            F.col("_q")[1].alias("p95"),
+            F.col("_q")[2].alias("p99"),
+            "approx_users",
+            "n",
+        )
+        .orderBy("event_type")
     )
 
 
