@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -57,6 +58,7 @@ class Engine:
         self._views: dict[str, ViewBuilder] = {}
         self._time_columns: dict[str, str] = {}
         self._jit: dict[str, JitViewSet] = {}
+        self._query_log: list[tuple] = []
 
     # -- global views --------------------------------------------------------
 
@@ -86,7 +88,48 @@ class Engine:
                 if end_ns is not None:
                     df = df.where(F.col(tc) < end_ns)
             df.createOrReplaceTempView(name)
-        return self.spark.sql(sql)
+        t0 = time.time()
+        out = self.spark.sql(sql)
+        # self-observability: the reference's analytics service emits a span
+        # per executed query into its own telemetry ("sql spans on",
+        # query.rs:207-256; spans land in the lake like any process's). The
+        # facade records (time, sql, range, plan_ms) — queryable via
+        # query_log(), the engine observing itself with its own tables.
+        self._query_log.append(
+            (
+                int(time.time() * 1e9),
+                sql.strip(),
+                begin_ns,
+                end_ns,
+                round((time.time() - t0) * 1000.0, 3),
+            )
+        )
+        return out
+
+    def query_log(self) -> DataFrame:
+        """Query history as a DataFrame (time_ns, sql, begin_ns, end_ns,
+        plan_ms), also registered as the ``query_log`` temp view — the
+        engine's own telemetry, queryable with the same SQL surface."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("time_ns", LongType()),
+                StructField("sql", StringType()),
+                StructField("begin_ns", LongType()),
+                StructField("end_ns", LongType()),
+                StructField("plan_ms", DoubleType()),
+            ]
+        )
+        df = self.spark.createDataFrame(self._query_log, schema)
+        df.createOrReplaceTempView("query_log")
+        return df
 
     @classmethod
     def from_test_tables(cls, spark: SparkSession, sf_dir: str, warehouse: str | None = None) -> "Engine":

@@ -362,3 +362,20 @@ def test_column_stats_nan_never_prunes_and_dates_excluded(spark, tmp_path):
     # NaN-bearing column: predicate never prunes, row filter still applies
     got = lake.read("nan_view", column_predicates={"x": ("=", 5.0)})
     assert [r["x"] for r in got.collect()] == [5.0]
+
+
+def test_engine_query_log_self_observability(spark, telemetry):
+    """Every Engine.query records its own telemetry row; the log is
+    queryable through the same SQL surface (the reference's 'sql spans
+    on' self-observability, query.rs:207-256)."""
+    data, dfs = telemetry
+    eng = Engine(spark)
+    eng.register_table("log_entries", dfs["log_entries"], time_column="time_ns")
+    eng.query("SELECT COUNT(*) AS n FROM log_entries").collect()
+    eng.query("SELECT level, COUNT(*) AS n FROM log_entries GROUP BY level", 0, 2**62).collect()
+    eng.query_log()
+    rows = eng.query("SELECT sql, begin_ns, plan_ms FROM query_log ORDER BY time_ns").collect()
+    assert len(rows) >= 2
+    assert rows[0]["sql"].startswith("SELECT COUNT(*)")
+    assert rows[1]["begin_ns"] == 0
+    assert all(r["plan_ms"] >= 0 for r in rows)
