@@ -393,10 +393,12 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked, not rows-only: both sketches run in their exact
     regimes at the driver's correctness SF — percentile_approx with
     accuracy (50k) >> group size keeps every sample (exact mode, equal to
-    DuckDB's quantile_disc), and approx_count_distinct at rsd 0.02
-    stays in HLL++ sparse-exact range for the per-type user
-    cardinality (empirically verified; rsd tighter than needed costs
-    10x in register count for no bench-SF benefit). At production cardinalities the same plan degrades to
+    DuckDB's quantile_disc), and the DataSketches HLL estimate
+    (hll_sketch_agg at lgConfigK=20) is exact in its sparse regime for the per-type
+    user cardinality at BOTH sf0.01 and sf0.1 (verified; Spark's own
+    approx_count_distinct HLL++ bias correction is off by one at the
+    1500-user sf0.1 cardinality at every rsd, so the sketch that also
+    powers events_hll_distinct_users is used instead). At production cardinalities the same plan degrades to
     the documented sketch error — the plan shape (map-side mergeable
     sketches, no distinct Expand), not the estimate, is the contract;
     lineitem_histogram_p95 is the always-exact counterpart."""
@@ -407,7 +409,7 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ONE sketch for all three quantiles (three separate calls
             # would retain three copies of the sample buffer)
             F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(50_000)).alias("_q"),
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(20))).cast("bigint").alias("approx_users"),
             F.count("*").alias("n"),
         )
         .select(
@@ -609,4 +611,78 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("user_id", "sess_idx")
+    )
+
+
+@query(
+    "events_sliding_rates_stream",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS s1
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, s1 AS win_start FROM t
+        UNION ALL
+        SELECT event_type, s1 - 300 AS win_start FROM t
+    )
+    SELECT event_type, win_start, COUNT(*) AS n_events
+    FROM w
+    GROUP BY event_type, win_start
+    ORDER BY event_type, win_start
+    """,
+)
+def events_sliding_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding-window rates with an exact oracle — the third
+    window shape of the streaming matrix (tumbling = log_stats pattern,
+    session = events_sessionize_stream): 10-minute windows sliding every
+    5 minutes over two micro-batches (streaming/incremental.
+    stream_sliding_rates, complete mode). With window = 2 x slide every
+    event lands in EXACTLY two windows, so DuckDB reproduces the overlap
+    with a two-branch union — streaming window state must agree with the
+    closed-form window assignment row-for-row."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from micromegas_spark.streaming.incremental import stream_sliding_rates
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_time", "event_type")
+    src = tempfile.mkdtemp(prefix="slide_stream_")
+    for batch_pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        ev.where(batch_pred).drop("event_id").coalesce(1).write.mode("append").parquet(src)
+    schema = StructType(
+        [
+            StructField("event_time", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    name = f"slide_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sliding_rates(
+            stream, window="10 minutes", slide="5 minutes", key_col="event_type"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            F.col("win_start").cast("double").cast("bigint").alias("win_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "win_start")
     )
