@@ -360,3 +360,77 @@ def blocked_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Directional containment near-dup detection: pairs (a, b) with
+    C(a, b) = |Sh(a) ∩ Sh(b)| / |Sh(a)| >= threshold — document a is
+    (nearly) CONTAINED in b. Catches the subset/quotation duplicates
+    symmetric Jaccard misses: a snippet quoted inside a larger page has
+    high containment but low resemblance.
+
+    Scale shape — prefix filtering (the PPJoin family's length/prefix
+    bound applied to containment): if C(a,b) >= t then at least one of
+    a's floor((1-t)*|Sh(a)|)+1 SMALLEST shingle hashes must appear in
+    Sh(b), so the probe side explodes only that prefix (a handful of
+    hashes per doc at high t) against the inverted index of all
+    shingles. The candidate join shuffles on the shingle hash; the
+    verify step reads the persisted shingle sets once per side. No
+    O(n²) pair space — candidates are bounded by shared-shingle
+    co-occurrence, exactly like the LSH band join."""
+    from pyspark import StorageLevel
+
+    from micromegas_spark.operators.util import spread as _spread
+
+    sh = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.array_sort(hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .select("*", F.size("sh").alias("_nsh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # C >= t  ⟺  |∩| >= ceil(t·n)  ⟹  at most n − ceil(t·n) prefix misses,
+    # so the prefix needs n − ceil(t·n) + 1 elements. Rounding before the
+    # ceil guards the integral-boundary float case ((1−0.9)·10 evaluates
+    # to 0.999…98 — a naive floor((1−t)·n)+1 comes up one short exactly
+    # when t·n is integral, dropping boundary C == t pairs); noise pushes
+    # k larger, never smaller.
+    prefix_len = F.greatest(
+        F.col("_nsh")
+        - F.ceil(F.round(F.lit(threshold) * F.col("_nsh"), 6)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    probe = sh.select(
+        F.col(id_col).alias("_ia"),
+        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
+    )
+    index = sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h"))
+    cand = (
+        probe.join(index, "h")
+        .where(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("_ia"), F.col("sh").alias("_sa"), F.col("_nsh").alias("_na"))
+    b = sh.select(F.col(id_col).alias("_ib"), F.col("sh").alias("_sb"))
+    return (
+        cand.join(a, "_ia")
+        .join(b, "_ib")
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")) / F.col("_na"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

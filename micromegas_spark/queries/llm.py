@@ -1612,3 +1612,30 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return by_source.join(ent, "source").orderBy("source")
+
+
+@query(
+    "docs_containment_dups",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    hsh AS (SELECT doc_id, {_HSH} AS hs FROM sh),
+    p AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs), 6)
+                   AS containment
+        FROM hsh x JOIN hsh y ON x.doc_id <> y.doc_id
+    )
+    SELECT id_a, id_b, containment FROM p WHERE containment >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (operators/dedup.containment_pairs):
+    |A∩B|/|A| >= 0.9 flags docs (nearly) contained in another — the
+    subset/quotation duplicates symmetric Jaccard misses. Spark side uses
+    prefix filtering (smallest-hash prefix explode vs full inverted
+    index, no O(n²) pair space); the oracle verifies against the exact
+    quadratic computation over the same word-trigram shingle hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold=0.9).orderBy("id_a", "id_b")

@@ -252,3 +252,28 @@ def test_quality_features_consistency(spark, docs):
     assert row[1] is True  # uniq ≤ total
     assert 0.0 <= row[2] <= row[3] <= 1.0
     assert row[4] > 0
+
+
+def test_containment_prefix_filter_boundary(spark):
+    """A doc missing exactly n*(1-t) shingles sits AT the containment
+    threshold; the prefix filter must still surface it (the integral-
+    boundary case where floor((1-t)*n)+1 under float arithmetic comes up
+    one element short). Also: containment is directional."""
+    from micromegas_spark.operators.dedup import containment_pairs
+
+    # 12 tokens -> 10 word-trigram shingles; b = a with the LAST trigram
+    # region changed -> 9/10 shared shingles = containment exactly 0.9
+    words = [f"w{i}" for i in range(12)]
+    a_text = " ".join(words)
+    b_text = " ".join(words[:-1] + ["zz"])
+    big = " ".join(words + ["tail1", "tail2", "tail3", "tail4"])
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, big)], "doc_id bigint, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    # 1 vs 2: 9/10 shared = 0.9 both directions (equal sizes)
+    assert got[(1, 2)] == 0.9 and got[(2, 1)] == 0.9
+    # 1 is fully contained in 3; 3 is NOT contained in 1 (directional)
+    assert got[(1, 3)] == 1.0
+    assert (3, 1) not in got
