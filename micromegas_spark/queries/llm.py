@@ -1639,3 +1639,38 @@ def docs_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic computation over the same word-trigram shingle hashes."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_exact_substring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 20 THEN
+                    list_transform(range(1, len(toks) - 18),
+                        i -> array_to_string(list_slice(toks, i, i + 19), ' '))
+               ELSE [trim(text)] END AS gs
+        FROM t
+    ),
+    hsh AS (SELECT doc_id,
+                   list_distinct(list_transform(gs,
+                       x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
+            FROM g),
+    w AS (SELECT doc_id, unnest(hs) AS h FROM hsh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022 ExactSubstr):
+    document pairs sharing verbatim 20-token runs, counted by distinct
+    shared windows (operators/dedup.exact_substring_overlaps — inverted-
+    index join on hashed windows, the distributed substitute for the
+    paper's suffix array). Positional long-window matching catches
+    quotation/partial-copy duplicates that sit near Jaccard 0."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_overlaps(d, window=20).orderBy("id_a", "id_b")

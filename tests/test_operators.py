@@ -277,3 +277,21 @@ def test_containment_prefix_filter_boundary(spark):
     # 1 is fully contained in 3; 3 is NOT contained in 1 (directional)
     assert got[(1, 3)] == 1.0
     assert (3, 1) not in got
+
+
+def test_exact_substring_overlaps_planted_quote(spark):
+    """A 20-token quote copied into an otherwise-different doc is found
+    with the exact window count; unrelated docs share nothing."""
+    from micromegas_spark.operators.dedup import exact_substring_overlaps
+
+    quote = " ".join(f"q{i}" for i in range(22))  # 22 tokens → 3 windows
+    a = "intro words here " + quote + " closing remarks"
+    b = "completely different opening " + quote + " and another tail"
+    c = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared_windows"]
+           for r in exact_substring_overlaps(df, window=20).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 3  # the quote's 3 windows
+    assert all(k == (1, 2) for k in got)  # c shares nothing
