@@ -170,3 +170,13 @@ def test_pagerank_small_graph_result_is_local_relation(spark):
     plan = _plan(spark, "nations_trade_pagerank")
     assert "LocalTableScan" in plan
     assert "FileScan" not in plan
+
+
+def test_containment_and_substring_no_cartesian(spark):
+    """Both substring-level dedup paths build candidates from hash-key
+    equi-joins (prefix explode / inverted index) — never a cross join
+    over the corpus."""
+    for name in ("docs_containment_dups", "docs_exact_substring"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
