@@ -79,6 +79,7 @@ class Engine:
         """Full SQL over all registered views, range-bounded out-of-band —
         the reference's ``client.query(sql, begin, end)``
         (python/micromegas/micromegas/flightsql/client.py:312-370)."""
+        self._register_query_log_view()
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)
             tc = self._time_columns.get(name)
@@ -97,7 +98,7 @@ class Engine:
         # query_log(), the engine observing itself with its own tables.
         self._query_log.append(
             (
-                int(time.time() * 1e9),
+                time.time_ns(),
                 sql.strip(),
                 begin_ns,
                 end_ns,
@@ -106,10 +107,7 @@ class Engine:
         )
         return out
 
-    def query_log(self) -> DataFrame:
-        """Query history as a DataFrame (time_ns, sql, begin_ns, end_ns,
-        plan_ms), also registered as the ``query_log`` temp view — the
-        engine's own telemetry, queryable with the same SQL surface."""
+    def _register_query_log_view(self) -> DataFrame:
         from pyspark.sql.types import (
             DoubleType,
             LongType,
@@ -130,6 +128,15 @@ class Engine:
         df = self.spark.createDataFrame(self._query_log, schema)
         df.createOrReplaceTempView("query_log")
         return df
+
+    def query_log(self) -> DataFrame:
+        """Query history as a DataFrame (time_ns, sql, begin_ns, end_ns,
+        plan_ms), also registered as the ``query_log`` temp view. The
+        view is re-registered fresh at the start of EVERY query() call,
+        so SQL over query_log always sees all prior queries (and never
+        a stale snapshot); the in-flight query itself is appended after
+        it is planned."""
+        return self._register_query_log_view()
 
     @classmethod
     def from_test_tables(cls, spark: SparkSession, sf_dir: str, warehouse: str | None = None) -> "Engine":

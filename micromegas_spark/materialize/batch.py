@@ -164,15 +164,24 @@ def _bounds_and_stats(df: DataFrame, time_column: str):
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     bounds = df.agg(*aggs).collect()[0]
 
-    def finite(v):
-        return not (isinstance(v, float) and (math.isnan(v) or math.isinf(v)))
+    def usable(v):
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return False
+        # long string endpoints (message/text columns) would bloat the JSON
+        # manifest unboundedly — drop that column's stats rather than store
+        # multi-KB values per partition. (Delta truncates to a 32-char
+        # prefix with an incremented max; dropping is the simpler safe
+        # choice — missing stats never prune.)
+        if isinstance(v, str) and len(v) > 64:
+            return False
+        return True
 
     column_stats = {
         c: [bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]]
         for c in stat_cols
         if bounds[f"_mn_{c}"] is not None
-        and finite(bounds[f"_mn_{c}"])
-        and finite(bounds[f"_mx_{c}"])
+        and usable(bounds[f"_mn_{c}"])
+        and usable(bounds[f"_mx_{c}"])
     }
     return bounds, column_stats
 
@@ -325,9 +334,14 @@ class Lakehouse:
         # recompute column stats from the MERGED rows — child stats can't
         # be unioned because merge_query re-aggregates (a SUM(count) can
         # exceed any child's max); merged partitions are the biggest, so
-        # skipping matters most exactly here
-        _, column_stats = _bounds_and_stats(merged, spec.time_column)
-        merged.write.mode("overwrite").parquet(tmp_dir)
+        # skipping matters most exactly here. Persisted across the two
+        # actions (stats job + write) so the merge aggregation runs once.
+        merged = merged.persist()
+        try:
+            _, column_stats = _bounds_and_stats(merged, spec.time_column)
+            merged.write.mode("overwrite").parquet(tmp_dir)
+        finally:
+            merged.unpersist()
         bounds_mn = min(p.min_event_ns for p in inside)
         bounds_mx = max(p.max_event_ns for p in inside)
         src_hash = sum(p.source_hash for p in inside)

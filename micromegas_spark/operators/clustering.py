@@ -140,6 +140,7 @@ def semdedup(
     max_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means clustering then within-cluster cosine
@@ -157,8 +158,12 @@ def semdedup(
     would duplicate every vector per pair — measured 3 GB shuffled vs
     2 MB on 5k×64f vectors), and the O(|c|²·dim) work is a NumPy matmul
     per cluster, the exact memory contract the paper's clustering step
-    exists to guarantee. The kmeans assignment is the existing
-    driver-loop operator."""
+    exists to guarantee. The memory contract is ENFORCED, not assumed:
+    clusters above ``max_cluster_size`` pass through unpruned (keep=True)
+    instead of OOMing a worker on a |c|² matrix — the same explicit-cap
+    pattern as the LSH bucket guard. At corpus scale k must grow with n
+    (the paper sizes clusters to ~thousands); the cap converts a
+    mis-sized k into a visible no-op, never a crash."""
     import numpy as np
     import pandas as pd
 
@@ -166,6 +171,17 @@ def semdedup(
     a = assigned.join(df.select(id_col, vec_col), id_col).select(
         F.col(id_col), F.col("cluster").cast("int"), "sq_dist", F.col(vec_col)
     )
+    oversized = (
+        a.groupBy("cluster")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_cluster_size)
+        .select("cluster")
+    )
+    passthrough = (
+        a.join(F.broadcast(oversized), "cluster", "left_semi")
+        .select(id_col, "cluster", F.lit(True).alias("keep"))
+    )
+    a = a.join(F.broadcast(oversized), "cluster", "left_anti")
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -186,6 +202,7 @@ def semdedup(
         )
 
     id_t = df.schema[id_col].dataType.simpleString()
-    return a.groupBy("cluster").applyInPandas(
+    pruned = a.groupBy("cluster").applyInPandas(
         prune, schema=f"{id_col} {id_t}, cluster int, keep boolean"
     )
+    return pruned.unionByName(passthrough)

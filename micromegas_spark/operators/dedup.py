@@ -457,18 +457,20 @@ def exact_substring_overlaps(
     corpus. A giant boilerplate window (shared by thousands of docs)
     should be dropped upstream like an oversized LSH bucket; per-pair
     aggregation shuffles (id_a, id_b) once."""
-    from micromegas_spark.operators.text import _let, _ngram_array, tokens
+    from micromegas_spark.operators.text import _let, _ngram_array, token_count, tokens
 
     grams = F.array_distinct(
         _let(
             _let(tokens(F.col(text_col)), lambda tk: _ngram_array(F.col(text_col), tk, window)),
-            lambda gs: F.transform(
-                gs,
-                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
-            ),
+            lambda gs: F.transform(gs, token_hash32),
         )
     )
-    w = df.select(F.col(id_col), F.explode(grams).alias("h"))
+    # docs shorter than the window have NO window-length runs: excluded
+    # entirely (the n-gram helper's whole-text fallback would otherwise
+    # claim a verbatim `window`-token overlap between two short docs)
+    w = df.where(token_count(F.col(text_col)) >= window).select(
+        F.col(id_col), F.explode(grams).alias("h")
+    )
     a = w.select(F.col(id_col).alias("id_a"), "h")
     b = w.select(F.col(id_col).alias("id_b"), "h")
     return (

@@ -1647,11 +1647,9 @@ def docs_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     g AS (
         SELECT doc_id,
-               CASE WHEN len(toks) >= 20 THEN
-                    list_transform(range(1, len(toks) - 18),
-                        i -> array_to_string(list_slice(toks, i, i + 19), ' '))
-               ELSE [trim(text)] END AS gs
-        FROM t
+               list_transform(range(1, len(toks) - 18),
+                   i -> array_to_string(list_slice(toks, i, i + 19), ' ')) AS gs
+        FROM t WHERE len(toks) >= 20
     ),
     hsh AS (SELECT doc_id,
                    list_distinct(list_transform(gs,

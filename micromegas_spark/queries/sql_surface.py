@@ -555,9 +555,6 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     at gap > 30 min (an exact-boundary event would differ, measure-zero
     on µs timestamps). The judge-facing point: streaming state produces
     the identical session partition a batch recompute does."""
-    import tempfile
-    import uuid as _uuid
-
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -566,12 +563,12 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         TimestampType,
     )
 
-    from micromegas_spark.streaming.incremental import stream_sessionize
+    from micromegas_spark.streaming.incremental import (
+        one_shot_stream_table,
+        stream_sessionize,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_time", "value")
-    src = tempfile.mkdtemp(prefix="sess_stream_")
-    for batch_pred in (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1):
-        ev.where(batch_pred).coalesce(1).write.mode("append").parquet(src)
     schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -579,20 +576,13 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("value", DoubleType()),
         ]
     )
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(src)
-    name = f"sess_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream_sessionize(stream, gap="30 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sess = one_shot_stream_table(
+        spark,
+        [ev.where(F.col("user_id") % 2 == 0), ev.where(F.col("user_id") % 2 == 1)],
+        schema,
+        lambda stream: stream_sessionize(stream, gap="30 minutes"),
+        "sess_stream_tbl",
     )
-    q.awaitTermination()
-    sess = spark.table(name)
     from pyspark.sql import Window as W
 
     idx = W.partitionBy("user_id").orderBy("sess_start")
@@ -641,44 +631,40 @@ def events_sliding_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in EXACTLY two windows, so DuckDB reproduces the overlap
     with a two-branch union — streaming window state must agree with the
     closed-form window assignment row-for-row."""
-    import tempfile
-    import uuid as _uuid
-
     from pyspark.sql.types import (
-        LongType,
         StringType,
         StructField,
         StructType,
         TimestampType,
     )
 
-    from micromegas_spark.streaming.incremental import stream_sliding_rates
+    from micromegas_spark.streaming.incremental import (
+        one_shot_stream_table,
+        stream_sliding_rates,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_time", "event_type")
-    src = tempfile.mkdtemp(prefix="slide_stream_")
-    for batch_pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
-        ev.where(batch_pred).drop("event_id").coalesce(1).write.mode("append").parquet(src)
     schema = StructType(
         [
             StructField("event_time", TimestampType()),
             StructField("event_type", StringType()),
         ]
     )
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    name = f"slide_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream_sliding_rates(
+    batches = [
+        ev.where(F.col("event_id") % 2 == 0).drop("event_id"),
+        ev.where(F.col("event_id") % 2 == 1).drop("event_id"),
+    ]
+    out = one_shot_stream_table(
+        spark,
+        batches,
+        schema,
+        lambda stream: stream_sliding_rates(
             stream, window="10 minutes", slide="5 minutes", key_col="event_type"
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "slide_stream_tbl",
     )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        out
         .select(
             "event_type",
             F.col("win_start").cast("double").cast("bigint").alias("win_start"),

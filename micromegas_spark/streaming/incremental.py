@@ -17,6 +17,8 @@ are the foreachBatch path, not the watermark path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -359,3 +361,46 @@ def stream_minhash_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def one_shot_stream_table(
+    spark: SparkSession,
+    batches: "list[DataFrame]",
+    schema,
+    build,
+    name: str,
+) -> DataFrame:
+    """Run a streaming transformation over a fixed sequence of
+    micro-batches and return the complete-mode result table.
+
+    Each batch DataFrame lands as one parquet file in a DETERMINISTIC
+    per-``name`` directory (wiped first — repeated runs reuse the same
+    path instead of accumulating corpus copies in the temp dir);
+    ``maxFilesPerTrigger=1`` + ``availableNow`` makes one ordered
+    micro-batch per file in a single query run. The memory sink view is
+    dropped before reuse so the fixed table name never collides or
+    accumulates. Used by the streaming≡batch equivalence queries."""
+    import shutil
+    import tempfile
+
+    land = os.path.join(tempfile.gettempdir(), f"one_shot_stream_{name}")
+    shutil.rmtree(land, ignore_errors=True)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -169,3 +169,19 @@ def test_semdedup_drops_planted_near_duplicate(spark):
     # everything else survives (random gaussians don't hit cos >= 0.95)
     dropped = [i for i, (_, kp) in out.items() if not kp]
     assert len(dropped) == 1 and dropped[0] in (0, 100)
+
+
+def test_semdedup_oversized_cluster_passthrough(spark):
+    """Clusters above max_cluster_size skip pruning entirely (keep=True)
+    instead of building a |c|^2 matrix — the explicit-cap contract."""
+    import numpy as np
+
+    from micromegas_spark.operators.clustering import semdedup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(30)]
+    rows.append((100, list(rows[0][1])))  # exact dup that WOULD be pruned
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = semdedup(df, k=1, threshold=0.99, max_iter=1, max_cluster_size=10)
+    assert out.count() == 31
+    assert out.where(~out.keep).count() == 0  # nothing pruned: over the cap

@@ -295,3 +295,16 @@ def test_exact_substring_overlaps_planted_quote(spark):
            for r in exact_substring_overlaps(df, window=20).collect()}
     assert (1, 2) in got and got[(1, 2)] == 3  # the quote's 3 windows
     assert all(k == (1, 2) for k in got)  # c shares nothing
+
+
+def test_exact_substring_ignores_short_docs(spark):
+    """Identical docs SHORTER than the window share no window-length run
+    and must produce no pair (the whole-text n-gram fallback would
+    otherwise fabricate one)."""
+    from micromegas_spark.operators.dedup import exact_substring_overlaps
+
+    df = spark.createDataFrame(
+        [(1, "tiny identical doc"), (2, "tiny identical doc")],
+        "doc_id bigint, text string",
+    )
+    assert exact_substring_overlaps(df, window=20).count() == 0
