@@ -258,27 +258,47 @@ def minhash_near_duplicates(
     )
 
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over distinct tokens: bit i is set iff
-    Σ_tokens (bit_i(h32(token)) ? +1 : −1) ≥ 0.
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct tokens (the Manku et al. WWW'07 shape):
+    bit i is set iff Σ_tokens (bit_i(h64(token)) ? +1 : −1) ≥ 0.
 
-    Explode → 32 conditional sums (map-side combinable) → bit assembly.
-    Near-dup search then bands the 32 bits into chunks and joins on chunk
-    equality (Hamming-distance LSH)."""
+    The 64-bit token hash is two md5-derived 32-bit halves
+    (int(md5[0:8],16) → bits 0-31, int(md5[8:16],16) → bits 32-63), so the
+    DuckDB oracle recomputes it exactly and no engine-specific 64-bit
+    unsigned arithmetic is needed: the vote sums never assemble the hash.
+    The signature itself is the signed two's-complement BIGINT — bit 63
+    contributes −2^63, every other bit +2^i, so assembly stays inside
+    signed-int64 range on any engine.
+
+    Explode → 64 conditional sums (map-side combinable) → bit assembly;
+    one shuffle on doc_id. Near-dup search bands the 64 bits into 16-bit
+    chunks (simhash_near_duplicates)."""
     toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).select(F.col(id_col), token_hash32(F.col("tok")).alias("h"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint").alias("hlo"),
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    )
     aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(32)
+        for i in range(64)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
     sim = None
-    for i in range(32):
-        bit = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = bit if sim is None else sim + bit
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
@@ -289,28 +309,65 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """SimHash near-dup: band 32 bits into `chunks` 8-bit chunks; by
+    """SimHash near-dup: band 64 bits into `chunks` 16-bit chunks; by
     pigeonhole, any pair within max_hamming ≤ chunks-1 shares ≥1 chunk →
-    join per chunk, verify exact Hamming distance via bit_count(xor)."""
-    sh = simhash32(df, text_col, id_col)
+    per-chunk bucket join, verify exact Hamming distance via
+    bit_count(xor).
+
+    Scale shape: 16-bit chunk keys give 65,536 buckets per chunk table
+    (vs 256 for the naive 32-bit/8-bit layout — that keyspace made the
+    per-bucket pair space O(n²/256), a 100× scale-killer). Pairing is
+    bucket-collect (one aggregation materializes each bucket's id list;
+    in-bucket pairs come from a higher-order cross of the small list) —
+    never a self-join that would recompute the signature subtree on both
+    sides. ``max_bucket_size`` mirrors the MinHash-LSH guard: a bucket
+    holding more than the cap (a degenerate template corpus — every
+    member a mutual near-dup of one boilerplate page) is dropped from
+    candidate generation; such corpora belong to exact dedup first, and
+    the cap bounds the worst-case pair space at buckets·cap² instead of
+    O(n²)."""
+    chunk_bits = 64 // chunks
+    sh = simhash64(df, text_col, id_col)
     parts = []
     for c in range(chunks):
-        chunk = F.shiftright(F.col("simhash"), c * (32 // chunks)).bitwiseAND(
-            F.lit((1 << (32 // chunks)) - 1)
+        # shiftrightunsigned + mask: the signature is a signed BIGINT, and
+        # an arithmetic shift would sign-extend into the top chunk's key
+        chunk = F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
         )
         parts.append(sh.select(F.lit(c).alias("chunk"), chunk.alias("ckey"), id_col, "simhash"))
     allc = parts[0]
     for extra in parts[1:]:
         allc = allc.unionByName(extra)
-    a, b = allc.alias("a"), allc.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    buckets = (
+        allc.groupBy("chunk", "ckey")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ms"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                        lambda p: p.getField("a").getField("i") < p.getField("b").getField("i"),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    ham = F.bit_count(
+        F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))
+    )
     return (
-        a.join(b, ["chunk", "ckey"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
             ham.alias("hamming"),
         )
         .distinct()

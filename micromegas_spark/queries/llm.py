@@ -287,9 +287,13 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SUMS = ", ".join(
-    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}" for i in range(32)
+    f"SUM(CASE WHEN ({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(64)
 )
-_SIMHASH_BITS = " + ".join(f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+_SIMHASH_BITS = " + ".join(
+    [f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(63)]
+    + ["CASE WHEN s_63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END"]
+)
 
 
 @query(
@@ -298,7 +302,10 @@ _SIMHASH_BITS = " + ".join(f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for 
     WITH toks AS (
         SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
     ),
-    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
+          FROM toks),
     s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id)
     SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
     FROM s
@@ -306,13 +313,17 @@ _SIMHASH_BITS = " + ".join(f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for 
     """,
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (operators/dedup.simhash32): bit i set
-    iff the signed vote of token-hash bits is ≥ 0. The Hamming-banded
-    near-dup join over these is simhash_near_duplicates (tested in
+    """64-bit SimHash per document (operators/dedup.simhash64, the Manku
+    et al. WWW'07 width): bit i set iff the signed vote of token-hash
+    bits is ≥ 0; the token hash is two md5-derived 32-bit halves so the
+    oracle recomputes it exactly, and the signature is the signed
+    two's-complement BIGINT (bit 63 weighs −2^63 on both engines). The
+    Hamming-banded near-dup join over these is simhash_near_duplicates
+    (16-bit chunk keys + bucket-size cap; tested in
     tests/test_operators.py; pair search shares the banding shape with
     MinHash-LSH)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash32(d).orderBy("doc_id")
+    return dedup.simhash64(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

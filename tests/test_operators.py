@@ -52,7 +52,7 @@ def test_simhash_near_duplicates_pigeonhole_complete(spark, docs):
     """The banded join's guarantee: with 4 chunks, EVERY pair at true
     Hamming distance ≤ 3 is found (pigeonhole: ≤3 differing bits can't
     touch all 4 chunks). Ground truth via brute-force simhash cross-join."""
-    sh = dedup.simhash32(docs).cache()
+    sh = dedup.simhash64(docs).cache()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
     truth = {
