@@ -419,12 +419,35 @@ def blocked_jaccard_pairs(
     )
 
 
+def _drop_frequent_hashes(posting: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Count-filter an inverted-index posting list (columns: any id + "h"):
+    drop every hash whose document frequency exceeds ``max_doc_freq``.
+
+    The guard for boilerplate grams: one gram shared by 10⁶ docs turns the
+    candidate join into a 10¹² pair explosion. A hash above the cap carries
+    no dedup signal (it is corpus furniture, not document identity), so
+    dropping it is lossless for dedup purposes as long as the cap is far
+    above real near-dup cluster sizes — same reasoning as the LSH
+    ``max_bucket_size`` guard. The banned-hash relation is tiny (only
+    hashes with df > cap) and joins anti on the same key the candidate
+    join shuffles on; its size is bounded by postings/cap, so the join is
+    left to AQE — broadcast when tiny, shuffled-hash when not."""
+    banned = (
+        posting.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("h")
+    )
+    return posting.join(banned, "h", "left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
     shingle_n: int = 3,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Directional containment near-dup detection: pairs (a, b) with
     C(a, b) = |Sh(a) ∩ Sh(b)| / |Sh(a)| >= threshold — document a is
@@ -470,7 +493,13 @@ def containment_pairs(
         F.col(id_col).alias("_ia"),
         F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
     )
-    index = sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h"))
+    # frequent-gram cap on the inverted index (see _drop_frequent_hashes):
+    # without it one boilerplate shingle shared by 10⁶ docs explodes the
+    # candidate join. Lossy only for docs whose ENTIRE prefix is corpus
+    # furniture — which have no identity signal to match on anyway.
+    index = _drop_frequent_hashes(
+        sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h")), max_doc_freq
+    )
     cand = (
         probe.join(index, "h")
         .where(F.col("_ia") != F.col("_ib"))
@@ -498,6 +527,7 @@ def exact_substring_overlaps(
     window: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Exact-substring duplicate detection (the ExactSubstr method of Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -511,9 +541,11 @@ def exact_substring_overlaps(
     emits its distinct hashed ``window``-grams (map-side, one tokenize);
     the self-join runs on the window hash — an inverted-index join whose
     pair space is bounded by true verbatim overlap, never O(n²) over the
-    corpus. A giant boilerplate window (shared by thousands of docs)
-    should be dropped upstream like an oversized LSH bucket; per-pair
-    aggregation shuffles (id_a, id_b) once."""
+    corpus. A window shared by more than ``max_doc_freq`` docs (license
+    headers, navigation chrome) is dropped from the index by the
+    frequent-gram cap — enforced here, not left to upstream hygiene —
+    exactly like an oversized LSH bucket; per-pair aggregation shuffles
+    (id_a, id_b) once."""
     from micromegas_spark.operators.text import _let, _ngram_array, token_count, tokens
 
     grams = F.array_distinct(
@@ -525,8 +557,11 @@ def exact_substring_overlaps(
     # docs shorter than the window have NO window-length runs: excluded
     # entirely (the n-gram helper's whole-text fallback would otherwise
     # claim a verbatim `window`-token overlap between two short docs)
-    w = df.where(token_count(F.col(text_col)) >= window).select(
-        F.col(id_col), F.explode(grams).alias("h")
+    w = _drop_frequent_hashes(
+        df.where(token_count(F.col(text_col)) >= window).select(
+            F.col(id_col), F.explode(grams).alias("h")
+        ),
+        max_doc_freq,
     )
     a = w.select(F.col(id_col).alias("id_a"), "h")
     b = w.select(F.col(id_col).alias("id_b"), "h")

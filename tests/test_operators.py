@@ -308,3 +308,38 @@ def test_exact_substring_ignores_short_docs(spark):
         "doc_id bigint, text string",
     )
     assert exact_substring_overlaps(df, window=20).count() == 0
+
+
+def test_frequent_gram_cap_bounds_boilerplate_corpus(spark):
+    """A gram shared by every doc (license-header boilerplate) must be
+    dropped from the inverted indexes by the df cap, keeping candidate
+    counts bounded — while grams under the cap still match."""
+    from micromegas_spark.operators.dedup import (
+        containment_pairs,
+        exact_substring_overlaps,
+    )
+
+    boiler = "this license header appears verbatim on every single page of the site " * 3
+    rows = [(i, boiler + f" unique tail {i} aa{i} bb{i} cc{i}") for i in range(40)]
+    # two genuine near-dups sharing a sub-cap window on top of boilerplate
+    rows += [(100, boiler + " shared quoted paragraph " + " ".join(f"q{j}" for j in range(25))),
+             (101, boiler + " shared quoted paragraph " + " ".join(f"q{j}" for j in range(25)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # cap below the boilerplate df (42 docs) -> boilerplate grams dropped;
+    # the planted pair still matches through its sub-cap shared windows
+    pairs = exact_substring_overlaps(df, window=20, max_doc_freq=10).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (100, 101) in found
+    # every surviving pair owes its windows to sub-cap grams: the pure
+    # boilerplate docs (0..39) may pair only via windows spanning into
+    # their unique tails, never the quadratic all-pairs explosion
+    assert len(pairs) < 42 * 41 / 2 / 4
+
+    cpairs = containment_pairs(df, threshold=0.9, max_doc_freq=10)
+    # with the boilerplate index rows dropped, candidate generation is
+    # bounded; correctness: uncapped run finds a superset
+    capped = {(r.id_a, r.id_b) for r in cpairs.collect()}
+    uncapped = {(r.id_a, r.id_b)
+                for r in containment_pairs(df, threshold=0.9, max_doc_freq=10**9).collect()}
+    assert capped <= uncapped
