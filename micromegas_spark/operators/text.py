@@ -577,32 +577,71 @@ def bm25_topk(
     )
 
 
+def select_disjoint_merges(
+    ranked: "list[tuple[str, str, int]]",
+) -> "list[tuple[str, str, int]]":
+    """Greedy non-overlap filter for batched BPE: walk the ranked window,
+    keep a candidate iff it shares no symbol with an already-KEPT
+    candidate. Applying a symbol-disjoint batch in one rewrite pass is
+    order-independent, so the batch is well-defined; because the window
+    size k is fixed at plan time, the DuckDB oracle unrolls the greedy
+    chain into k kept-flag expressions (queries/llm._bpe_oracle) —
+    engine-portable despite the sequential dependency."""
+    kept: list[tuple[str, str, int]] = []
+    for left, right, n in ranked:
+        if not any(left in (a, b) or right in (a, b) for a, b, _ in kept):
+            kept.append((left, right, n))
+    return kept
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    merges_per_round: int = 1,
 ) -> "list[tuple[str, str, int]]":
     """Byte-pair-encoding merge training over a corpus (Sennrich et al.
     2016 — the vocabulary-induction step of an LLM data pipeline),
     distributed: returns the ordered merge list
     ``[(left_sym, right_sym, pair_count), ...]``.
 
-    Classic word-internal BPE: every distinct word becomes a
-    space-separated symbol sequence of its characters plus a ``</w>``
-    end marker; each round counts adjacent symbol pairs weighted by word
-    frequency, merges the most frequent pair (ties: lexicographic
-    smallest pair — deterministic on any engine), and rewrites the
-    sequences.
+    Classic word-internal BPE: every distinct word becomes a symbol
+    sequence of its characters plus a ``</w>`` end marker; each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    most frequent pair(s) (ties: lexicographic smallest pair —
+    deterministic on any engine), and rewrites the sequences.
+
+    ``merges_per_round`` batches the induction (the standard
+    distributed-BPE optimization): each round takes the top-k pairs by
+    (count desc, pair), keeps the symbol-disjoint subset
+    (``select_disjoint_merges``), and applies them all in one rewrite
+    pass — ceil(n_merges/k) rounds instead of one Spark job per merge,
+    which is what makes a real 30k-merge vocabulary tenable (30k/k
+    sequential jobs). k=1 reduces exactly to sequential Sennrich BPE.
+    Counts are snapshots of the round's pair table, so batched output
+    can differ from sequential where selected merges interact; on
+    non-overlapping corpora they coincide (pinned in
+    tests/test_text_pipeline.py).
+
+    Symbol sequences are stored as a padded double-space string
+    (``' a  b  </w> '``): a pair match ``' a  b '`` consumes one
+    boundary space per side and its replacement ``' ab '`` restores it,
+    so plain left-to-right literal ``replace`` implements the
+    whole-symbol greedy merge with NO lookaround regex — the same
+    replace() semantics exist in DuckDB, which is what lets the
+    docs_bpe_merges oracle mirror every round as an unrolled
+    MATERIALIZED CTE chain (queries/llm.py).
 
     Scale shape (the kmeans-style driver loop of declarative jobs): the
     corpus collapses ONCE to distinct (word, count) — vocabulary-bound,
     not token-bound, the same reduction every BPE trainer relies on —
-    and each round is one explode + one weighted count + one argmax
-    collect of a single row, then a map-side regexp rewrite. Lineage is
+    and each round is one explode + one weighted count + one top-k
+    collect of ≤ k rows, then a map-side literal rewrite. Lineage is
     cut by a LAZY localCheckpoint each round (the plan would otherwise
     double per round); laziness folds the rewrite materialization into
-    the next round's count job — one job per merge, not two."""
-    sep = " "
+    the next round's count job — one job per round."""
+    import math as _math
+
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .where(F.col("w") != "")
@@ -610,7 +649,9 @@ def bpe_train(
         .agg(F.count("*").alias("cnt"))
         .select(
             F.concat(
-                F.concat_ws(sep, F.split(F.col("w"), "")), F.lit(" </w>")
+                F.lit(" "),
+                F.concat_ws("  ", F.split(F.col("w"), "")),
+                F.lit("  </w> "),
             ).alias("syms"),
             "cnt",
         )
@@ -618,48 +659,40 @@ def bpe_train(
     )
     merges: list[tuple[str, str, int]] = []
     cur = words
-    for _ in range(n_merges):
-        arr = F.split(F.col("syms"), sep)
+    rounds = _math.ceil(n_merges / merges_per_round)
+    for _ in range(rounds):
+        arr = F.split(F.trim(F.col("syms")), "  ")
         pairs = cur.select(
             "cnt",
             F.explode(
-                F.when(
-                    F.size(arr) >= 2,
-                    F.zip_with(
-                        F.slice(arr, 1, F.size(arr) - 1),
-                        F.slice(arr, 2, F.size(arr) - 1),
-                        lambda a, b: F.concat_ws(sep, a, b),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
             ).alias("pair"),
         )
-        best = (
+        top = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
+            .limit(merges_per_round)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        pair, n = best[0]["pair"], int(best[0]["n"])
-        left, right = pair.split(sep)
-        merges.append((left, right, n))
-        # whole-symbol match: the pair bounded by start/space on the left
-        # and space/end on the right. Symbols are escaped per character
-        # (not \Q..\E, which a symbol containing the literal '\\E' would
-        # break), and the REPLACEMENT is escaped too — Java's
-        # appendReplacement treats '$' as a group reference and '\\' as
-        # an escape, so a corpus token like '$5' would otherwise crash
-        # the rewrite (Matcher.quoteReplacement semantics).
-        import re as _re
-
-        pat = f"(?<=^|\\s){_re.escape(left)} {_re.escape(right)}(?=\\s|$)"
-        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
-        cur = cur.select(
-            F.regexp_replace(F.col("syms"), pat, repl).alias("syms"),
-            "cnt",
-        ).localCheckpoint(eager=False)
+        ranked = [
+            (r["pair"].split(" ")[0], r["pair"].split(" ")[1], int(r["n"]))
+            for r in top
+        ]
+        selected = select_disjoint_merges(ranked)
+        merges.extend(selected)
+        col = F.col("syms")
+        for left, right, _n in selected:
+            col = F.replace(
+                col, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        cur = cur.select(col.alias("syms"), "cnt").localCheckpoint(eager=False)
     return merges
 
 

@@ -1393,22 +1393,113 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([bm, ql], topk=20)
 
 
-@query("docs_bpe_merges")
+def _bpe_oracle(rounds: int, k: int) -> str:
+    """Unrolled-CTE DuckDB mirror of the batched bpe_train schedule
+    (operators/text.py): per round, a MATERIALIZED pair count, a ranked
+    top-k window pivoted to one row, k unrolled GREEDY kept-flags
+    (slot j is kept iff it shares no symbol with a kept higher slot —
+    the sequential greedy chain is expressible because k is fixed at
+    plan time), and k literal-replace slots (an unkept slot degrades to
+    an identity replace on chr(1)). MATERIALIZED is load-bearing: DuckDB
+    inlines CTEs by default and the chained w{r} references would
+    otherwise re-expand the whole prefix per round."""
+
+    def overlap(i: int, j: int) -> str:
+        return f"(l{i} IN (l{j}, r{j}) OR r{i} IN (l{j}, r{j}))"
+
+    kept: dict[int, str] = {}
+    for j in range(1, k + 1):
+        conds = [f"({kept[i]} AND {overlap(i, j)})" for i in range(1, j)]
+        base = f"l{j} IS NOT NULL"
+        kept[j] = (
+            f"({base} AND NOT ({' OR '.join(conds)}))" if conds else f"({base})"
+        )
+
+    parts = [
+        r"""
+    w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+                   || '  </w> ' AS syms,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (
+            SELECT w, COUNT(*) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w
+        )
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        pivot = ", ".join(
+            f"min(CASE WHEN rk = {j} THEN l END) AS l{j}, "
+            f"min(CASE WHEN rk = {j} THEN r END) AS r{j}, "
+            f"min(CASE WHEN rk = {j} THEN n END) AS n{j}"
+            for j in range(1, k + 1)
+        )
+        flags = ", ".join(f"{kept[j]} AS kept{j}" for j in range(1, k + 1))
+        repl = "syms"
+        for j in range(1, k + 1):
+            needle = f"CASE WHEN d.kept{j} THEN ' '||d.l{j}||'  '||d.r{j}||' ' ELSE chr(1) END"
+            rrepl = f"CASE WHEN d.kept{j} THEN ' '||d.l{j}||d.r{j}||' ' ELSE '' END"
+            repl = f"replace({repl}, {needle}, {rrepl})"
+        sel = " OR ".join(f"(k.rk = {j} AND d.kept{j})" for j in range(1, k + 1))
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (
+            SELECT cnt, a[i] || ' ' || a[i+1] AS pair
+            FROM (SELECT cnt, a, unnest(generate_series(1, len(a)-1)) AS i
+                  FROM (SELECT cnt, str_split(trim(syms), '  ') AS a FROM w{r-1}))
+        ) GROUP BY pair
+    ),
+    k{r} AS MATERIALIZED (
+        SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk,
+               str_split(pair, ' ')[1] AS l, str_split(pair, ' ')[2] AS r
+        FROM (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT {k})
+    ),
+    g{r} AS MATERIALIZED (SELECT {pivot} FROM k{r}),
+    d{r} AS MATERIALIZED (SELECT *, {flags} FROM g{r}),
+    s{r} AS MATERIALIZED (
+        SELECT k.rk, k.l, k.r, k.n FROM k{r} k, d{r} d WHERE {sel}
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT {repl} AS syms, cnt FROM w{r-1}, d{r} d
+    )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round, rk, l, r, n FROM s{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {','.join(parts)}
+    , merges AS ({union})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, rk) AS INTEGER) AS rank,
+           l AS "left", r AS "right", n AS pair_count
+    FROM merges ORDER BY rank
+    """
+
+
+@query("docs_bpe_merges", oracle=_bpe_oracle(rounds=4, k=4))
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction over the corpus (operators/text.bpe_train,
-    Sennrich et al. 2016): the first 8 merge rules with their pair counts
-    — the tokenizer-training step of an LLM data pipeline as a driver
-    loop of declarative jobs (distinct-word collapse, then per round one
-    weighted pair count + one argmax + a map-side rewrite).
+    Sennrich et al. 2016), BATCHED: 4 rounds × top-4 greedily
+    symbol-disjoint
+    merges — the tokenizer-training step of an LLM data pipeline as a
+    driver loop of declarative jobs (distinct-word collapse, then per
+    round one weighted pair count + one top-k collect + a map-side
+    literal rewrite). Batching is what makes a real 30k-merge vocabulary
+    tenable (ceil(30k/k) jobs instead of 30k).
 
-    Rows-only check by design (the sanctioned iterative-algorithm class):
-    the per-round rewrite needs lookaround regex or an imperative list
-    scan, neither of which DuckDB's RE2/SQL surface can mirror
-    deterministically — exact semantics are pinned instead by the
-    in-test reference implementation
+    Fully hash-checked: the padded double-space symbol representation
+    makes each round's rewrite a plain left-to-right literal replace
+    (identical semantics in Spark's F.replace and DuckDB's replace()),
+    so the oracle unrolls the fixed 4-round schedule into a MATERIALIZED
+    CTE chain — the same unrolled-iteration pattern as emb_kmeans and
+    nations_trade_pagerank. Sequential (k=1) semantics are additionally
+    pinned against an in-test reference implementation
     (tests/test_text_pipeline.py::test_bpe_train_matches_reference_algorithm)."""
     d = load_table(spark, sf_dir, "documents")
-    merges = text.bpe_train(d, n_merges=8)
+    merges = text.bpe_train(d, n_merges=16, merges_per_round=4)
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",

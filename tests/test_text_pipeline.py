@@ -325,3 +325,33 @@ def test_nb_classify_separable_toy_corpus(spark):
         assert out[i].pred == out[i].source == y
     # scores are finite log-probs (negative)
     assert all(r.score < 0 for r in out.values())
+
+
+def test_bpe_batched_equals_sequential_on_disjoint_corpus(spark):
+    """On a corpus whose top pairs are symbol-disjoint (distinct letter
+    pairs with distinct frequencies), batched induction must equal the
+    sequential schedule merge-for-merge, counts included."""
+    from micromegas_spark.operators.text import bpe_train
+
+    rows = [("abx " * 5 + "aby " * 4 + "cdx " * 3 + "cdy " * 2,)]
+    df = spark.createDataFrame(rows, ["text"])
+    # round-1 pair counts: (a,b)=9, (x,</w>)=8, (y,</w>)=6, (b,x)=5 ... —
+    # the top-2 are symbol-disjoint and merging (a,b) does not change
+    # (x,</w>)'s count, so the 2-at-once batch equals two sequential rounds
+    seq = bpe_train(df, n_merges=2, merges_per_round=1)
+    bat = bpe_train(df, n_merges=2, merges_per_round=2)
+    assert seq == bat == [("a", "b", 9), ("x", "</w>", 8)]
+
+
+def test_bpe_greedy_batch_filter_skips_conflicts(spark):
+    """Within one batch, a candidate sharing a symbol with a KEPT
+    higher-ranked candidate is skipped; later disjoint candidates are
+    still kept (greedy, not conservative, selection)."""
+    from micromegas_spark.operators.text import select_disjoint_merges
+
+    ranked = [("t", "h", 10), ("h", "e", 9), ("e", "r", 8), ("x", "y", 7)]
+    # (h,e) conflicts with kept (t,h); (e,r) only conflicts with the
+    # REJECTED (h,e), so greedy keeps it; (x,y) disjoint -> kept
+    assert select_disjoint_merges(ranked) == [
+        ("t", "h", 10), ("e", "r", 8), ("x", "y", 7),
+    ]
