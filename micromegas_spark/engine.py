@@ -50,6 +50,8 @@ class JitViewSet:
 
 
 class Engine:
+    QUERY_LOG_MAX = 1000  # rotation cap for the self-observability log
+
     def __init__(self, spark: SparkSession, warehouse: str | None = None):
         self.spark = configure(spark)
         register_all(spark)
@@ -58,7 +60,12 @@ class Engine:
         self._views: dict[str, ViewBuilder] = {}
         self._time_columns: dict[str, str] = {}
         self._jit: dict[str, JitViewSet] = {}
-        self._query_log: list[tuple] = []
+        # bounded: a long-lived engine must not grow per-query driver
+        # state without limit (and the view re-materialization cost is
+        # proportional to the log length)
+        from collections import deque
+
+        self._query_log: "deque[tuple]" = deque(maxlen=self.QUERY_LOG_MAX)
 
     # -- global views --------------------------------------------------------
 
@@ -68,6 +75,11 @@ class Engine:
         """Register a view-set builder. ``time_column`` (epoch-ns BIGINT)
     enables the per-view time filter (P5: point views get
     ``time BETWEEN``; the builder itself may prune partitions)."""
+        if name == "query_log":
+            raise ValueError(
+                "'query_log' is the engine's self-observability view and "
+                "cannot be shadowed by a registered view"
+            )
         self._views[name] = builder
         if time_column:
             self._time_columns[name] = time_column
@@ -79,7 +91,10 @@ class Engine:
         """Full SQL over all registered views, range-bounded out-of-band —
         the reference's ``client.query(sql, begin, end)``
         (python/micromegas/micromegas/flightsql/client.py:312-370)."""
-        self._register_query_log_view()
+        # lazy: materializing the log view costs O(len(log)) driver work,
+        # so only refresh it when the statement can actually read it
+        if "query_log" in sql:
+            self._register_query_log_view()
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)
             tc = self._time_columns.get(name)
@@ -125,17 +140,19 @@ class Engine:
                 StructField("plan_ms", DoubleType()),
             ]
         )
-        df = self.spark.createDataFrame(self._query_log, schema)
+        df = self.spark.createDataFrame(list(self._query_log), schema)
         df.createOrReplaceTempView("query_log")
         return df
 
     def query_log(self) -> DataFrame:
         """Query history as a DataFrame (time_ns, sql, begin_ns, end_ns,
         plan_ms), also registered as the ``query_log`` temp view. The
-        view is re-registered fresh at the start of EVERY query() call,
-        so SQL over query_log always sees all prior queries (and never
-        a stale snapshot); the in-flight query itself is appended after
-        it is planned."""
+        view is refreshed lazily — at the start of any query() whose SQL
+        references query_log, and on every query_log() call — so SQL
+        over it always sees all prior queries without paying the
+        O(len(log)) materialization on unrelated statements. The log
+        rotates at QUERY_LOG_MAX entries; the in-flight query itself is
+        appended after it is planned."""
         return self._register_query_log_view()
 
     @classmethod

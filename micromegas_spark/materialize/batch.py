@@ -547,13 +547,21 @@ class Lakehouse:
                     for v in (mn, mx)
                 ):
                     return True
-                return {
-                    "=": mn <= val <= mx,
-                    ">": mx > val,
-                    ">=": mx >= val,
-                    "<": mn < val,
-                    "<=": mn <= val,
-                }[op]
+                # dispatch on op BEFORE comparing, and treat un-comparable
+                # stats (e.g. int predicate on a string column) like
+                # missing stats: never prune on bad metadata
+                try:
+                    if op == "=":
+                        return mn <= val <= mx
+                    if op == ">":
+                        return mx > val
+                    if op == ">=":
+                        return mx >= val
+                    if op == "<":
+                        return mn < val
+                    return mn <= val  # "<="
+                except TypeError:
+                    return True
             parts = [p for p in parts if can_match(p)]
         if not parts:
             return self.spark.range(0).select()  # empty, schema-less guard

@@ -220,11 +220,15 @@ def pagerank(
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
+    # persist BEFORE the size probe: the probe executes the collapsed-edge
+    # aggregation, and without the persist the distributed path would run
+    # that expensive upstream build a second time
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     probe = e.limit(local_threshold + 1).collect()
     if len(probe) <= local_threshold:
+        e.unpersist()
         return _local_pagerank(e, probe, damping, n_iter)
     del probe
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     # zero-total-out-weight nodes are DANGLING, not divisors: build the
     # transition table from positive out-weight only (a 0/0 would make p
     # NULL and silently drain rank mass each round)

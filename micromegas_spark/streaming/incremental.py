@@ -373,17 +373,21 @@ def one_shot_stream_table(
     """Run a streaming transformation over a fixed sequence of
     micro-batches and return the complete-mode result table.
 
-    Each batch DataFrame lands as one parquet file in a DETERMINISTIC
-    per-``name`` directory (wiped first — repeated runs reuse the same
-    path instead of accumulating corpus copies in the temp dir);
-    ``maxFilesPerTrigger=1`` + ``availableNow`` makes one ordered
-    micro-batch per file in a single query run. The memory sink view is
-    dropped before reuse so the fixed table name never collides or
-    accumulates. Used by the streaming≡batch equivalence queries."""
+    Each batch DataFrame lands as one parquet file in a per-``name``,
+    per-PROCESS directory (prior runs of THIS process are wiped; the pid
+    suffix keeps two concurrent sessions — parallel pytest workers, two
+    engines on one box — from deleting each other's in-flight landing
+    dir mid-stream); ``maxFilesPerTrigger=1`` + ``availableNow`` makes
+    one ordered micro-batch per file in a single query run. The memory
+    sink view is dropped before reuse so the fixed table name never
+    collides or accumulates. Used by the streaming≡batch equivalence
+    queries."""
     import shutil
     import tempfile
 
-    land = os.path.join(tempfile.gettempdir(), f"one_shot_stream_{name}")
+    land = os.path.join(
+        tempfile.gettempdir(), f"one_shot_stream_{name}_{os.getpid()}"
+    )
     shutil.rmtree(land, ignore_errors=True)
     for b in batches:
         b.coalesce(1).write.mode("append").parquet(land)

@@ -147,8 +147,17 @@ def test_semdedup_single_cluster_shuffle(spark):
     # exactly one Python stage: vectors shuffle to their cluster once
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # the oversized-cluster guard joins broadcast their (tiny) cluster list
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the oversized-cluster guard joins broadcast their (tiny) cluster
+    # list: pin the exact shapes — a semi join keeping prunable clusters
+    # and an anti join passing oversized ones through, both keyed on the
+    # cluster id with the cluster list as the broadcast build side
+    guard_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "cluster#" in ln
+    ]
+    assert any("LeftSemi" in ln for ln in guard_joins), plan
+    assert any("LeftAnti" in ln for ln in guard_joins), plan
 
 
 def test_nb_classifier_sparse_model_join_and_argmax_pushdown(spark):

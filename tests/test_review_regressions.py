@@ -160,3 +160,57 @@ def test_stream_minhash_reads_pre_mhs_store(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(pairs).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(1, 3)]
+
+
+def test_query_log_is_bounded_and_lazy(spark, tmp_path):
+    """Round-3 review: the engine's query log rotates at QUERY_LOG_MAX
+    (no unbounded driver state on a long-lived engine), the log view is
+    only re-materialized for statements that reference it, and a user
+    view may not shadow 'query_log'."""
+    import pytest
+
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_qlog"))
+    eng.QUERY_LOG_MAX  # exists
+    eng.register_table("tiny", spark.range(3).toDF("x"))
+    for _ in range(5):
+        eng.query("SELECT COUNT(*) AS c FROM tiny")
+    assert len(eng._query_log) == 5
+    # rotation: force the cap low by refilling a fresh deque
+    from collections import deque
+
+    eng._query_log = deque(eng._query_log, maxlen=3)
+    eng.query("SELECT 1 AS one")
+    assert len(eng._query_log) == 3
+    # the log view reflects history when queried THROUGH sql
+    n = eng.query("SELECT COUNT(*) AS c FROM query_log").collect()[0].c
+    assert n == 3  # view registered before the in-flight query is appended
+    with pytest.raises(ValueError):
+        eng.register_table("query_log", spark.range(1).toDF("x"))
+
+
+def test_column_predicate_type_mismatch_never_prunes(spark, tmp_path):
+    """Round-3 review: an int predicate against a string column's stats
+    must follow the 'unusable stats never prune' contract instead of
+    raising TypeError during manifest pruning."""
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    HOUR = 3600 * 10**9
+    rows = [(int(h * HOUR + 5), f"u{h}") for h in range(3)]
+    spark.createDataFrame(rows, "time_ns bigint, who string").createOrReplaceTempView(
+        "evmm"
+    )
+    spec = BatchViewSpec(
+        name="mm_view",
+        count_query="SELECT COUNT(*) FROM evmm WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, who FROM evmm WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_mm"))
+    lake.materialize_range(spec, 0, 3 * HOUR, HOUR)
+    # int predicate on the string column: stats are unusable -> no pruning,
+    # and the row-level filter simply matches nothing (typed compare)
+    got = lake.read("mm_view", column_predicates={"who": (">=", 1)})
+    assert len(got.inputFiles()) == len(lake.read("mm_view").inputFiles())
