@@ -6,15 +6,16 @@ The reference stores raw binary payloads and image blobs the same way
 training-data-pipeline surface we add the decode / feature-extract /
 resize / frame-sample stages a 100 TB multimodal pipeline needs.
 
-IMPORTANT — decode backends: the real decoders (PIL/libvips/ffmpeg) are
-NOT in this container, so ``decode_media`` is stubbed: with
-``backend='fake'`` (default) it produces deterministic pseudo-decodes from
-the payload bytes (stable across engines and runs — used by the tests to
-validate the Spark-side plumbing: schema, batching, 1→N row fan-out);
-``backend='pil'`` raises NotImplementedError unless PIL is importable.
-The mapInPandas signatures, schemas, and partitioning are the real,
-tested contract — swapping the inner function for a real decoder changes
-no plan shape.
+Decode backends: ``backend='fake'`` (default) produces deterministic
+pseudo-decodes from the payload bytes (stable across engines and runs —
+used by the oracle-checked queries and by tests validating the Spark-side
+plumbing: schema, batching, 1→N row fan-out). ``backend='pil'`` is a REAL
+decoder — dims/mode/format/EXIF via Pillow, and a real downscale +
+re-encode in ``resize_images`` — used when Pillow is importable on the
+executors (tests are importorskip-gated); without Pillow it raises
+NotImplementedError at plan-build time. Both backends share identical
+mapInPandas signatures, schemas, and partitioning, so swapping backends
+changes no plan shape.
 """
 
 from __future__ import annotations
@@ -76,22 +77,85 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+IMAGE_DETAILS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("format", StringType()),
+        StructField("exif", MapType(StringType(), StringType())),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     h = hashlib.md5(payload or b"").digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+def _require_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return PIL.Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "backend='pil' requires pillow on driver and executors; this "
+            "environment ships none — use backend='fake' for plumbing tests"
+        ) from e
+
+
 def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode stage: BINARY payload → typed metadata rows. mapInPandas so a
-    real decoder amortizes setup per Arrow batch, not per row."""
+    real decoder amortizes setup per Arrow batch, not per row.
+
+    ``backend='pil'`` decodes REAL image bytes (width/height via Pillow;
+    an undecodable payload yields NULL dims rather than failing the
+    task — at 100 TB some corrupt blobs are a certainty). The reference
+    decodes image payloads the same way in its images view
+    (rust/analytics/src/images_table.rs)."""
     if backend == "pil":
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:  # pragma: no cover - container has no PIL
-            raise NotImplementedError(
-                "PIL backend requires pillow; this environment ships none — "
-                "use backend='fake' for plumbing tests"
-            ) from e
+        _require_pil()
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                widths, heights = [], []
+                for p in pdf["payload"]:
+                    try:
+                        with Image.open(io.BytesIO(p or b"")) as im:
+                            widths.append(im.width)
+                            heights.append(im.height)
+                    except Exception:
+                        widths.append(None)
+                        heights.append(None)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "width": pd.array(widths, dtype="Int32"),
+                        "height": pd.array(heights, dtype="Int32"),
+                        "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                        "content_hash": [
+                            hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,6 +174,53 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def decode_image_details(df: DataFrame) -> DataFrame:
+    """Rich per-image metadata (PIL only): mode, container format, and
+    stringified EXIF tags — the properties the reference carries per
+    image row (images_table.rs). Undecodable payloads yield NULL fields;
+    EXIF is a string→string map so the schema is stable across tag
+    vocabularies."""
+    _require_pil()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "mode": [], "format": [], "exif": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    with Image.open(io.BytesIO(p or b"")) as im:
+                        exif = {}
+                        try:
+                            exif = {
+                                str(k): str(v) for k, v in (im.getexif() or {}).items()
+                            }
+                        except Exception:
+                            pass
+                        out["width"].append(im.width)
+                        out["height"].append(im.height)
+                        out["mode"].append(im.mode)
+                        out["format"].append(im.format)
+                        out["exif"].append(exif)
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mode"].append(None)
+                    out["format"].append(None)
+                    out["exif"].append(None)
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=IMAGE_DETAILS_SCHEMA)
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
@@ -170,10 +281,47 @@ def images_view(media: DataFrame, processes: DataFrame | None = None) -> DataFra
     return out
 
 
-def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stage: metadata-only in the fake backend (real backend would
-    re-encode payloads); demonstrates pass-through of binary columns with
-    derived columns added JVM-side where possible."""
+def resize_images(df: DataFrame, max_side: int = 256, backend: str = "fake") -> DataFrame:
+    """Resize stage. ``backend='fake'``: metadata-only scale computation,
+    derived columns added JVM-side (the plumbing demo for this
+    container). ``backend='pil'``: REAL downscale — payloads whose longest
+    side exceeds ``max_side`` are thumbnailed (aspect-preserving, PIL
+    LANCZOS) and re-encoded as PNG inside the Arrow batch; already-small
+    or undecodable payloads pass through unchanged. One Python crossing,
+    no shuffle: a map-side stage either way."""
+    if backend == "pil":
+        _require_pil()
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                out = {"media_id": [], "new_width": [], "new_height": [], "payload": []}
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    out["media_id"].append(mid)
+                    try:
+                        with Image.open(io.BytesIO(p or b"")) as im:
+                            if max(im.size) > max_side:
+                                im.thumbnail((max_side, max_side), Image.LANCZOS)
+                                buf = io.BytesIO()
+                                im.save(buf, format="PNG")
+                                out["payload"].append(buf.getvalue())
+                            else:
+                                out["payload"].append(p)
+                            out["new_width"].append(im.width)
+                            out["new_height"].append(im.height)
+                    except Exception:
+                        out["new_width"].append(None)
+                        out["new_height"].append(None)
+                        out["payload"].append(p)
+                out["new_width"] = pd.array(out["new_width"], dtype="Int32")
+                out["new_height"] = pd.array(out["new_height"], dtype="Int32")
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
     decoded = decode_media(df)
     scale = F.when(
         F.greatest("width", "height") > max_side,

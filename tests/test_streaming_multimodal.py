@@ -207,3 +207,70 @@ def test_stream_minhash_neardup_matches_batch(spark, tmp_path):
     assert got == want and len(got) >= 2  # (0,4) exact + at least one near pair
     # exactly-once: no pair appears twice in the append-only pair log
     assert len(got) == len(set(got))
+
+
+# --- real PIL backend (importorskip-gated: runs in Pillow-equipped envs) ---
+
+
+def _png_bytes(w, h, color=(200, 30, 30)):
+    import io
+
+    from PIL import Image
+
+    im = Image.new("RGB", (w, h), color)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_decode_media_pil_real_dims(spark):
+    pytest.importorskip("PIL")
+    rows = [
+        (1, "image", _png_bytes(320, 200), {}),
+        (2, "image", _png_bytes(64, 48), {}),
+        (3, "image", b"not an image at all", {}),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: (r.width, r.height) for r in MM.decode_media(df, backend="pil").collect()}
+    assert got[1] == (320, 200) and got[2] == (64, 48)
+    assert got[3] == (None, None)  # corrupt blob -> NULL dims, task survives
+
+
+def test_decode_image_details_pil(spark):
+    pytest.importorskip("PIL")
+    df = spark.createDataFrame([(1, "image", _png_bytes(20, 10), {})], MM.MEDIA_SCHEMA)
+    r = MM.decode_image_details(df).collect()[0]
+    assert (r.width, r.height, r.mode, r.format) == (20, 10, "RGB", "PNG")
+    assert isinstance(r.exif, dict)
+
+
+def test_resize_images_pil_real_downscale(spark):
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rows = [
+        (1, "image", _png_bytes(400, 200), {}),  # downscaled
+        (2, "image", _png_bytes(50, 40), {}),    # passthrough
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.resize_images(df, max_side=100, backend="pil").collect()}
+    assert (got[1].new_width, got[1].new_height) == (100, 50)  # aspect kept
+    with Image.open(io.BytesIO(bytes(got[1].payload))) as im:
+        assert im.size == (100, 50)  # payload actually re-encoded
+    assert (got[2].new_width, got[2].new_height) == (50, 40)
+    assert bytes(got[2].payload) == rows[1][2]  # small image passes through
+
+
+def test_resize_and_details_raise_without_pil(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(media, backend="pil")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_details(media)
