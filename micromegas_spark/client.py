@@ -155,6 +155,7 @@ class Client:
         number retired."""
         from micromegas_spark.timeutils import to_epoch_ns
 
+        self.engine.require_admin("retire_partitions")
         return self.engine.lakehouse.retire_partitions(
             view_set_name, to_epoch_ns(begin), to_epoch_ns(end)
         )
@@ -166,6 +167,7 @@ class Client:
         batch view (skips fresh ones — the maintenance tick semantics)."""
         from micromegas_spark.timeutils import to_epoch_ns
 
+        self.engine.require_admin("materialize_partitions")
         return self.engine.lakehouse.materialize_range(
             self.engine.batch_view(view_name),
             to_epoch_ns(begin),
@@ -180,6 +182,7 @@ class Client:
         (batch_update.rs:278-356)."""
         from micromegas_spark.timeutils import to_epoch_ns
 
+        self.engine.require_admin("regenerate_partitions")
         return self.engine.lakehouse.regenerate_partitions(
             self.engine.batch_view(view_name),
             to_epoch_ns(begin),

@@ -52,10 +52,17 @@ class JitViewSet:
 class Engine:
     QUERY_LOG_MAX = 1000  # rotation cap for the self-observability log
 
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(
+        self, spark: SparkSession, warehouse: str | None = None, admin: bool = True
+    ):
         self.spark = configure(spark)
         register_all(spark)
         self.warehouse = warehouse or os.path.join(os.getcwd(), ".warehouse")
+        # admin gating parity (reference query.rs:150-175: admin UDTFs are
+        # simply NOT REGISTERED for non-admin sessions, so calling one
+        # reports "not found" — functions-reference.md:5). Non-admin
+        # engines raise the same way from the partition-admin surface.
+        self.admin = admin
         os.makedirs(self.warehouse, exist_ok=True)
         self._views: dict[str, ViewBuilder] = {}
         self._time_columns: dict[str, str] = {}
@@ -172,6 +179,14 @@ class Engine:
         return eng
 
     # -- lakehouse / batch views ----------------------------------------------
+
+    def require_admin(self, fn_name: str) -> None:
+        """Gate for the partition-admin surface: in a non-admin session
+        the reference never registers the admin UDTFs, so invoking one
+        fails as unknown (query.rs:150-175) — mirror that exact
+        user-visible behavior rather than a permission error."""
+        if not self.admin:
+            raise LookupError(f"function {fn_name!r} not found")
 
     @property
     def lakehouse(self):

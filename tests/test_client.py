@@ -129,3 +129,26 @@ def test_client_admin_and_bulk_ingest(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         c.materialize_partitions("nope", lo, hi, 3600)
+
+
+def test_admin_gating_matches_reference_not_found(spark, tmp_path):
+    """Reference parity (query.rs:150-175; functions-reference.md:5): a
+    non-admin session never sees the partition-admin functions — calling
+    one reports 'not found', while admin sessions (default) pass."""
+    import pytest
+
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_na"), admin=False)
+    cli = Client(eng)
+    for call in (
+        lambda: cli.retire_partitions("v", 0, 10**9),
+        lambda: cli.materialize_partitions("v", 0, 10**9, 3600),
+        lambda: cli.regenerate_partitions("v", 0, 10**9, 3600),
+    ):
+        with pytest.raises(LookupError, match="not found"):
+            call()
+    # admin engine still reaches the lakehouse (unknown view -> 0 retired)
+    adm = Client(Engine(spark, warehouse=str(tmp_path / "wh_a")))
+    assert adm.retire_partitions("nonexistent_view", 0, 10**9) == 0
