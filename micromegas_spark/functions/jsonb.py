@@ -11,8 +11,11 @@ VariantType where useful) and maps every function to a native Spark
 expression. The one genuine gap is SQL/JSON-path **filter predicates**
 (``$[*] ? (@.f == "x")``, functions-reference.md:349-392) — Spark's
 get_json_object supports paths but not predicates, so ``jsonb_path_query``
-implements a JSONPath subset as a vectorized pandas UDF (Arrow-batched; this
-is metadata-sized data in practice, never the 100 TB hot path).
+implements the documented SQL/JSON-path surface (filters after any
+wildcard step, ``&&``/``||`` with parentheses, navigation past filters,
+``..name`` recursive descent, ``.*``) as a vectorized pandas UDF
+(Arrow-batched; this is metadata-sized data in practice, never the
+100 TB hot path).
 """
 
 from __future__ import annotations
@@ -124,60 +127,226 @@ def jsonb_array_elements(df, json_col: str, extra_cols: list[str] | None = None)
     )
 
 
-# --- JSONPath subset with filter predicates (pandas UDF) --------------------
+# --- SQL/JSON path with filter predicates (pandas UDF) ----------------------
+#
+# Grammar (the reference's documented SQL/JSON-path surface,
+# functions-reference.md:349-392 + the jsonb crate's jsonpath semantics,
+# path_query.rs:176):
+#
+#   path     := '$' step*
+#   step     := '.' NAME | '.*' | '..' NAME | '[' (INT | '*') ']'
+#             | '?' '(' pred ')'
+#   pred     := and_expr ('||' and_expr)*
+#   and_expr := term ('&&' term)*
+#   term     := '(' pred ')' | operand CMP operand | operand      (bare = exists)
+#   operand  := '@' step* | STRING | NUMBER | true | false | null
+#
+# Filters may appear after ANY step (nested: $.teams[*].players[*] ? (...)),
+# may combine && / || with parentheses, and navigation may continue past a
+# filter. '..name' is recursive descent. Lax-mode comparison: an @-path
+# yielding several values satisfies a comparison if ANY of them does;
+# cross-type comparisons are false, never errors.
 
-_FILTER_RE = re.compile(
-    r"^\$\[\*\]\s*\?\s*\(\s*@\.(?P<field>\w+)\s*(?P<op>==|!=|>|>=|<|<=)\s*(?P<lit>\"[^\"]*\"|-?\d+(?:\.\d+)?)\s*\)$"
+_PATH_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<dotdot>\.\.(?P<recname>\w+))
+      | (?P<dotstar>\.\*)
+      | (?P<dot>\.(?P<name>\w+))
+      | (?P<bracket>\[(?P<idx>\d+|\*)\])
+      | (?P<filter>\?)
+    )""",
+    re.VERBOSE,
+)
+
+_PRED_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<op>==|!=|>=|<=|>|<|&&|\|\||\(|\))
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<kw>true|false|null)
+      | (?P<at>@)
+    )""",
+    re.VERBOSE,
 )
 
 
-def _eval_path(doc, path: str):
-    """Tiny JSONPath subset: $.a.b, $.a[0].b, $[*] and the filter form
-    $[*] ? (@.field <op> literal) per functions-reference.md:349-392."""
-    m = _FILTER_RE.match(path.strip())
-    if m is not None:
-        if not isinstance(doc, list):
-            return []
-        field, op, lit = m.group("field"), m.group("op"), m.group("lit")
-        lit_val = lit[1:-1] if lit.startswith('"') else float(lit)
-        out = []
-        for item in doc:
-            if not isinstance(item, dict) or field not in item:
-                continue
-            v = item[field]
-            if isinstance(lit_val, float) and not isinstance(v, (int, float)):
-                continue
-            if isinstance(lit_val, str) and not isinstance(v, str):
-                continue
-            ok = {
-                "==": v == lit_val,
-                "!=": v != lit_val,
-                ">": v > lit_val,
-                ">=": v >= lit_val,
-                "<": v < lit_val,
-                "<=": v <= lit_val,
-            }[op]
-            if ok:
-                out.append(item)
-        return out
-    # plain navigation
-    cur = [doc]
-    for tok in re.findall(r"\.(\w+)|\[(\d+|\*)\]", path):
-        name, idx = tok
-        nxt = []
-        for c in cur:
-            if name:
-                if isinstance(c, dict) and name in c:
-                    nxt.append(c[name])
-            elif idx == "*":
+class _PathSyntaxError(ValueError):
+    pass
+
+
+def _parse_steps(s: str, pos: int, in_pred: bool) -> tuple[list, int]:
+    steps: list = []
+    while pos < len(s):
+        m = _PATH_TOKEN_RE.match(s, pos)
+        if m is None:
+            break
+        if m.group("dotdot"):
+            steps.append(("rec", m.group("recname")))
+        elif m.group("dotstar"):
+            steps.append(("wild",))
+        elif m.group("dot"):
+            steps.append(("key", m.group("name")))
+        elif m.group("bracket"):
+            idx = m.group("idx")
+            steps.append(("wild",) if idx == "*" else ("idx", int(idx)))
+        else:  # filter
+            if in_pred:
+                raise _PathSyntaxError("nested '?' inside a predicate")
+            pos = m.end()
+            ws = re.compile(r"\s*\(").match(s, pos)
+            if ws is None:
+                raise _PathSyntaxError("expected '(' after '?'")
+            pred, pos = _parse_pred(s, ws.end())
+            ws = re.compile(r"\s*\)").match(s, pos)
+            if ws is None:
+                raise _PathSyntaxError("expected ')' closing the filter")
+            steps.append(("filter", pred))
+            pos = ws.end()
+            continue
+        pos = m.end()
+    return steps, pos
+
+
+def _parse_operand(s: str, pos: int) -> tuple[tuple, int]:
+    m = _PRED_TOKEN_RE.match(s, pos)
+    if m is None:
+        raise _PathSyntaxError(f"bad predicate operand at {pos}")
+    if m.group("at"):
+        steps, pos = _parse_steps(s, m.end(), in_pred=True)
+        return ("at", steps), pos
+    if m.group("str"):
+        body = m.group("str")[1:-1]
+        return ("lit", re.sub(r'\\(.)', r"\1", body)), m.end()
+    if m.group("num"):
+        t = m.group("num")
+        return ("lit", float(t) if "." in t else int(t)), m.end()
+    if m.group("kw"):
+        return ("lit", {"true": True, "false": False, "null": None}[m.group("kw")]), m.end()
+    raise _PathSyntaxError(f"bad predicate operand at {pos}")
+
+
+def _parse_term(s: str, pos: int) -> tuple[tuple, int]:
+    m = _PRED_TOKEN_RE.match(s, pos)
+    if m is not None and m.group("op") == "(":
+        node, pos = _parse_pred(s, m.end())
+        m2 = _PRED_TOKEN_RE.match(s, pos)
+        if m2 is None or m2.group("op") != ")":
+            raise _PathSyntaxError("expected ')' in predicate")
+        return node, m2.end()
+    lhs, pos = _parse_operand(s, pos)
+    m = _PRED_TOKEN_RE.match(s, pos)
+    if m is not None and m.group("op") in ("==", "!=", ">", ">=", "<", "<="):
+        rhs, pos = _parse_operand(s, m.end())
+        return ("cmp", m.group("op"), lhs, rhs), pos
+    return ("exists", lhs), pos
+
+
+def _parse_pred(s: str, pos: int) -> tuple[tuple, int]:
+    node, pos = _parse_term(s, pos)
+    while True:
+        m = _PRED_TOKEN_RE.match(s, pos)
+        if m is None or m.group("op") not in ("&&", "||"):
+            return node, pos
+        kind = "and" if m.group("op") == "&&" else "or"
+        rhs, pos = _parse_term(s, m.end())
+        node = (kind, node, rhs)
+
+
+def _parse_path(path: str) -> list:
+    s = path.strip()
+    if not s.startswith("$"):
+        raise _PathSyntaxError("path must start with '$'")
+    steps, pos = _parse_steps(s, 1, in_pred=False)
+    if s[pos:].strip():
+        raise _PathSyntaxError(f"trailing characters in path: {s[pos:]!r}")
+    return steps
+
+
+def _descend(node, name: str, out: list) -> None:
+    if isinstance(node, dict):
+        if name in node:
+            out.append(node[name])
+        for v in node.values():
+            _descend(v, name, out)
+    elif isinstance(node, list):
+        for v in node:
+            _descend(v, name, out)
+
+
+def _compare(op: str, a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool) or a is None or b is None:
+        # bools and nulls: only (in)equality, and bool never equals number
+        if op not in ("==", "!="):
+            return False
+        same = type(a) is type(b) and a == b if isinstance(a, bool) or isinstance(b, bool) else a == b
+        return same if op == "==" else not same
+    num = isinstance(a, (int, float)) and isinstance(b, (int, float))
+    txt = isinstance(a, str) and isinstance(b, str)
+    if not (num or txt):
+        return False
+    return {
+        "==": a == b, "!=": a != b,
+        ">": a > b, ">=": a >= b, "<": a < b, "<=": a <= b,
+    }[op]
+
+
+def _eval_pred(node, item) -> bool:
+    kind = node[0]
+    if kind == "and":
+        return _eval_pred(node[1], item) and _eval_pred(node[2], item)
+    if kind == "or":
+        return _eval_pred(node[1], item) or _eval_pred(node[2], item)
+    if kind == "exists":
+        op = node[1]
+        return bool(_operand_values(op, item)) if op[0] == "at" else op[1] is not None
+    _, op, lhs, rhs = node
+    lv, rv = _operand_values(lhs, item), _operand_values(rhs, item)
+    # lax mode: true if ANY pair of resolved values satisfies the comparison
+    return any(_compare(op, a, b) for a in lv for b in rv)
+
+
+def _operand_values(operand, item) -> list:
+    if operand[0] == "lit":
+        return [operand[1]]
+    return _apply_steps([item], operand[1])
+
+
+def _apply_steps(nodes: list, steps: list) -> list:
+    cur = nodes
+    for step in steps:
+        nxt: list = []
+        if step[0] == "key":
+            for c in cur:
+                if isinstance(c, dict) and step[1] in c:
+                    nxt.append(c[step[1]])
+        elif step[0] == "idx":
+            for c in cur:
+                if isinstance(c, list) and step[1] < len(c):
+                    nxt.append(c[step[1]])
+        elif step[0] == "wild":
+            for c in cur:
                 if isinstance(c, list):
                     nxt.extend(c)
-            else:
-                i = int(idx)
-                if isinstance(c, list) and i < len(c):
-                    nxt.append(c[i])
+                elif isinstance(c, dict):
+                    nxt.extend(c.values())
+        elif step[0] == "rec":
+            for c in cur:
+                _descend(c, step[1], nxt)
+        else:  # filter
+            nxt = [c for c in cur if _eval_pred(step[1], c)]
         cur = nxt
     return cur
+
+
+def _eval_path(doc, path: str):
+    """SQL/JSON-path evaluation over a parsed JSON document; invalid path
+    syntax → None (the reference raises a parse error; we surface NULL,
+    consistent with the try-semantics of the rest of the family)."""
+    try:
+        steps = _parse_path(path)
+    except _PathSyntaxError:
+        return None
+    return _apply_steps([doc], steps)
 
 
 @pandas_udf(StringType())
@@ -190,7 +359,10 @@ def _jsonb_path_query_udf(j: pd.Series, path: pd.Series) -> pd.Series:
             doc = json.loads(s)
         except (ValueError, TypeError):
             return None
-        return json.dumps(_eval_path(doc, p), separators=(",", ":"))
+        matches = _eval_path(doc, p)
+        if matches is None:  # invalid path syntax
+            return None
+        return json.dumps(matches, separators=(",", ":"))
 
     return pd.Series(map(run, zip(j, path)))
 
@@ -206,7 +378,7 @@ def _jsonb_path_query_first_udf(j: pd.Series, path: pd.Series) -> pd.Series:
         except (ValueError, TypeError):
             return None
         matches = _eval_path(doc, p)
-        if not matches:
+        if not matches:  # no match, or invalid path syntax
             return None
         return json.dumps(matches[0], separators=(",", ":"))
 

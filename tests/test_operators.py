@@ -343,3 +343,42 @@ def test_frequent_gram_cap_bounds_boilerplate_corpus(spark):
     uncapped = {(r.id_a, r.id_b)
                 for r in containment_pairs(df, threshold=0.9, max_doc_freq=10**9).collect()}
     assert capped <= uncapped
+
+
+def test_jsonb_path_query_reference_doc_examples(spark):
+    """The reference's documented SQL/JSON-path examples
+    (functions-reference.md:349-392) verbatim, plus the widened surface:
+    nested filters, && / || with parens, navigation past a filter,
+    recursive descent, and parse-error -> NULL."""
+    rows = [
+        (1, '{"items": [{"type": "active", "id": 1}, {"type": "inactive", "id": 2}]}'),
+    ]
+    df = spark.createDataFrame(rows, ["i", "j"])
+
+    def q(path, col="j"):
+        return df.select(J.jsonb_path_query(F.col(col), path).alias("m")).collect()[0].m
+
+    assert q('$.items[*] ? (@.type == "active")') == '[{"type":"active","id":1}]'
+    teams = spark.createDataFrame(
+        [(1, '{"teams": [{"players": [{"type":"human","n":1},{"type":"bot","n":2}]},'
+             '{"players": [{"type":"human","n":3}]}]}')],
+        ["i", "j"],
+    )
+    got = teams.select(
+        J.jsonb_path_query(F.col("j"), '$.teams[*].players[*] ? (@.type == "human")').alias("m"),
+        J.jsonb_path_query(F.col("j"), '$.teams[*].players[*] ? (@.type == "human").n').alias("ns"),
+        J.jsonb_path_query(F.col("j"), "$..n").alias("rec"),
+        J.jsonb_path_query(
+            F.col("j"), '$.teams[*].players[*] ? (@.n > 1 && @.type == "bot")'
+        ).alias("b"),
+        J.jsonb_path_query(
+            F.col("j"), '$.teams[*].players[*] ? ((@.n == 1 || @.n == 3) && @.type == "human")'
+        ).alias("orr"),
+        J.jsonb_path_query(F.col("j"), '$.teams[?(@.x==1)]').alias("bad"),
+    ).collect()[0]
+    assert got.m == '[{"type":"human","n":1},{"type":"human","n":3}]'
+    assert got.ns == "[1,3]"
+    assert got.rec == "[1,2,3]"
+    assert got.b == '[{"type":"bot","n":2}]'
+    assert got.orr == '[{"type":"human","n":1},{"type":"human","n":3}]'
+    assert got.bad is None  # JavaScript-style filter: parse error -> NULL
