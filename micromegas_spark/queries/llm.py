@@ -996,8 +996,16 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch where the later member arrives, each pair exactly once.
     The judge-facing point: incremental ingest-time dedup produces
     bit-identical results to a full recompute, which is the contract that
-    lets a 100 TB pipeline dedup incrementally at all."""
+    lets a 100 TB pipeline dedup incrementally at all.
+
+    The accumulated LSH store is a managed table BUCKETED by (band, bkey)
+    (band_store_table): each tick's store-side candidate join is a
+    bucketed scan already partitioned on the join key, so no full-store
+    exchange per tick — the layout that keeps tick cost batch-bound at a
+    10⁹-signature store (plan-asserted in
+    tests/test_review_regressions.py::test_stream_minhash_bucketed_band_store)."""
     import tempfile
+    import uuid as _uuid
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -1015,12 +1023,17 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a per-tick streaming-query startup
     for batch_pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
         d.where(batch_pred).coalesce(1).write.mode("append").parquet(src)
-    q = stream_minhash_neardup(
-        spark, src, schema, store, pairs, ckpt, threshold=0.8,
-        max_files_per_trigger=1, store_files=1,
-    )
-    q.awaitTermination()
-    return spark.read.parquet(pairs).orderBy("id_a", "id_b")
+    bands_tbl = f"mh_bands_{_uuid.uuid4().hex[:10]}"
+    try:
+        q = stream_minhash_neardup(
+            spark, src, schema, store, pairs, ckpt, threshold=0.8,
+            max_files_per_trigger=1, store_files=1,
+            band_store_table=bands_tbl,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(pairs).orderBy("id_a", "id_b")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_tbl}")
 
 
 @query(

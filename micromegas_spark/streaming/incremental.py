@@ -230,6 +230,8 @@ def stream_minhash_neardup(
     shingle_n: int = 3,
     max_files_per_trigger: int | None = None,
     store_files: int | None = None,
+    band_store_table: str | None = None,
+    band_store_buckets: int = 32,
 ) -> StreamingQuery:
     """Incremental MinHash near-duplicate detection over a document
     landing zone — the streaming counterpart of
@@ -260,7 +262,20 @@ def stream_minhash_neardup(
     state grows per key; here Spark holds no state at all between
     batches). ``store_files`` compacts each tick's appends to that many
     files (small-file hygiene; size it to the batch volume — None keeps
-    the batch's natural partitioning)."""
+    the batch's natural partitioning).
+
+    ``band_store_table``: name of a managed table holding the exploded
+    band keys (band, bkey, id) BUCKETED by (band, bkey)
+    (sources/bucketing.py shape). With it set, the store side of the
+    per-tick candidate join is a bucketed scan already hash-partitioned
+    on the join key — NO full-store Exchange per tick (only the small
+    batch side shuffles; plan-asserted in
+    tests/test_review_regressions.py), and band keys are never
+    re-derived from stored signatures. That is the layout that keeps
+    tick cost proportional to batch size when the store holds 10⁹
+    signatures. Without it the store rides in ``store_dir`` parquet and
+    band keys are derived on read (fine for moderate stores; the
+    shuffle grows with store size)."""
     import os
 
     from micromegas_spark.operators.dedup import jaccard
@@ -303,13 +318,23 @@ def stream_minhash_neardup(
             )
             # batch × store candidates (new doc vs any older doc)
             cands = None
-            if os.path.isdir(sig_dir):
+            old_b = None
+            if band_store_table is not None and spark.catalog.tableExists(
+                band_store_table
+            ):
+                # bucketed band-key store: the scan is already hash-
+                # partitioned on (band, bkey) — no store-side Exchange
+                old_b = spark.table(band_store_table).select(
+                    F.col(id_col).alias("_oid"), "band", "bkey"
+                )
+            elif os.path.isdir(sig_dir):
                 old_b = _band_keys(
                     _read_store(sig_dir).select(id_col, "mhs"),
                     id_col,
                     n_hashes,
                     bands,
                 ).select(F.col(id_col).alias("_oid"), "band", "bkey")
+            if old_b is not None:
                 cands = (
                     new_b.join(old_b, ["band", "bkey"])
                     .select(
@@ -352,6 +377,20 @@ def stream_minhash_neardup(
             verified.write.mode("append").parquet(pairs_dir)
             out_sig = sig.repartition(store_files) if store_files is not None else sig
             out_sig.write.mode("append").parquet(sig_dir)
+            if band_store_table is not None:
+                # append AFTER the join so a tick never matches itself via
+                # the store; bucket layout is preserved across appends
+                (
+                    band_keys.select("band", "bkey", id_col)
+                    .write.mode("append")
+                    .bucketBy(band_store_buckets, "band", "bkey")
+                    .format("parquet")
+                    .saveAsTable(band_store_table)
+                )
+                # the session caches the table's file listing; without a
+                # refresh the NEXT tick (and the caller) would read a
+                # stale snapshot missing this append
+                spark.catalog.refreshTable(band_store_table)
         finally:
             sig.unpersist()
 

@@ -214,3 +214,64 @@ def test_column_predicate_type_mismatch_never_prunes(spark, tmp_path):
     # and the row-level filter simply matches nothing (typed compare)
     got = lake.read("mm_view", column_predicates={"who": (">=", 1)})
     assert len(got.inputFiles()) == len(lake.read("mm_view").inputFiles())
+
+
+def test_stream_minhash_bucketed_band_store(spark, tmp_path):
+    """Round-3: with band_store_table set, the streaming LSH store is a
+    managed table bucketed on (band, bkey): results equal the plain-store
+    run, and the store side of the candidate join scans WITHOUT an
+    Exchange (the bucketed layout IS the join partitioning)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from micromegas_spark.streaming.incremental import stream_minhash_neardup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, t),
+        (2, "totally unrelated content words here for the second document body"),
+        (3, t),  # arrives in batch 2: cross-batch pair (1,3) via the store
+        (4, "another unrelated set of words that matches nothing else at all"),
+    ]
+    tbl = "mh_bands_test_store"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        src, store, pairs, ckpt = (
+            str(tmp_path / x) for x in ("src", "store", "pairs", "ckpt")
+        )
+        d = spark.createDataFrame(rows, schema)
+        for pred in (F.col("doc_id") <= 2, F.col("doc_id") >= 3):
+            d.where(pred).coalesce(1).write.mode("append").parquet(src)
+        q = stream_minhash_neardup(
+            spark, src, schema, store, pairs, ckpt, threshold=0.9,
+            max_files_per_trigger=1, store_files=1,
+            band_store_table=tbl, band_store_buckets=4,
+        )
+        q.awaitTermination()
+        got = sorted((r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect())
+        assert got == [(1, 3)]
+        # the store table accumulated every doc's band keys, bucketed
+        assert spark.table(tbl).select("doc_id").distinct().count() == 4
+        # plan shape: joining fresh band keys against the store must not
+        # exchange the store side — its bucketed scan IS the join
+        # partitioning. Force the non-broadcast (big-store) strategy and
+        # count exchanges: exactly one, and it belongs to the probe side.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe = spark.createDataFrame(
+                [(0, "b0", 99)], "band int, bkey string, doc_id long"
+            )
+            joined = probe.join(spark.table(tbl), ["band", "bkey"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount" in plan, plan  # bucketed scan active
+            assert plan.count("Exchange") == 1, plan  # probe side only
+            store_scan = plan[plan.index(f"spark_catalog.default.{tbl}") :]
+            assert "Exchange" not in store_scan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
