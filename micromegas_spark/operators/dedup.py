@@ -419,26 +419,25 @@ def blocked_jaccard_pairs(
     )
 
 
-def _drop_frequent_hashes(posting: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Count-filter an inverted-index posting list (columns: any id + "h"):
-    drop every hash whose document frequency exceeds ``max_doc_freq``.
+def _capped_posting_buckets(
+    posting: DataFrame, id_alias: str, max_doc_freq: int
+) -> DataFrame:
+    """Aggregate an inverted-index posting list (id + "h") into per-hash
+    id-list buckets, dropping hashes whose document frequency exceeds
+    ``max_doc_freq`` → (h, ids array).
 
-    The guard for boilerplate grams: one gram shared by 10⁶ docs turns the
-    candidate join into a 10¹² pair explosion. A hash above the cap carries
-    no dedup signal (it is corpus furniture, not document identity), so
-    dropping it is lossless for dedup purposes as long as the cap is far
-    above real near-dup cluster sizes — same reasoning as the LSH
-    ``max_bucket_size`` guard. The banned-hash relation is tiny (only
-    hashes with df > cap) and joins anti on the same key the candidate
-    join shuffles on; its size is bounded by postings/cap, so the join is
-    left to AQE — broadcast when tiny, shuffled-hash when not."""
-    banned = (
+    This is the frequent-gram guard AND a shuffle saver in one shape: the
+    single groupBy on h replaces a two-sided posting self-join (the df is
+    just size(ids), so the cap costs nothing extra), exactly like the LSH
+    band bucket-collect. A gram above the cap is corpus furniture —
+    license headers, navigation chrome — shared by so many docs it
+    carries no identity signal; without the cap one such gram shared by
+    10⁶ docs is a 10¹² pair explosion in candidate generation."""
+    return (
         posting.groupBy("h")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > max_doc_freq)
-        .select("h")
+        .agg(F.collect_list(id_alias).alias("ids"))
+        .where(F.size("ids") <= max_doc_freq)
     )
-    return posting.join(banned, "h", "left_anti")
 
 
 def containment_pairs(
@@ -493,17 +492,21 @@ def containment_pairs(
         F.col(id_col).alias("_ia"),
         F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
     )
-    # frequent-gram cap on the inverted index (see _drop_frequent_hashes):
-    # without it one boilerplate shingle shared by 10⁶ docs explodes the
-    # candidate join. Lossy only for docs whose ENTIRE prefix is corpus
-    # furniture — which have no identity signal to match on anyway.
-    index = _drop_frequent_hashes(
-        sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h")), max_doc_freq
+    # the index is bucket-collected per hash with the frequent-gram cap
+    # (_capped_posting_buckets): one groupBy replaces the raw posting
+    # join side AND enforces the cap — without it one boilerplate shingle
+    # shared by 10⁶ docs explodes the candidate join. Lossy only for docs
+    # whose ENTIRE prefix is corpus furniture — which have no identity
+    # signal to match on anyway.
+    index = _capped_posting_buckets(
+        sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h")),
+        "_ib",
+        max_doc_freq,
     )
     cand = (
         probe.join(index, "h")
+        .select("_ia", F.explode("ids").alias("_ib"))
         .where(F.col("_ia") != F.col("_ib"))
-        .select("_ia", "_ib")
         .distinct()
     )
     a = sh.select(F.col(id_col).alias("_ia"), F.col("sh").alias("_sa"), F.col("_nsh").alias("_na"))
@@ -557,17 +560,34 @@ def exact_substring_overlaps(
     # docs shorter than the window have NO window-length runs: excluded
     # entirely (the n-gram helper's whole-text fallback would otherwise
     # claim a verbatim `window`-token overlap between two short docs)
-    w = _drop_frequent_hashes(
-        df.where(token_count(F.col(text_col)) >= window).select(
-            F.col(id_col), F.explode(grams).alias("h")
-        ),
-        max_doc_freq,
+    w = df.where(token_count(F.col(text_col)) >= window).select(
+        F.col(id_col), F.explode(grams).alias("h")
     )
-    a = w.select(F.col(id_col).alias("id_a"), "h")
-    b = w.select(F.col(id_col).alias("id_b"), "h")
+    # bucket-collect instead of a posting self-join: ONE shuffle of the
+    # posting list (the groupBy) replaces shuffling it on both join
+    # sides, and size(ids) ≤ cap applies the frequent-window guard in
+    # the same aggregation. Pairs come from a higher-order cross of the
+    # (cap-bounded) per-window id list, like the LSH band buckets.
+    buckets = _capped_posting_buckets(w, id_col, max_doc_freq).where(
+        F.size("ids") > 1
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                        lambda p: p.getField("a") < p.getField("b"),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_windows"))
     )

@@ -1028,7 +1028,7 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_minhash_neardup(
             spark, src, schema, store, pairs, ckpt, threshold=0.8,
             max_files_per_trigger=1, store_files=1,
-            band_store_table=bands_tbl,
+            band_store_table=bands_tbl, band_store_buckets=8,
         )
         q.awaitTermination()
         return spark.read.parquet(pairs).orderBy("id_a", "id_b")
