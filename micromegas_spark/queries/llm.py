@@ -326,6 +326,59 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(d).orderBy("doc_id")
 
 
+@query(
+    "docs_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
+          FROM toks),
+    s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM s),
+    ck AS (
+        SELECT doc_id, simhash, c, ((simhash >> (c * 16)) & 65535) AS ckey
+        FROM (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS c FROM sig)
+    ),
+    bs AS (SELECT c, ckey, COUNT(*) AS n FROM ck GROUP BY c, ckey),
+    ck2 AS (
+        SELECT ck.* FROM ck JOIN bs USING (c, ckey)
+        WHERE bs.n BETWEEN 2 AND 1000
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM ck2 a JOIN ck2 b
+          ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS at Hamming distance ≤ 3
+    (operators/dedup.simhash_near_duplicates):
+    the 4×16-bit chunk banding INCLUDING the max_bucket_size=1000 guard,
+    mirrored step-for-step in the oracle (chunk keys via arithmetic
+    shift + mask, bucket-size filter, pair distinct, Hamming verify), so
+    the hash check pins the whole banded search — recall, the cap's
+    drops, and the verify — not just the signatures. On the synthetic
+    corpus the cap genuinely binds at sf0.1 (shared tiny vocabulary →
+    oversized template buckets), so this also oracle-checks the guard
+    path; pigeonhole completeness below the cap is pinned in
+    tests/test_operators.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_near_duplicates(d, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
