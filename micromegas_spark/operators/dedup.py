@@ -273,13 +273,21 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Explode → 64 conditional sums (map-side combinable) → bit assembly;
     one shuffle on doc_id. Near-dup search bands the 64 bits into 16-bit
     chunks (simhash_near_duplicates)."""
-    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint").alias("hlo"),
-        F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    toks = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        # md5 projected ONCE per token — the two halves are substrings of
+        # the same digest (expression-level CSE does not span the two conv
+        # branches)
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("_d"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.col("_d"), 1, 8), 16, 10).cast("bigint").alias("hlo"),
+            F.conv(F.substring(F.col("_d"), 9, 8), 16, 10).cast("bigint").alias("hhi"),
+        )
     )
     aggs = [
         F.sum(
