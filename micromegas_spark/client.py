@@ -160,6 +160,13 @@ class Client:
             view_set_name, to_epoch_ns(begin), to_epoch_ns(end)
         )
 
+    def retire_partition_by_file(self, file_path: str) -> int:
+        """Admin: retire the single partition at this storage path
+        (functions-reference.md retire_partition_by_file; kept for
+        compatibility — prefer retire_partitions by metadata)."""
+        self.engine.require_admin("retire_partition_by_file")
+        return self.engine.lakehouse.retire_partition_by_file(file_path)
+
     def materialize_partitions(
         self, view_name: str, begin, end, partition_delta_seconds: int
     ) -> dict:

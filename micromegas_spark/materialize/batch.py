@@ -565,6 +565,22 @@ class Lakehouse:
                     shutil.rmtree(p.path)
         return len(drop)
 
+    def retire_partition_by_file(self, path: str) -> int:
+        """retire_partition_by_file(file_path) (functions-reference.md:79;
+        the reference keeps it for compatibility and steers users to the
+        metadata variant): retire the single partition whose storage path
+        matches, across all view sets. Returns partitions retired (0/1)."""
+        norm = os.path.normpath(path)
+        for view in self.list_view_sets():
+            parts = self.list_partitions(view)
+            keep = [p for p in parts if os.path.normpath(p.path) != norm]
+            if len(keep) != len(parts):
+                self._save_manifest(view, keep)
+                if os.path.exists(norm):
+                    shutil.rmtree(norm)
+                return len(parts) - len(keep)
+        return 0
+
     def retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
         """Retention: drop partitions whose insert bucket ended before the
         cutoff (rust/analytics/src/delete.rs:13-60 'delete blocks/partitions

@@ -437,3 +437,34 @@ def test_manifest_is_a_queryable_parquet_table(spark, tmp_path):
     assert not os.path.exists(legacy)
     assert len(lake.list_partitions("legacy_view")) == 1
     assert lake.list_partitions("legacy_view")[0].column_stats == {"v": [0, 2]}
+
+
+def test_retire_partition_by_file(spark, tmp_path):
+    """Reference parity: retire a single partition by its storage path
+    (functions-reference.md retire_partition_by_file)."""
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    HOUR = 3600 * 10**9
+    rows = [(int(h * HOUR + 1), h) for h in range(3)]
+    spark.createDataFrame(rows, "time_ns bigint, v bigint").createOrReplaceTempView("evrf")
+    spec = BatchViewSpec(
+        name="rf_view",
+        count_query="SELECT COUNT(*) FROM evrf WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, v FROM evrf WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_rf"))
+    lake.materialize_range(spec, 0, 3 * HOUR, HOUR)
+    parts = lake.list_partitions("rf_view")
+    assert len(parts) == 3
+    victim = parts[1].path
+    assert lake.retire_partition_by_file(victim) == 1
+    left = lake.list_partitions("rf_view")
+    assert len(left) == 2 and all(p.path != victim for p in left)
+    import os
+
+    assert not os.path.exists(victim)
+    assert lake.retire_partition_by_file(victim) == 0  # already gone
+    # rows from the remaining partitions still read fine
+    assert lake.read("rf_view").count() == 2
