@@ -82,7 +82,7 @@ class Engine:
         """Register a view-set builder. ``time_column`` (epoch-ns BIGINT)
     enables the per-view time filter (P5: point views get
     ``time BETWEEN``; the builder itself may prune partitions)."""
-        if name == "query_log":
+        if name.lower() == "query_log":
             raise ValueError(
                 "'query_log' is the engine's self-observability view and "
                 "cannot be shadowed by a registered view"
@@ -100,7 +100,8 @@ class Engine:
         (python/micromegas/micromegas/flightsql/client.py:312-370)."""
         # lazy: materializing the log view costs O(len(log)) driver work,
         # so only refresh it when the statement can actually read it
-        if "query_log" in sql:
+        # (case-insensitive: Spark resolves view names case-insensitively)
+        if "query_log" in sql.lower():
             self._register_query_log_view()
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)

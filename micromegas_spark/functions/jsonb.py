@@ -241,18 +241,36 @@ def _parse_term(s: str, pos: int) -> tuple[tuple, int]:
     return ("exists", lhs), pos
 
 
-def _parse_pred(s: str, pos: int) -> tuple[tuple, int]:
+def _parse_and(s: str, pos: int) -> tuple[tuple, int]:
     node, pos = _parse_term(s, pos)
     while True:
         m = _PRED_TOKEN_RE.match(s, pos)
-        if m is None or m.group("op") not in ("&&", "||"):
+        if m is None or m.group("op") != "&&":
             return node, pos
-        kind = "and" if m.group("op") == "&&" else "or"
         rhs, pos = _parse_term(s, m.end())
-        node = (kind, node, rhs)
+        node = ("and", node, rhs)
 
 
+def _parse_pred(s: str, pos: int) -> tuple[tuple, int]:
+    # '&&' binds tighter than '||' (the grammar above; standard SQL/JSON
+    # path): a || b && c parses as a || (b && c)
+    node, pos = _parse_and(s, pos)
+    while True:
+        m = _PRED_TOKEN_RE.match(s, pos)
+        if m is None or m.group("op") != "||":
+            return node, pos
+        rhs, pos = _parse_and(s, m.end())
+        node = ("or", node, rhs)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1024)
 def _parse_path(path: str) -> list:
+    """Parse once per DISTINCT path per executor — the UDF evaluates a
+    constant path column over millions of rows and must not re-tokenize
+    per row. (Steps are treated as immutable after parse.)"""
     s = path.strip()
     if not s.startswith("$"):
         raise _PathSyntaxError("path must start with '$'")

@@ -287,16 +287,53 @@ class Lakehouse:
         if os.path.exists(legacy):  # upgraded: the parquet file now wins
             os.remove(legacy)
 
+    _MANIFEST_DDL = (
+        "view STRING, begin_insert_ns BIGINT, end_insert_ns BIGINT, "
+        "source_hash BIGINT, min_event_ns BIGINT, max_event_ns BIGINT, "
+        "path STRING, updated_unix DOUBLE, schema_hash STRING, "
+        "column_stats_json STRING"
+    )
+
     def partitions_table(self):
         """The entire partition catalog as a DataFrame (every view's
         manifest file is one parquet table under _partitions/) — the
         queryable-catalog property of the reference's Postgres-backed
-        list_partitions, without a serving database."""
+        list_partitions, without a serving database. Views still on the
+        legacy JSON manifest (not yet upgraded by a save) are included
+        via driver-side rows, so a pre-upgrade warehouse reports its
+        full catalog."""
         d = os.path.join(self.warehouse, "_partitions")
         files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
-        if not files:
-            return self.spark.range(0).select()
-        return self.spark.read.parquet(*files)
+        pq_views = {os.path.basename(f)[: -len(".parquet")] for f in files}
+        legacy_rows = [
+            (
+                v,
+                int(p.begin_insert_ns),
+                int(p.end_insert_ns),
+                int(p.source_hash),
+                int(p.min_event_ns),
+                int(p.max_event_ns),
+                p.path,
+                float(p.updated_unix),
+                p.schema_hash,
+                json.dumps(p.column_stats or {}),
+            )
+            for v in self.list_view_sets()
+            if v not in pq_views
+            for p in self.list_partitions(v)
+        ]
+        out = None
+        if files:
+            # column order differs between writes only by schema, fixed here
+            out = self.spark.read.parquet(*files).select(
+                *[c.split()[0] for c in self._MANIFEST_DDL.split(", ")]
+            )
+        if legacy_rows:
+            legacy_df = self.spark.createDataFrame(legacy_rows, self._MANIFEST_DDL)
+            out = legacy_df if out is None else out.unionByName(legacy_df)
+        if out is None:
+            return self.spark.createDataFrame([], self._MANIFEST_DDL)
+        return out
 
     # -- materialization ---------------------------------------------------
 

@@ -136,6 +136,34 @@ def _shingle_sets(
     )
 
 
+def _bucket_pairs(buckets: DataFrame, list_col: str, key=None) -> DataFrame:
+    """Explode each bucket's collected element list into ordered (a, b)
+    pairs via a higher-order cross — the shared pair-generation step of
+    every bucket-collect candidate path (MinHash bands, SimHash chunks,
+    window inverted index). One struct column ``p`` with fields a/b;
+    ``key`` extracts the ordering key from an element (identity for
+    scalar id lists, a field getter for struct lists). Pairing in the
+    (cap-bounded) list avoids a posting self-join that would recompute
+    the upstream subtree on both sides."""
+    k = key if key is not None else (lambda x: x)
+    return buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col(list_col),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col(list_col),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                        lambda p: k(p.getField("a")) < k(p.getField("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -196,24 +224,11 @@ def minhash_lsh_candidates(
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                        ),
-                        lambda p: p.getField("a") < p.getField("b"),
-                    ),
-                )
-            )
-        ).alias("p")
+    return (
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
     )
-    return pairs.select(
-        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
-    ).distinct()
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -354,21 +369,7 @@ def simhash_near_duplicates(
         .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms"))
         .where((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ms"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                        ),
-                        lambda p: p.getField("a").getField("i") < p.getField("b").getField("i"),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = _bucket_pairs(buckets, "ms", key=lambda s: s.getField("i"))
     ham = F.bit_count(
         F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))
     )
@@ -579,23 +580,9 @@ def exact_substring_overlaps(
     buckets = _capped_posting_buckets(w, id_col, max_doc_freq).where(
         F.size("ids") > 1
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                        ),
-                        lambda p: p.getField("a") < p.getField("b"),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
     return (
-        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        _bucket_pairs(buckets, "ids")
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_windows"))
     )

@@ -693,7 +693,11 @@ def bpe_train(
                 col, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
             )
         cur = cur.select(col.alias("syms"), "cnt").localCheckpoint(eager=False)
-    return merges
+    # the last round can overshoot when n_merges % merges_per_round != 0:
+    # honor the requested vocabulary size (collision-dropped candidates may
+    # still leave the list short — rounds are fixed so the schedule stays
+    # deterministic and oracle-mirrorable)
+    return merges[:n_merges]
 
 
 def bpe_segment(

@@ -319,6 +319,29 @@ def stream_minhash_neardup(
             # batch × store candidates (new doc vs any older doc)
             cands = None
             old_b = None
+            if (
+                band_store_table is not None
+                and not spark.catalog.tableExists(band_store_table)
+                and os.path.isdir(sig_dir)
+            ):
+                # one-time backfill: a pre-existing (non-bucketed) sig
+                # store must seed the band table before it becomes the
+                # authoritative join side, or docs ingested before the
+                # upgrade would silently drop out of candidate generation
+                (
+                    _band_keys(
+                        _read_store(sig_dir).select(id_col, "mhs"),
+                        id_col,
+                        n_hashes,
+                        bands,
+                    )
+                    .select("band", "bkey", id_col)
+                    .write.mode("append")
+                    .bucketBy(band_store_buckets, "band", "bkey")
+                    .format("parquet")
+                    .saveAsTable(band_store_table)
+                )
+                spark.catalog.refreshTable(band_store_table)
             if band_store_table is not None and spark.catalog.tableExists(
                 band_store_table
             ):
@@ -424,9 +447,28 @@ def one_shot_stream_table(
     import shutil
     import tempfile
 
-    land = os.path.join(
-        tempfile.gettempdir(), f"one_shot_stream_{name}_{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    # reap landing dirs left by DEAD processes (ours is wiped below; a
+    # LIVE pid's dir is in use by a concurrent session and must survive) —
+    # the pid suffix prevents cross-session races, the reaper prevents the
+    # other failure mode, unbounded temp-dir accumulation
+    prefix = f"one_shot_stream_{name}_"
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            pid = int(entry[len(prefix) :])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the process is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid: leave it
+    land = os.path.join(tmp, f"{prefix}{os.getpid()}")
     shutil.rmtree(land, ignore_errors=True)
     for b in batches:
         b.coalesce(1).write.mode("append").parquet(land)

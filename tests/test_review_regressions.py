@@ -275,3 +275,109 @@ def test_stream_minhash_bucketed_band_store(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- round-3 code-review findings -------------------------------------------
+
+
+def test_jsonb_and_binds_tighter_than_or(spark):
+    """SQL/JSON-path precedence: a || b && c == a || (b && c)."""
+    from micromegas_spark.functions import jsonb as J
+
+    df = spark.createDataFrame(
+        [(1, '[{"a":1},{"b":2,"c":0},{"b":2,"c":3}]')], ["i", "j"]
+    )
+    got = df.select(
+        J.jsonb_path_query(
+            F.col("j"), '$[*] ? (@.a == 1 || @.b == 2 && @.c == 3)'
+        ).alias("m")
+    ).collect()[0].m
+    assert got == '[{"a":1},{"b":2,"c":3}]'
+
+
+def test_query_log_reference_is_case_insensitive(spark, tmp_path):
+    """Spark resolves view names case-insensitively; the lazy query_log
+    refresh and the shadow guard must match."""
+    import pytest
+
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_ci"))
+    eng.register_table("tiny_ci", spark.range(2).toDF("x"))
+    eng.query("SELECT COUNT(*) AS c FROM tiny_ci")
+    n = eng.query("SELECT COUNT(*) AS c FROM QUERY_LOG").collect()[0].c
+    assert n == 1
+    with pytest.raises(ValueError):
+        eng.register_table("Query_Log", spark.range(1).toDF("x"))
+
+
+def test_bpe_train_honors_n_merges_cap(spark):
+    from micromegas_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [("ab ab ab cd cd ef gh ij kl mn op qr",)], ["text"]
+    )
+    got = bpe_train(df, n_merges=3, merges_per_round=4)
+    assert len(got) <= 3
+
+
+def test_band_store_backfills_preexisting_sig_store(spark, tmp_path):
+    """Enabling the bucketed band table on a store_dir with prior ingests
+    must backfill the table so old docs stay in candidate generation."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from micromegas_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signature_from_hashes,
+    )
+    from micromegas_spark.streaming.incremental import stream_minhash_neardup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    # pre-existing store written WITHOUT the band table
+    old = _shingle_sets(
+        spark.createDataFrame([(1, t), (2, "unrelated old words entirely")], schema),
+        "text", "doc_id", 3,
+    ).withColumn("mhs", minhash_signature_from_hashes(F.col("sh"), 8))
+    store = tmp_path / "store"
+    old.write.mode("append").parquet(str(store / "sigs"))
+
+    tbl = "mh_bands_backfill_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        src, pairs, ckpt = (str(tmp_path / x) for x in ("src", "pairs", "ckpt"))
+        spark.createDataFrame([(3, t)], schema).coalesce(1).write.parquet(src)
+        q = stream_minhash_neardup(
+            spark, src, schema, str(store), pairs, ckpt, threshold=0.9,
+            store_files=1, band_store_table=tbl, band_store_buckets=4,
+        )
+        q.awaitTermination()
+        got = [(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()]
+        assert got == [(1, 3)]  # pair against the PRE-TABLE store doc
+        # table now covers old and new docs
+        assert spark.table(tbl).select("doc_id").distinct().count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_partitions_table_includes_legacy_json_views(spark, tmp_path):
+    import json as _json
+
+    from micromegas_spark.materialize import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh_lj"))
+    _json.dump(
+        [
+            {
+                "begin_insert_ns": 0, "end_insert_ns": 10, "source_hash": 1,
+                "min_event_ns": 1, "max_event_ns": 2, "path": "/nowhere",
+                "updated_unix": 1.0, "schema_hash": "abc",
+                "column_stats": {"v": [0, 2]},
+            }
+        ],
+        open(lake._legacy_manifest_path("only_json"), "w"),
+    )
+    rows = lake.partitions_table().collect()
+    assert [(r.view, r.begin_insert_ns) for r in rows] == [("only_json", 0)]
