@@ -867,3 +867,36 @@ def nb_classify(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the corpus-unigram cross-entropy
+    (``unigram_logprob``), cut the distribution at its terciles, and
+    label head / middle / tail — the partition CCNet uses to keep the
+    head (clean), sample the middle, and drop the tail of a crawl.
+
+    Scale shape: tercile CUTOFFS come from one exact-percentile
+    aggregate over the (already per-doc) score relation and ride in as a
+    broadcast single-row relation; labeling is a map-side CASE — no
+    global window/NTILE (a rank over the corpus would serialize on one
+    partition). At 100 TB the only change is estimating the cutoffs with
+    approx_percentile over a sample, exactly like CCNet trains its
+    bucketing on a corpus sample. Cutoffs and scores are both rounded to
+    6 decimals so threshold comparisons are engine-portable
+    (DuckDB quantile_cont mirrors Spark's interpolated percentile)."""
+    ce = unigram_logprob(df, text_col, id_col)
+    cuts = ce.agg(
+        F.round(F.expr("percentile(cross_entropy, 1.0/3)"), 6).alias("_c1"),
+        F.round(F.expr("percentile(cross_entropy, 2.0/3)"), 6).alias("_c2"),
+    )
+    return ce.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

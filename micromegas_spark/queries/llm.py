@@ -1281,6 +1281,44 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_ppl_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq),
+    ce AS (
+        SELECT t.doc_id,
+               round(-AVG(ln(CAST(f.c + 1 AS DOUBLE) / (tot.n + tot.v))), 6)
+                   AS cross_entropy
+        FROM toks t JOIN freq f USING (term), tot
+        GROUP BY t.doc_id
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(cross_entropy, 1.0/3), 6) AS c1,
+               round(quantile_cont(cross_entropy, 2.0/3), 6) AS c2
+        FROM ce
+    )
+    SELECT doc_id, cross_entropy,
+           CASE WHEN cross_entropy <= c1 THEN 'head'
+                WHEN cross_entropy <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ce, cuts ORDER BY doc_id
+    """,
+)
+def docs_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity partition (operators/text.perplexity_buckets):
+    head/middle/tail tercile labels from the corpus-unigram
+    cross-entropy — keep the head, sample the middle, drop the tail.
+    Cutoffs are one exact-percentile aggregate broadcast into a map-side
+    CASE (no global NTILE window); the oracle recomputes the LM, the
+    tercile cutoffs (quantile_cont ≡ Spark's interpolated percentile,
+    both rounded), and the labels."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.perplexity_buckets(d).orderBy("doc_id")
+
+
+@query(
     "docs_dsir_weights",
     oracle=f"""
     WITH toks AS (

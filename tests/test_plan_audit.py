@@ -190,3 +190,20 @@ def test_containment_and_substring_no_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_neardup_bucketed_no_cartesian(spark):
+    """64-bit SimHash pair search: candidates come from chunk-bucket
+    collects (higher-order cross inside the collected list), never a
+    cartesian or posting self-join."""
+    plan = _plan(spark, "docs_simhash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan  # bucket lists exploded to pairs
+
+
+def test_ppl_buckets_no_global_window(spark):
+    """CCNet perplexity bucketing must label via broadcast cutoffs, not a
+    global NTILE window (which would serialize the corpus on one task)."""
+    plan = _plan(spark, "docs_ppl_buckets")
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
