@@ -74,6 +74,38 @@ class Client:
         Spark's named-parameter markers: ``:name``."""
         return PreparedStatement(self, sql)
 
+    def prepared_statement_stream(
+        self,
+        statement: "PreparedStatement",
+        params: dict | None = None,
+        begin_ns: int | None = None,
+        end_ns: int | None = None,
+        batch_rows: int = 10_000,
+    ) -> Iterator["pa.RecordBatch"]:
+        """Execute a prepared statement as a record-batch stream
+        (python-api.md prepared_statement_stream; like the reference,
+        prepared statements are primarily for schema discovery — this
+        offers no performance edge over query_stream)."""
+        eng = self.engine
+        eng.query("SELECT 1", begin_ns, end_ns)  # re-register bounded views
+        import pandas as pd
+        import pyarrow as pa
+
+        df = eng.spark.sql(statement.sql, args=params or {})
+        schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_rows:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(buf), schema=schema, preserve_index=False
+                )
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(buf), schema=schema, preserve_index=False
+            )
+
     # -- convenience lookups (client.py:782-976) ---------------------------
     # begin/end accept epoch-ns ints, tz-aware datetimes, pandas Timestamps
     # or RFC 3339 strings (timeutils.to_epoch_ns), matching the reference's
@@ -213,3 +245,18 @@ class PreparedStatement:
         # re-register range-bounded views, then run with bound parameters
         eng.query("SELECT 1", begin_ns, end_ns)
         return eng.spark.sql(self.sql, args=params or {}).toPandas()
+
+    def schema(self) -> "pa.Schema":
+        """Result schema without executing (the schema-discovery purpose
+        of FlightSQL prepared statements): plan the statement with NULL
+        parameter placeholders and read the Arrow schema off the empty
+        frame."""
+        import pyarrow as pa
+
+        eng = self.client.engine
+        eng.query("SELECT 1", None, None)
+        import re as _re
+
+        names = set(_re.findall(r":(\w+)", self.sql))
+        df = eng.spark.sql(self.sql, args={n: None for n in names})
+        return pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)

@@ -152,3 +152,21 @@ def test_admin_gating_matches_reference_not_found(spark, tmp_path):
     # admin engine still reaches the lakehouse (unknown view -> 0 retired)
     adm = Client(Engine(spark, warehouse=str(tmp_path / "wh_a")))
     assert adm.retire_partitions("nonexistent_view", 0, 10**9) == 0
+
+
+def test_prepared_statement_stream_and_schema(spark):
+    """python-api.md prepared-statement surface: schema discovery without
+    execution, and streamed execution in record batches."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    c = Client(Engine.from_test_tables(spark, SF_SMOKE))
+    stmt = c.prepare("SELECT event_id, value FROM events WHERE value > :lo")
+    sch = stmt.schema()
+    assert [f.name for f in sch] == ["event_id", "value"]
+    batches = list(c.prepared_statement_stream(stmt, params={"lo": 0.5}, batch_rows=100))
+    assert batches and all(b.schema.names == ["event_id", "value"] for b in batches)
+    total = sum(b.num_rows for b in batches)
+    want = c.query("SELECT COUNT(*) AS n FROM events WHERE value > 0.5").n[0]
+    assert total == want
