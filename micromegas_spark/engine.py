@@ -146,9 +146,36 @@ class Engine:
                 StructField("begin_ns", LongType()),
                 StructField("end_ns", LongType()),
                 StructField("plan_ms", DoubleType()),
+                # audit-log parity (query-audit-log.md): one structured
+                # JSON record per query under the reference's dedicated
+                # target, so the documented jsonb_get/jsonb_as_f64 audit
+                # queries run verbatim over this view
+                StructField("target", StringType()),
+                StructField("msg", StringType()),
             ]
         )
-        df = self.spark.createDataFrame(list(self._query_log), schema)
+        rows = [
+            (
+                t,
+                sql,
+                b,
+                e,
+                ms,
+                "flightsql_query_audit",
+                json.dumps(
+                    {
+                        "sql": sql,
+                        "begin_ns": b,
+                        "end_ns": e,
+                        "total_ms": ms,
+                        "client": "micromegas_spark",
+                    },
+                    separators=(",", ":"),
+                ),
+            )
+            for (t, sql, b, e, ms) in self._query_log
+        ]
+        df = self.spark.createDataFrame(rows, schema)
         df.createOrReplaceTempView("query_log")
         return df
 

@@ -44,11 +44,14 @@ def jsonb_format_json(j: Column) -> Column:
 
 
 def jsonb_get(j: Column, key: str) -> Column:
-    """jsonb_get(jsonb, key) → JSON of the member (get.rs). Works for object
-    keys and array indices (numeric key)."""
-    if isinstance(key, str) and key.isdigit():
-        return F.get_json_object(j, f"$[{key}]")
-    return F.get_json_object(j, f"$.{key}")
+    """jsonb_get(jsonb, key) → JSON of the member (get.rs). Works for
+    object keys and array indices (numeric key). Returns the member's
+    JSON ENCODING — strings keep their quotes — matching the reference's
+    JSONB return value, so the documented composition
+    ``jsonb_as_string(jsonb_get(...))`` works (query-audit-log.md;
+    get_json_object would strip string quotes and break it)."""
+    path = f"$[{key}]" if isinstance(key, str) and key.isdigit() else f"$.{key}"
+    return F.to_json(F.try_variant_get(F.try_parse_json(j), path, "variant"))
 
 
 def jsonb_as_string(j: Column) -> Column:
@@ -421,9 +424,23 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("jsonb_path_query", _jsonb_path_query_udf)
     spark.udf.register("jsonb_path_query_first", _jsonb_path_query_first_udf)
     for name, arglist, ret, expr in [
-        ("jsonb_get", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+        (
+            "jsonb_get",
+            "j STRING, k STRING",
+            "STRING",
+            # SQL UDFs inline at analysis, so concat folds to a constant
+            # path for literal keys (variant_get requires a foldable path)
+            "to_json(try_variant_get(try_parse_json(j), concat('$.', k), 'variant'))",
+        ),
         ("jsonb_as_f64", "j STRING", "DOUBLE", "try_cast(trim(j) AS DOUBLE)"),
         ("jsonb_as_i64", "j STRING", "BIGINT", "try_cast(trim(j) AS BIGINT)"),
+        (
+            "jsonb_as_string",
+            "j STRING",
+            "STRING",
+            "CASE WHEN trim(j) LIKE '\"%' THEN regexp_extract(trim(j), '^\"(.*)\"$', 1) END",
+        ),
+        ("jsonb_parse", "j STRING", "STRING", "CASE WHEN try_parse_json(j) IS NOT NULL THEN j END"),
         ("jsonb_array_length", "j STRING", "INT", "json_array_length(j)"),
         ("jsonb_format_json", "j STRING", "STRING", "j"),
     ]:

@@ -170,3 +170,31 @@ def test_prepared_statement_stream_and_schema(spark):
     total = sum(b.num_rows for b in batches)
     want = c.query("SELECT COUNT(*) AS n FROM events WHERE value > 0.5").n[0]
     assert total == want
+
+
+def test_query_audit_log_reference_spelling(spark, tmp_path):
+    """query-audit-log.md parity: each query leaves one structured JSON
+    audit record (target='flightsql_query_audit', JSON msg) queryable
+    with the jsonb function family, so the documented attribution/cost
+    queries port directly."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_audit"))
+    eng.register_table("tiny_a", spark.range(4).toDF("x"))
+    c = Client(eng)
+    c.query("SELECT COUNT(*) AS n FROM tiny_a")
+    c.query("SELECT SUM(x) AS s FROM tiny_a")
+    audit = c.query(
+        """
+        SELECT jsonb_as_string(jsonb_get(msg, 'client')) AS client,
+               COUNT(*) AS queries,
+               SUM(jsonb_as_f64(jsonb_get(msg, 'total_ms'))) AS total_ms
+        FROM query_log
+        WHERE target = 'flightsql_query_audit'
+        GROUP BY 1
+        """
+    )
+    assert list(audit.client) == ["micromegas_spark"]
+    assert int(audit.queries[0]) == 2
+    assert audit.total_ms[0] >= 0.0
