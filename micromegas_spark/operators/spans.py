@@ -36,7 +36,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -415,3 +415,47 @@ def process_spans(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def span_concurrency(
+    spans: DataFrame,
+    begin_col: str = "begin_us",
+    end_col: str = "end_us",
+    key_cols: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Sweep-line span concurrency (the async-performance-analysis
+    'concurrent operations' pattern, async-performance-analysis.md:127-147,
+    computed exactly instead of bucketing begin events per minute): each
+    span emits (+1 at begin, −1 at end); the running sum of deltas in
+    time order IS the number of open spans at that instant. Returns one
+    row per key with ``peak_concurrency`` and ``n_spans``.
+
+    Ordering is deterministic: at equal timestamps closes sort before
+    opens (so a span ending exactly when another begins never
+    double-counts), with ``tie_col`` as the final tie-break.
+
+    Scale shape: one explode (2 rows per span) + one window partitioned
+    by the key — per-key sequential, never a global sort, and no
+    interval self-join (the naive pairwise-overlap formulation is
+    O(spans²) per key). This is the plan a 10⁹-span trace needs."""
+    keys = key_cols or []
+    deltas = spans.select(
+        *keys,
+        *( [F.col(tie_col).alias("_tie")] if tie_col else [F.lit(0).alias("_tie")] ),
+        F.explode(
+            F.array(
+                F.struct(F.col(begin_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev"),
+    ).select(*keys, "_tie", F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy("t", "d", "_tie").rowsBetween(Window.unboundedPreceding, 0)
+    run = deltas.select(*keys, F.sum("d").over(w).alias("open_spans"), "d")
+    gb = run.groupBy(*keys) if keys else run.groupBy()
+    return gb.agg(
+        F.max("open_spans").cast("bigint").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("bigint").alias("n_spans"),
+    )

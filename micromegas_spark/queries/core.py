@@ -425,6 +425,59 @@ def events_span_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_span_concurrency",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS b_us,
+               epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e_us
+        FROM events WHERE event_type = 'click'
+    ),
+    deltas AS (
+        SELECT user_id, event_id AS tie, b_us AS t, 1 AS d FROM spans
+        UNION ALL
+        SELECT user_id, event_id, e_us, -1 FROM spans
+    ),
+    run AS (
+        SELECT user_id, d,
+               SUM(d) OVER (PARTITION BY user_id ORDER BY t, d, tie
+                            ROWS UNBOUNDED PRECEDING) AS open_spans
+        FROM deltas
+    )
+    SELECT user_id,
+           CAST(MAX(open_spans) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_spans
+    FROM run GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_span_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span-concurrency profile (operators/spans.span_concurrency —
+    the async-performance-analysis.md:127-147 'concurrent operations'
+    question answered with a sweep line instead of per-minute begin
+    counts): every click event opens a span of ``value`` seconds; +1/-1
+    deltas in time order give the open-span count, peak per user. One
+    explode + one per-user window — no interval self-join (O(spans²))
+    and no global sort. One row per user with peak and span count."""
+    from micromegas_spark.operators.spans import span_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("b_us"),
+        (F.col("ts_us") + F.round(F.col("value") * 1_000_000).cast("bigint")).alias("e_us"),
+    )
+    return (
+        span_concurrency(
+            spans, begin_col="b_us", end_col="e_us",
+            key_cols=["user_id"], tie_col="event_id",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     WITH u AS (

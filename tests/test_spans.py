@@ -374,3 +374,26 @@ def test_thread_spans_null_stream_id_kept(spark):
         by_stream.setdefault(r.stream_id, []).append(r)
     assert set(by_stream) == {None, "s1"}
     assert by_stream[None][0].duration == 10
+
+
+def test_span_concurrency_sweep_line(spark):
+    """Peak concurrency equals the brute-force maximum-overlap count, and
+    a span ending exactly when another begins does not double-count."""
+    from micromegas_spark.operators.spans import span_concurrency
+
+    spans = [
+        # user 1: [0,10) [5,15) [14,20) -> peak 2
+        (1, 1, 0, 10), (1, 2, 5, 15), (1, 3, 14, 20),
+        # user 2: [0,5) [5,9) adjacent -> peak 1
+        (2, 4, 0, 5), (2, 5, 5, 9),
+        # user 3: three nested -> peak 3
+        (3, 6, 0, 100), (3, 7, 10, 90), (3, 8, 20, 30),
+    ]
+    df = spark.createDataFrame(spans, ["user_id", "sid", "b", "e"])
+    got = {
+        r.user_id: (r.peak_concurrency, r.n_spans)
+        for r in span_concurrency(
+            df, begin_col="b", end_col="e", key_cols=["user_id"], tie_col="sid"
+        ).collect()
+    }
+    assert got == {1: (2, 3), 2: (1, 2), 3: (3, 3)}
