@@ -478,6 +478,71 @@ def events_span_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_tail_sampling",
+    oracle="""
+    WITH flagged AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 300.0
+    ),
+    kept AS (
+        SELECT e.user_id, e.event_id,
+               CASE WHEN f.user_id IS NOT NULL THEN 'flagged'
+                    WHEN ('0x' || substr(md5('tail:' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                    THEN 'sampled' END AS keep_reason
+        FROM events e LEFT JOIN flagged f USING (user_id)
+        WHERE e.event_type IN ('view', 'click', 'purchase')
+    )
+    SELECT keep_reason,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM kept WHERE keep_reason IS NOT NULL
+    GROUP BY keep_reason ORDER BY keep_reason
+    """,
+)
+def events_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail sampling (advanced-features.md:57-60: 'use low-frequency
+    streams to decide sampling of high-frequency streams'): the
+    low-frequency error stream (severe errors, value > 300) flags users whose HIGH-frequency events
+    (view/click/purchase) are kept in full; everyone else is admitted by
+    a deterministic 10% content-hash draw on the user id — the
+    trace-level keep-all-errors + fixed-rate-rest policy of production
+    tracing, decided AFTER the data is stored, which is exactly what the
+    store-raw / materialize-on-query architecture allows.
+
+    Scale shape: the flagged set is dimension-sized (distinct users with
+    errors) → broadcast left join; the hash draw is a map-side filter.
+    No shuffle of the high-frequency stream beyond the final count."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 300.0))
+        .select("user_id")
+        .distinct()
+    ).withColumn("_flag", F.lit(1))
+    high = ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tail:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    kept = high.join(F.broadcast(flagged), "user_id", "left").select(
+        "user_id",
+        F.when(F.col("_flag").isNotNull(), F.lit("flagged"))
+        .when(draw < 10, F.lit("sampled"))
+        .alias("keep_reason"),
+    )
+    return (
+        kept.where(F.col("keep_reason").isNotNull())
+        .groupBy("keep_reason")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("keep_reason")
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     WITH u AS (
