@@ -136,6 +136,41 @@ def _shingle_sets(
     )
 
 
+def _banded_keys(
+    sh: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bkey) LSH band keys from a shingle-set relation. One
+    fold computes the whole signature array; explode(array(fold)) is a
+    Generate-node BARRIER that materializes it as an attribute before
+    the band keys fan out (HOFs are codegen-fallback: without the
+    barrier CollapseProject would inline — and re-run — the fold into
+    every band-key expression). A Generate costs nothing vs a second
+    shuffle. Shared by self-corpus LSH (minhash_lsh_candidates) and the
+    cross-corpus decontamination join (cross_near_duplicates)."""
+    rows = n_hashes // bands
+    sig = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
+        ).alias("mhs"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def _bucket_pairs(buckets: DataFrame, list_col: str, key=None) -> DataFrame:
     """Explode each bucket's collected element list into ordered (a, b)
     pairs via a higher-order cross — the shared pair-generation step of
@@ -185,34 +220,8 @@ def minhash_lsh_candidates(
     are dropped from candidate generation — their members are mutual
     near-dups of a single template and should be handled by exact dedup
     first (the standard cascade)."""
-    rows = n_hashes // bands
     sh = _shingles if _shingles is not None else _shingle_sets(df, text_col, id_col, shingle_n)
-    # one fold computes the whole signature array; explode(array(fold)) is
-    # a Generate-node BARRIER that materializes it as an attribute before
-    # the band keys fan out (HOFs are codegen-fallback: without the barrier
-    # CollapseProject would inline — and re-run — the fold into every
-    # band-key expression). A Generate costs nothing vs a second shuffle.
-    sig = sh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
-        ).alias("mhs"),
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    all_bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    all_bands = _banded_keys(sh, id_col, n_hashes, bands)
     # pair generation by bucket-collect, not self-join: a self-join would
     # recompute the whole signature subtree on both sides (Spark does not
     # reuse the exchange across deduplicated self-join attributes). One
@@ -270,6 +279,64 @@ def minhash_near_duplicates(
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cross_near_duplicates(
+    df: DataFrame,
+    other: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-duplicate flagging — decontamination by
+    similarity (Lee et al. 2022 §6.2; the GPT-3 appendix-C style
+    train/test overlap removal generalized from exact n-grams to MinHash
+    resemblance): flag every doc of ``df`` (the training corpus) that
+    near-duplicates ANY doc of ``other`` (the held-out/benchmark
+    corpus). Output: (id, n_bench_matches, max_jaccard).
+
+    Scale shape: both corpora band independently; candidates come from
+    the A×B equi-join on (band, bkey) — pair space bounded by true
+    resemblance co-occurrence, never |A|·|B|. The benchmark side is
+    benchmark-sized (orders of magnitude smaller than training data), so
+    its banded relation broadcasts; the verify joins read each persisted
+    shingle relation once. This is the same join the streaming MinHash
+    store runs per tick, pointed across corpora."""
+    from pyspark import StorageLevel
+
+    sha = _shingle_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shb = _shingle_sets(other, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ba = _banded_keys(sha, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_ta"), "band", "bkey"
+    )
+    bb = _banded_keys(shb, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_tb"), "band", "bkey"
+    )
+    cand = ba.join(bb, ["band", "bkey"]).select("_ta", "_tb").distinct()
+    a = sha.select(F.col(id_col).alias("_ta"), F.col("sh").alias("_sa"))
+    b = shb.select(F.col(id_col).alias("_tb"), F.col("sh").alias("_sb"))
+    return (
+        cand.join(a, "_ta")
+        .join(b, "_tb")
+        .select(
+            "_ta",
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("_j"),
+        )
+        .where(F.col("_j") >= threshold)
+        .groupBy("_ta")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bench_matches"),
+            F.max("_j").alias("max_jaccard"),
+        )
+        .withColumnRenamed("_ta", id_col)
     )
 
 

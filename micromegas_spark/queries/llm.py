@@ -286,6 +286,40 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_jaccard_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
+@query(
+    "docs_cross_dedup",
+    oracle=f"""
+    WITH {_PAIRS_SQL.replace("pairs AS", "allpairs AS")},
+    xing AS (
+        SELECT CASE WHEN da.source IN ('src0', 'src1') THEN id_b ELSE id_a END AS id_t,
+               jaccard
+        FROM allpairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        WHERE (da.source IN ('src0', 'src1')) <> (db.source IN ('src0', 'src1'))
+    )
+    SELECT id_t AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM xing GROUP BY id_t ORDER BY doc_id
+    """,
+)
+def docs_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (operators/dedup.cross_near_duplicates,
+    Lee et al. 2022 §6.2): training docs (source ∉ {{src0, src1}}) that
+    near-duplicate any benchmark doc (source ∈ {{src0, src1}}) at Jaccard
+    ≥ 0.8 — the docs a training pipeline must drop before evaluation is
+    meaningful. Banded A×B join (benchmark side broadcast-sized), shared
+    banding scheme with docs_minhash_neardup so the oracle derives from
+    the SAME _PAIRS_SQL chain restricted to boundary-crossing pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("source").isin("src0", "src1"))
+    train = d.where(~F.col("source").isin("src0", "src1"))
+    return dedup.cross_near_duplicates(train, bench, threshold=0.8).orderBy(
+        "doc_id"
+    )
+
+
 _SIMHASH_SUMS = ", ".join(
     f"SUM(CASE WHEN ({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
     for i in range(64)

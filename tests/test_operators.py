@@ -382,3 +382,22 @@ def test_jsonb_path_query_reference_doc_examples(spark):
     assert got.b == '[{"type":"bot","n":2}]'
     assert got.orr == '[{"type":"human","n":1},{"type":"human","n":3}]'
     assert got.bad is None  # JavaScript-style filter: parse error -> NULL
+
+
+def test_cross_near_duplicates_flags_only_cross_matches(spark):
+    """Decontamination: a training doc is flagged iff it near-dups a
+    BENCHMARK doc — train-train duplicates stay, and the flag carries the
+    match count and best Jaccard."""
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    train = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely different training words here today")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, t), (101, "unrelated benchmark content nothing matches this")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_bench_matches, r.max_jaccard)
+           for r in dedup.cross_near_duplicates(train, bench, threshold=0.8).collect()}
+    assert set(got) == {1, 2}  # both copies flagged; doc 3 clean
+    assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
