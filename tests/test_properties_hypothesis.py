@@ -138,3 +138,61 @@ def test_pagerank_conserves_mass_on_random_graphs(spark, graph):
            pagerank(df, weight="w", n_iter=3).collect()}
     assert abs(sum(out.values()) - 1.0) < 1e-9
     assert all(v > 0 for v in out.values())
+
+
+# --- SQL/JSON-path engine properties (driver-side, no Spark) ---------------
+
+import json as _json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from micromegas_spark.functions.jsonb import _eval_path
+
+_scalars = st.one_of(
+    st.integers(-1000, 1000),
+    st.text(alphabet="abxyz ", max_size=6),
+    st.booleans(),
+    st.none(),
+)
+_docs = st.recursive(
+    _scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.sampled_from(["a", "b", "c", "k"]), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+_paths = st.one_of(
+    st.sampled_from([
+        "$", "$.a", "$.a.b", "$[0]", "$[*]", "$.*", "$..a", "$.a[*].b",
+        '$[*] ? (@.a == 1)', '$[*] ? (@.a > 0 && @.b < 5)',
+        '$[*] ? (@.a == "x" || @.b)', '$.a[*] ? (@.k != null).b',
+        "$..b[0]", "$[1][*]", "$ garbage", "$.a[?(@.b)]",
+    ]),
+    st.text(alphabet="$.[]*?@&|()<>=\"ab0 ", max_size=16),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc=_docs, path=_paths)
+def test_jsonpath_total_and_json_serializable(doc, path):
+    """The evaluator is TOTAL: any (document, path) input returns either
+    None (parse error) or a JSON-serializable list — never raises. This is
+    what lets the pandas UDF run over arbitrary row values without
+    poisoning a task."""
+    out = _eval_path(doc, path)
+    assert out is None or isinstance(out, list)
+    if out is not None:
+        _json.dumps(out)  # must round-trip
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=st.lists(st.dictionaries(st.sampled_from(["a", "b"]), st.integers(-5, 5), max_size=2), max_size=5))
+def test_jsonpath_filter_is_subset_of_wildcard(doc):
+    """A filtered wildcard step selects a sublist (order-preserving) of
+    the unfiltered wildcard results."""
+    allv = _eval_path(doc, "$[*]")
+    filt = _eval_path(doc, "$[*] ? (@.a >= 0)")
+    it = iter(allv)
+    assert all(any(x == y for y in it) for x in filt)  # subsequence
