@@ -20,6 +20,32 @@ if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
 
+def _stream_batches(df, batch_rows: int) -> Iterator["pa.RecordBatch"]:
+    """DataFrame → Arrow record batches, pulled partition-by-partition via
+    toLocalIterator (executors keep later partitions until requested), so
+    driver memory holds one batch, not the whole result. The Arrow schema
+    comes from the SPARK schema (to_arrow_schema) — inferring it from an
+    empty pandas frame types every string/decimal column as null and
+    crashes on the first real batch."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(df.schema)
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= batch_rows:
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(buf), schema=schema, preserve_index=False
+            )
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame(buf), schema=schema, preserve_index=False
+        )
+
+
 class Client:
     """client.query(sql, begin, end) analogue (client.py:312-370)."""
 
@@ -43,26 +69,8 @@ class Client:
     ) -> Iterator["pa.RecordBatch"]:
         """SQL → stream of Arrow record batches (FlightSQL DoGet analogue).
 
-        Incremental: rows are pulled partition-by-partition via
-        toLocalIterator (executors keep later partitions until requested),
-        so driver memory holds one batch, not the whole result."""
-        import pandas as pd
-        import pyarrow as pa
-
-        df = self.engine.query(sql, begin_ns, end_ns)
-        schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
-        buf: list = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= batch_rows:
-                yield pa.RecordBatch.from_pandas(
-                    pd.DataFrame(buf), schema=schema, preserve_index=False
-                )
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(buf), schema=schema, preserve_index=False
-            )
+        Incremental: see _stream_batches."""
+        yield from _stream_batches(self.engine.query(sql, begin_ns, end_ns), batch_rows)
 
     def view_instance(self, view_set: str, instance: str, begin_ns: int, end_ns: int) -> "pd.DataFrame":
         """JIT per-instance view (client.py:351-352 'view_instance speedup')."""
@@ -88,23 +96,9 @@ class Client:
         offers no performance edge over query_stream)."""
         eng = self.engine
         eng.query("SELECT 1", begin_ns, end_ns)  # re-register bounded views
-        import pandas as pd
-        import pyarrow as pa
-
-        df = eng.spark.sql(statement.sql, args=params or {})
-        schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
-        buf: list = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= batch_rows:
-                yield pa.RecordBatch.from_pandas(
-                    pd.DataFrame(buf), schema=schema, preserve_index=False
-                )
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(buf), schema=schema, preserve_index=False
-            )
+        yield from _stream_batches(
+            eng.spark.sql(statement.sql, args=params or {}), batch_rows
+        )
 
     # -- convenience lookups (client.py:782-976) ---------------------------
     # begin/end accept epoch-ns ints, tz-aware datetimes, pandas Timestamps
@@ -249,14 +243,14 @@ class PreparedStatement:
     def schema(self) -> "pa.Schema":
         """Result schema without executing (the schema-discovery purpose
         of FlightSQL prepared statements): plan the statement with NULL
-        parameter placeholders and read the Arrow schema off the empty
-        frame."""
-        import pyarrow as pa
+        parameter placeholders and convert the SPARK schema to Arrow —
+        an empty pandas frame would type every string column as null."""
+        import re as _re
+
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         eng = self.client.engine
         eng.query("SELECT 1", None, None)
-        import re as _re
-
         names = set(_re.findall(r":(\w+)", self.sql))
         df = eng.spark.sql(self.sql, args={n: None for n in names})
-        return pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+        return to_arrow_schema(df.schema)

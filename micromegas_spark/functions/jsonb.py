@@ -55,11 +55,15 @@ def jsonb_get(j: Column, key: str) -> Column:
 
 
 def jsonb_as_string(j: Column) -> Column:
-    """JSONB → Utf8 if the value is a string, else NULL (cast.rs)."""
-    # get_json_object returns unquoted scalars; to distinguish a JSON string
-    # from number/bool we re-check the raw form.
+    """JSONB → Utf8 if the value is a string, else NULL (cast.rs).
+
+    The string-ness test is on the RAW form (a JSON string starts with a
+    quote; numbers/bools/objects don't), but the VALUE is decoded with a
+    real JSON parse — stripping quotes with a regexp would leave \\"
+    \\n \\uXXXX escapes encoded, silently corrupting any string that
+    round-tripped through jsonb_get's JSON encoding."""
     trimmed = F.trim(j)
-    return F.when(trimmed.startswith('"'), F.regexp_extract(trimmed, '^"(.*)"$', 1))
+    return F.when(trimmed.startswith('"'), F.get_json_object(j, "$"))
 
 
 def jsonb_as_f64(j: Column) -> Column:
@@ -270,17 +274,23 @@ import functools
 
 
 @functools.lru_cache(maxsize=1024)
-def _parse_path(path: str) -> list:
+def _parse_path(path: str) -> "list | None":
     """Parse once per DISTINCT path per executor — the UDF evaluates a
     constant path column over millions of rows and must not re-tokenize
-    per row. (Steps are treated as immutable after parse.)"""
-    s = path.strip()
-    if not s.startswith("$"):
-        raise _PathSyntaxError("path must start with '$'")
-    steps, pos = _parse_steps(s, 1, in_pred=False)
-    if s[pos:].strip():
-        raise _PathSyntaxError(f"trailing characters in path: {s[pos:]!r}")
-    return steps
+    per row. Returns None for invalid syntax instead of raising:
+    lru_cache does not memoize exceptions, so a raising error path would
+    re-tokenize per row — the exact cost the cache exists to avoid.
+    (Steps are treated as immutable after parse.)"""
+    try:
+        s = path.strip()
+        if not s.startswith("$"):
+            raise _PathSyntaxError("path must start with '$'")
+        steps, pos = _parse_steps(s, 1, in_pred=False)
+        if s[pos:].strip():
+            raise _PathSyntaxError(f"trailing characters in path: {s[pos:]!r}")
+        return steps
+    except _PathSyntaxError:
+        return None
 
 
 def _descend(node, name: str, out: list) -> None:
@@ -363,9 +373,8 @@ def _eval_path(doc, path: str):
     """SQL/JSON-path evaluation over a parsed JSON document; invalid path
     syntax → None (the reference raises a parse error; we surface NULL,
     consistent with the try-semantics of the rest of the family)."""
-    try:
-        steps = _parse_path(path)
-    except _PathSyntaxError:
+    steps = _parse_path(path)
+    if steps is None:
         return None
     return _apply_steps([doc], steps)
 
@@ -438,7 +447,8 @@ def register(spark: SparkSession) -> None:
             "jsonb_as_string",
             "j STRING",
             "STRING",
-            "CASE WHEN trim(j) LIKE '\"%' THEN regexp_extract(trim(j), '^\"(.*)\"$', 1) END",
+            # real JSON parse for escape decoding, quote test for string-ness
+            "CASE WHEN trim(j) LIKE '\"%' THEN get_json_object(j, '$') END",
         ),
         ("jsonb_parse", "j STRING", "STRING", "CASE WHEN try_parse_json(j) IS NOT NULL THEN j END"),
         ("jsonb_array_length", "j STRING", "INT", "json_array_length(j)"),

@@ -291,6 +291,7 @@ def cross_near_duplicates(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Cross-corpus near-duplicate flagging — decontamination by
     similarity (Lee et al. 2022 §6.2; the GPT-3 appendix-C style
@@ -299,13 +300,17 @@ def cross_near_duplicates(
     near-duplicates ANY doc of ``other`` (the held-out/benchmark
     corpus). Output: (id, n_bench_matches, max_jaccard).
 
-    Scale shape: both corpora band independently; candidates come from
-    the A×B equi-join on (band, bkey) — pair space bounded by true
-    resemblance co-occurrence, never |A|·|B|. The benchmark side is
-    benchmark-sized (orders of magnitude smaller than training data), so
-    its banded relation broadcasts; the verify joins read each persisted
-    shingle relation once. This is the same join the streaming MinHash
-    store runs per tick, pointed across corpora."""
+    Scale shape: both corpora band independently; the BENCH side is
+    bucket-collected per (band, bkey) with the same ``max_bucket_size``
+    guard as the self-corpus LSH path, so a hot band key (a boilerplate
+    template shared across both corpora) contributes at most
+    |A_bucket|·cap candidate rows instead of |A_bucket|·|B_bucket| — a
+    training row joins exactly one (cap-bounded) bucket row. The
+    benchmark side is benchmark-sized (orders of magnitude smaller than
+    training data), so its bucketed relation broadcasts; the verify
+    joins read each persisted shingle relation once. This is the same
+    join the streaming MinHash store runs per tick, pointed across
+    corpora."""
     from pyspark import StorageLevel
 
     sha = _shingle_sets(df, text_col, id_col, shingle_n).persist(
@@ -317,10 +322,17 @@ def cross_near_duplicates(
     ba = _banded_keys(sha, id_col, n_hashes, bands).select(
         F.col(id_col).alias("_ta"), "band", "bkey"
     )
-    bb = _banded_keys(shb, id_col, n_hashes, bands).select(
-        F.col(id_col).alias("_tb"), "band", "bkey"
+    bb = (
+        _banded_keys(shb, id_col, n_hashes, bands)
+        .groupBy("band", "bkey")
+        .agg(F.collect_list(F.col(id_col)).alias("_tbs"))
+        .where(F.size("_tbs") <= max_bucket_size)
     )
-    cand = ba.join(bb, ["band", "bkey"]).select("_ta", "_tb").distinct()
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .select("_ta", F.explode("_tbs").alias("_tb"))
+        .distinct()
+    )
     a = sha.select(F.col(id_col).alias("_ta"), F.col("sh").alias("_sa"))
     b = shb.select(F.col(id_col).alias("_tb"), F.col("sh").alias("_sb"))
     return (

@@ -433,26 +433,48 @@ def span_concurrency(
 
     Ordering is deterministic: at equal timestamps closes sort before
     opens (so a span ending exactly when another begins never
-    double-counts), with ``tie_col`` as the final tie-break.
+    double-counts) — EXCEPT the close of a zero-length span, which sorts
+    after the opens so an instantaneous span still registers peak ≥ 1
+    and the running sum never goes transiently negative. ``tie_col`` is
+    the final tie-break.
 
     Scale shape: one explode (2 rows per span) + one window partitioned
     by the key — per-key sequential, never a global sort, and no
     interval self-join (the naive pairwise-overlap formulation is
     O(spans²) per key). This is the plan a 10⁹-span trace needs."""
     keys = key_cols or []
+    # sort rank: normal closes −1 (before opens at 1), zero-length closes
+    # 2 (after their own open)
+    close_rank = F.when(F.col(end_col) > F.col(begin_col), F.lit(-1)).otherwise(
+        F.lit(2)
+    )
     deltas = spans.select(
         *keys,
         *( [F.col(tie_col).alias("_tie")] if tie_col else [F.lit(0).alias("_tie")] ),
         F.explode(
             F.array(
-                F.struct(F.col(begin_col).alias("t"), F.lit(1).alias("d")),
-                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+                F.struct(
+                    F.col(begin_col).alias("t"),
+                    F.lit(1).alias("d"),
+                    F.lit(1).alias("rnk"),
+                ),
+                F.struct(
+                    F.col(end_col).alias("t"),
+                    F.lit(-1).alias("d"),
+                    close_rank.alias("rnk"),
+                ),
             )
         ).alias("ev"),
-    ).select(*keys, "_tie", F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+    ).select(
+        *keys,
+        "_tie",
+        F.col("ev.t").alias("t"),
+        F.col("ev.d").alias("d"),
+        F.col("ev.rnk").alias("rnk"),
+    )
     w = (
         Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    ).orderBy("t", "d", "_tie").rowsBetween(Window.unboundedPreceding, 0)
+    ).orderBy("t", "rnk", "_tie").rowsBetween(Window.unboundedPreceding, 0)
     run = deltas.select(*keys, F.sum("d").over(w).alias("open_spans"), "d")
     gb = run.groupBy(*keys) if keys else run.groupBy()
     return gb.agg(

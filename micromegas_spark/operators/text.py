@@ -886,8 +886,15 @@ def perplexity_buckets(
     approx_percentile over a sample, exactly like CCNet trains its
     bucketing on a corpus sample. Cutoffs and scores are both rounded to
     6 decimals so threshold comparisons are engine-portable
-    (DuckDB quantile_cont mirrors Spark's interpolated percentile)."""
-    ce = unigram_logprob(df, text_col, id_col)
+    (DuckDB quantile_cont mirrors Spark's interpolated percentile).
+
+    The scored relation is persisted: the cutoff aggregate and the
+    labeling scan are two independent consumers in one plan, and without
+    the persist the whole unigram-LM subtree (tokenize + corpus freq
+    join + per-doc agg) would execute twice."""
+    from pyspark import StorageLevel
+
+    ce = unigram_logprob(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cuts = ce.agg(
         F.round(F.expr("percentile(cross_entropy, 1.0/3)"), 6).alias("_c1"),
         F.round(F.expr("percentile(cross_entropy, 2.0/3)"), 6).alias("_c2"),

@@ -434,13 +434,15 @@ def events_span_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'click'
     ),
     deltas AS (
-        SELECT user_id, event_id AS tie, b_us AS t, 1 AS d FROM spans
+        SELECT user_id, event_id AS tie, b_us AS t, 1 AS d, 1 AS rnk FROM spans
         UNION ALL
-        SELECT user_id, event_id, e_us, -1 FROM spans
+        SELECT user_id, event_id, e_us, -1,
+               CASE WHEN e_us > b_us THEN -1 ELSE 2 END
+        FROM spans
     ),
     run AS (
         SELECT user_id, d,
-               SUM(d) OVER (PARTITION BY user_id ORDER BY t, d, tie
+               SUM(d) OVER (PARTITION BY user_id ORDER BY t, rnk, tie
                             ROWS UNBOUNDED PRECEDING) AS open_spans
         FROM deltas
     )

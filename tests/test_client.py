@@ -198,3 +198,35 @@ def test_query_audit_log_reference_spelling(spark, tmp_path):
     assert list(audit.client) == ["micromegas_spark"]
     assert int(audit.queries[0]) == 2
     assert audit.total_ms[0] >= 0.0
+
+
+def test_stream_batches_carry_string_columns(spark):
+    """Arrow stream schemas must come from the Spark schema, not an
+    empty-pandas inference (which types string columns as null and
+    crashes on the first real batch)."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    c = Client(Engine.from_test_tables(spark, SF_SMOKE))
+    batches = list(
+        c.query_stream("SELECT event_id, event_type FROM events", batch_rows=400)
+    )
+    assert batches and str(batches[0].schema.field("event_type").type) == "string"
+    assert sum(b.num_rows for b in batches) == 1000
+    stmt = c.prepare("SELECT event_type FROM events WHERE value > :lo")
+    assert str(stmt.schema().field("event_type").type) == "string"
+    got = list(c.prepared_statement_stream(stmt, params={"lo": 0.5}, batch_rows=300))
+    assert got and all(str(b.schema.field("event_type").type) == "string" for b in got)
+
+
+def test_jsonb_as_string_decodes_escapes(spark):
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.functions import jsonb as J
+
+    df = spark.createDataFrame([('{"sql": "SELECT \\"x\\" FROM t\\nORDER"}',)], ["j"])
+    got = df.select(
+        J.jsonb_as_string(J.jsonb_get(F.col("j"), "sql")).alias("s")
+    ).collect()[0].s
+    assert got == 'SELECT "x" FROM t\nORDER'

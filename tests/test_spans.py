@@ -397,3 +397,23 @@ def test_span_concurrency_sweep_line(spark):
         ).collect()
     }
     assert got == {1: (2, 3), 2: (1, 2), 3: (3, 3)}
+
+
+def test_span_concurrency_zero_length_spans_count(spark):
+    """An instantaneous span (begin == end) must register peak >= 1 — its
+    close sorts AFTER its open — and never drive the running sum negative."""
+    from micromegas_spark.operators.spans import span_concurrency
+
+    df = spark.createDataFrame(
+        [(1, 1, 5, 5), (2, 2, 0, 10), (2, 3, 10, 10)],
+        ["user_id", "sid", "b", "e"],
+    )
+    got = {
+        r.user_id: (r.peak_concurrency, r.n_spans)
+        for r in span_concurrency(
+            df, begin_col="b", end_col="e", key_cols=["user_id"], tie_col="sid"
+        ).collect()
+    }
+    # user 1: lone instantaneous span -> peak 1
+    # user 2: [0,10) closes at 10 BEFORE the zero-length [10,10] opens -> peak 1
+    assert got == {1: (1, 1), 2: (1, 2)}
