@@ -101,8 +101,22 @@ class Engine:
         # lazy: materializing the log view costs O(len(log)) driver work,
         # so only refresh it when the statement can actually read it
         # (case-insensitive: Spark resolves view names case-insensitively)
-        if "query_log" in sql.lower():
+        low = sql.lower()
+        if "query_log" in low:
             self._register_query_log_view()
+        # SQL spellings of the admin catalog functions (reference
+        # query.rs:104-176 registers list_partitions/list_view_sets as
+        # UDTFs): registered lazily and ONLY for admin sessions, so a
+        # non-admin query referencing them fails with Spark's own
+        # TABLE_OR_VIEW_NOT_FOUND — the reference's exact "not found"
+        # behavior for unregistered admin functions.
+        if self.admin and "list_partitions" in low:
+            self.lakehouse.partitions_df().createOrReplaceTempView("list_partitions")
+        if self.admin and "list_view_sets" in low:
+            self.spark.createDataFrame(
+                [(v,) for v in self.lakehouse.list_view_sets()],
+                "view_set_name STRING",
+            ).createOrReplaceTempView("list_view_sets")
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)
             tc = self._time_columns.get(name)

@@ -230,3 +230,40 @@ def test_jsonb_as_string_decodes_escapes(spark):
         J.jsonb_as_string(J.jsonb_get(F.col("j"), "sql")).alias("s")
     ).collect()[0].s
     assert got == 'SELECT "x" FROM t\nORDER'
+
+
+def test_admin_catalog_sql_spellings(spark, tmp_path):
+    """list_partitions / list_view_sets are SQL-queryable in admin
+    sessions (reference registers them as UDTFs, query.rs:104-176) and
+    resolve as 'not found' for non-admin sessions."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.materialize import BatchViewSpec
+
+    HOUR = 3600 * 10**9
+    spark.createDataFrame(
+        [(int(h * HOUR + 1), h) for h in range(2)], "time_ns bigint, v bigint"
+    ).createOrReplaceTempView("evadm")
+    spec = BatchViewSpec(
+        name="adm_view",
+        count_query="SELECT COUNT(*) FROM evadm WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, v FROM evadm WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_adm_sql"))
+    eng.lakehouse.materialize_range(spec, 0, 2 * HOUR, HOUR)
+    rows = eng.query(
+        "SELECT view_set, COUNT(*) AS n FROM list_partitions GROUP BY view_set"
+    ).collect()
+    assert [(r.view_set, r.n) for r in rows] == [("adm_view", 2)]
+    vs = eng.query("SELECT * FROM list_view_sets").collect()
+    assert [r.view_set_name for r in vs] == ["adm_view"]
+
+    noadm = Engine(spark, warehouse=str(tmp_path / "wh_adm_sql"), admin=False)
+    spark.catalog.dropTempView("list_partitions")
+    spark.catalog.dropTempView("list_view_sets")
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        noadm.query("SELECT * FROM list_partitions").collect()
