@@ -618,6 +618,70 @@ class Lakehouse:
                 return len(parts) - len(keep)
         return 0
 
+    def maintenance_tick(
+        self,
+        spec: BatchViewSpec,
+        now_ns: int,
+        fine_ns: int = 60 * 10**9,
+        coarse_ns: int = 3600 * 10**9,
+        recent_window_ns: int | None = None,
+        retention_ns: int | None = None,
+    ) -> dict:
+        """One tick of the maintenance daemon's multi-granularity policy
+        (reference maintenance.md:74-98: 'recent data lands in
+        fine-grained partitions quickly while older data is consolidated
+        into coarser ones', plus hourly retention):
+
+        1. materialize ``fine_ns`` buckets over the trailing
+           ``recent_window_ns`` (default: one coarse bucket) ending at
+           the last complete fine bucket;
+        2. consolidate every COMPLETE coarse bucket older than the
+           recent window that still holds >1 partitions into one via
+           merge_query (MergeExisting);
+        3. if ``retention_ns`` is set, retire partitions past the
+           horizon (the --retention-days cleanup).
+
+        Returns per-phase stats. Repeated ticks are idempotent on
+        unchanged data: fine buckets skip on source-hash freshness,
+        consolidated buckets abort on the fresh covering partition, and
+        retention only ever moves forward. At fleet scale each phase is
+        an independent job the scheduler can fan out per view (the
+        update-group ordering of materialize_all still applies across
+        dependent views)."""
+        stats: dict = {}
+        hi = now_ns - now_ns % fine_ns
+        window = recent_window_ns if recent_window_ns is not None else coarse_ns
+        lo = max(hi - window, 0)
+        lo = lo - lo % fine_ns
+        stats["fine"] = self.materialize_range(spec, lo, hi, fine_ns)
+        # consolidation: coarse buckets wholly before the recent window
+        merged = 0
+        parts = self.list_partitions(spec.name)
+        buckets = sorted(
+            {
+                p.begin_insert_ns - p.begin_insert_ns % coarse_ns
+                for p in parts
+                if p.end_insert_ns <= lo
+            }
+        )
+        for cb in buckets:
+            if cb + coarse_ns > lo:
+                continue  # bucket not wholly outside the recent window
+            inside = [
+                p
+                for p in parts
+                if p.begin_insert_ns >= cb and p.end_insert_ns <= cb + coarse_ns
+            ]
+            if len(inside) > 1:
+                if self.merge_partitions(spec, cb, cb + coarse_ns) == "merged":
+                    merged += 1
+        stats["merged_buckets"] = merged
+        if retention_ns is not None:
+            stats["retired"] = self.retire_older_than(
+                spec.name, now_ns - retention_ns
+            )
+        return stats
+
     def retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
         """Retention: drop partitions whose insert bucket ended before the
         cutoff (rust/analytics/src/delete.rs:13-60 'delete blocks/partitions

@@ -468,3 +468,63 @@ def test_retire_partition_by_file(spark, tmp_path):
     assert lake.retire_partition_by_file(victim) == 0  # already gone
     # rows from the remaining partitions still read fine
     assert lake.read("rf_view").count() == 2
+
+
+def test_maintenance_tick_fine_recent_coarse_old_retention(spark, tmp_path):
+    """The daemon policy (maintenance.md:74-98): recent data in fine
+    buckets, complete older coarse buckets consolidated to one partition,
+    retention horizon enforced — and repeated ticks are idempotent."""
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    MIN = 60 * 10**9
+    HOUR = 3600 * 10**9
+    # events spread over 3 hours, several per minute-bucket
+    rows = [
+        (int(h * HOUR + m * MIN + 7), h * 100 + m)
+        for h in range(3)
+        for m in range(0, 60, 10)
+    ]
+    spark.createDataFrame(rows, "time_ns bigint, v bigint").createOrReplaceTempView(
+        "evmt"
+    )
+    spec = BatchViewSpec(
+        name="mt_view",
+        count_query="SELECT COUNT(*) FROM evmt WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, v FROM evmt WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_mt"))
+    now = 3 * HOUR  # end of hour 2
+    # simulate history: all three hours were materialized fine earlier
+    lake.materialize_range(spec, 0, 3 * HOUR, MIN)
+    n_before = len(lake.list_partitions("mt_view"))
+    assert n_before == 18  # 6 populated minute buckets per hour
+
+    stats = lake.maintenance_tick(
+        spec, now, fine_ns=MIN, coarse_ns=HOUR, retention_ns=None
+    )
+    parts = lake.list_partitions("mt_view")
+    # hours 0 and 1 consolidated to one partition each; hour 2 (recent
+    # window) stays fine-grained
+    assert stats["merged_buckets"] == 2
+    coarse = [p for p in parts if p.end_insert_ns - p.begin_insert_ns == HOUR]
+    fine = [p for p in parts if p.end_insert_ns - p.begin_insert_ns <= MIN]
+    assert len(coarse) == 2 and len(fine) == 6
+    # totals preserved through consolidation
+    assert lake.read("mt_view").count() == len(rows)
+
+    # idempotent: a second tick changes nothing
+    stats2 = lake.maintenance_tick(spec, now, fine_ns=MIN, coarse_ns=HOUR)
+    assert stats2["merged_buckets"] == 0
+    assert stats2["fine"].get("created", 0) == 0
+    assert len(lake.list_partitions("mt_view")) == len(parts)
+
+    # retention: drop everything older than 90 minutes
+    stats3 = lake.maintenance_tick(
+        spec, now, fine_ns=MIN, coarse_ns=HOUR, retention_ns=90 * MIN
+    )
+    assert stats3["retired"] >= 1
+    assert all(
+        p.end_insert_ns > now - 90 * MIN for p in lake.list_partitions("mt_view")
+    )
