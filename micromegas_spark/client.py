@@ -29,21 +29,40 @@ def _stream_batches(df, batch_rows: int) -> Iterator["pa.RecordBatch"]:
     crashes on the first real batch."""
     import pandas as pd
     import pyarrow as pa
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import TimestampType
 
     schema = to_arrow_schema(df.schema)
+    # TimestampType values collected through toLocalIterator are NAIVE
+    # wall-clock datetimes in the driver PROCESS timezone — re-localizing
+    # them is fragile (DST, process-vs-session tz). Ship the INSTANT
+    # instead: replace each top-level timestamp column with unix_micros
+    # on the Spark side and rebuild tz-aware values from epoch micros —
+    # no wall-clock round trip. (TimestampNTZ stays naive by design.)
+    ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)]
+    if ts_cols:
+        df = df.select(
+            *[
+                F.unix_micros(F.col(c)).alias(c) if c in ts_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def to_batch(rows: list) -> "pa.RecordBatch":
+        pdf = pd.DataFrame(rows)
+        for c in ts_cols:
+            pdf[c] = pd.to_datetime(pdf[c], unit="us", utc=True)
+        return pa.RecordBatch.from_pandas(pdf, schema=schema, preserve_index=False)
+
     buf: list = []
     for row in df.toLocalIterator(prefetchPartitions=True):
         buf.append(row.asDict(recursive=True))
         if len(buf) >= batch_rows:
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(buf), schema=schema, preserve_index=False
-            )
+            yield to_batch(buf)
             buf = []
     if buf:
-        yield pa.RecordBatch.from_pandas(
-            pd.DataFrame(buf), schema=schema, preserve_index=False
-        )
+        yield to_batch(buf)
 
 
 class Client:
@@ -94,11 +113,16 @@ class Client:
         (python-api.md prepared_statement_stream; like the reference,
         prepared statements are primarily for schema discovery — this
         offers no performance edge over query_stream)."""
+        import time as _time
+
         eng = self.engine
-        eng.query("SELECT 1", begin_ns, end_ns)  # re-register bounded views
-        yield from _stream_batches(
-            eng.spark.sql(statement.sql, args=params or {}), batch_rows
-        )
+        # the STATEMENT's sql drives view registration (lazy query_log /
+        # admin catalog views key on the text) and the audit record
+        eng.prepare_views(statement.sql, begin_ns, end_ns)
+        t0 = _time.time()
+        df = eng.spark.sql(statement.sql, args=params or {})
+        eng.log_query(statement.sql, begin_ns, end_ns, (_time.time() - t0) * 1000.0)
+        yield from _stream_batches(df, batch_rows)
 
     # -- convenience lookups (client.py:782-976) ---------------------------
     # begin/end accept epoch-ns ints, tz-aware datetimes, pandas Timestamps
@@ -108,7 +132,7 @@ class Client:
     def _bounded(self, sql: str, begin=None, end=None, args: dict | None = None) -> "pd.DataFrame":
         from micromegas_spark.timeutils import to_epoch_ns
 
-        self.engine.query("SELECT 1", to_epoch_ns(begin), to_epoch_ns(end))
+        self.engine.prepare_views(sql, to_epoch_ns(begin), to_epoch_ns(end))
         return self.engine.spark.sql(sql, args=args or {}).toPandas()
 
     def find_process(self, process_id: str) -> "pd.DataFrame":
@@ -235,10 +259,16 @@ class PreparedStatement:
         begin_ns: int | None = None,
         end_ns: int | None = None,
     ) -> "pd.DataFrame":
+        import time as _time
+
         eng = self.client.engine
-        # re-register range-bounded views, then run with bound parameters
-        eng.query("SELECT 1", begin_ns, end_ns)
-        return eng.spark.sql(self.sql, args=params or {}).toPandas()
+        # re-register range-bounded views (keyed on THIS statement's sql),
+        # then run with bound parameters; audit-logged like query()
+        eng.prepare_views(self.sql, begin_ns, end_ns)
+        t0 = _time.time()
+        df = eng.spark.sql(self.sql, args=params or {})
+        eng.log_query(self.sql, begin_ns, end_ns, (_time.time() - t0) * 1000.0)
+        return df.toPandas()
 
     def schema(self) -> "pa.Schema":
         """Result schema without executing (the schema-discovery purpose
@@ -250,7 +280,7 @@ class PreparedStatement:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         eng = self.client.engine
-        eng.query("SELECT 1", None, None)
+        eng.prepare_views(self.sql, None, None)
         names = set(_re.findall(r":(\w+)", self.sql))
         df = eng.spark.sql(self.sql, args={n: None for n in names})
         return to_arrow_schema(df.schema)

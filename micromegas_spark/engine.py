@@ -94,10 +94,14 @@ class Engine:
     def register_table(self, name: str, df: DataFrame, time_column: str | None = None) -> None:
         self.register_view(name, lambda b, e, _df=df: _df, time_column)
 
-    def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
-        """Full SQL over all registered views, range-bounded out-of-band —
-        the reference's ``client.query(sql, begin, end)``
-        (python/micromegas/micromegas/flightsql/client.py:312-370)."""
+    def prepare_views(
+        self, sql: str, begin_ns: int | None = None, end_ns: int | None = None
+    ) -> None:
+        """(Re)register every view the statement may read, range-bounded.
+        Factored out of query() so the prepared-statement paths (which
+        must run spark.sql themselves to bind parameters) get IDENTICAL
+        resolution — including the lazy query_log and admin-catalog
+        views keyed on the statement's OWN text, not a placeholder."""
         # lazy: materializing the log view costs O(len(log)) driver work,
         # so only refresh it when the statement can actually read it
         # (case-insensitive: Spark resolves view names case-insensitively)
@@ -109,14 +113,28 @@ class Engine:
         # UDTFs): registered lazily and ONLY for admin sessions, so a
         # non-admin query referencing them fails with Spark's own
         # TABLE_OR_VIEW_NOT_FOUND — the reference's exact "not found"
-        # behavior for unregistered admin functions.
-        if self.admin and "list_partitions" in low:
-            self.lakehouse.partitions_df().createOrReplaceTempView("list_partitions")
-        if self.admin and "list_view_sets" in low:
-            self.spark.createDataFrame(
-                [(v,) for v in self.lakehouse.list_view_sets()],
-                "view_set_name STRING",
-            ).createOrReplaceTempView("list_view_sets")
+        # behavior for unregistered admin functions. Temp views are
+        # session-global, so a NON-admin engine must also DROP any copy a
+        # prior admin engine on the same session left behind — otherwise
+        # the gate leaks through the shared catalog.
+        for name, build in (
+            ("list_partitions", lambda: self.lakehouse.partitions_df()),
+            (
+                "list_view_sets",
+                lambda: self.spark.createDataFrame(
+                    [(v,) for v in self.lakehouse.list_view_sets()],
+                    "view_set_name STRING",
+                ),
+            ),
+        ):
+            if name in low:
+                if self.admin:
+                    build().createOrReplaceTempView(name)
+                else:
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)
             tc = self._time_columns.get(name)
@@ -126,6 +144,26 @@ class Engine:
                 if end_ns is not None:
                     df = df.where(F.col(tc) < end_ns)
             df.createOrReplaceTempView(name)
+
+    def log_query(
+        self,
+        sql: str,
+        begin_ns: int | None,
+        end_ns: int | None,
+        plan_ms: float,
+    ) -> None:
+        """Append one audit record (see query_log); the prepared-statement
+        paths call this with THEIR sql so every executed statement leaves
+        a record, not just direct query() calls."""
+        self._query_log.append(
+            (time.time_ns(), sql.strip(), begin_ns, end_ns, round(plan_ms, 3))
+        )
+
+    def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
+        """Full SQL over all registered views, range-bounded out-of-band —
+        the reference's ``client.query(sql, begin, end)``
+        (python/micromegas/micromegas/flightsql/client.py:312-370)."""
+        self.prepare_views(sql, begin_ns, end_ns)
         t0 = time.time()
         out = self.spark.sql(sql)
         # self-observability: the reference's analytics service emits a span
@@ -133,15 +171,7 @@ class Engine:
         # query.rs:207-256; spans land in the lake like any process's). The
         # facade records (time, sql, range, plan_ms) — queryable via
         # query_log(), the engine observing itself with its own tables.
-        self._query_log.append(
-            (
-                time.time_ns(),
-                sql.strip(),
-                begin_ns,
-                end_ns,
-                round((time.time() - t0) * 1000.0, 3),
-            )
-        )
+        self.log_query(sql, begin_ns, end_ns, (time.time() - t0) * 1000.0)
         return out
 
     def _register_query_log_view(self) -> DataFrame:

@@ -302,15 +302,21 @@ def cross_near_duplicates(
 
     Scale shape: both corpora band independently; the BENCH side is
     bucket-collected per (band, bkey) with the same ``max_bucket_size``
-    guard as the self-corpus LSH path, so a hot band key (a boilerplate
-    template shared across both corpora) contributes at most
-    |A_bucket|·cap candidate rows instead of |A_bucket|·|B_bucket| — a
-    training row joins exactly one (cap-bounded) bucket row. The
-    benchmark side is benchmark-sized (orders of magnitude smaller than
-    training data), so its bucketed relation broadcasts; the verify
-    joins read each persisted shingle relation once. This is the same
-    join the streaming MinHash store runs per tick, pointed across
-    corpora."""
+    guard as the self-corpus LSH path — a bucket whose benchmark side
+    exceeds the cap is DROPPED from candidate generation (its key is a
+    boilerplate template carrying no identity signal; run exact dedup
+    first, the standard cascade), so a hot band key can never explode
+    into |A_bucket|·|B_bucket| candidate rows: every surviving bucket is
+    one cap-bounded row the training side joins against. The benchmark
+    side is benchmark-sized (orders of magnitude smaller than training
+    data), so its bucketed relation broadcasts; the verify joins read
+    each persisted shingle relation once. This is the same join the
+    streaming MinHash store runs per tick, pointed across corpora.
+
+    The shingle relations stay persisted for the SparkSession's lifetime
+    (same contract as minhash_near_duplicates): repeated pipeline stages
+    reuse them; a long-lived driver should unpersist between corpora or,
+    at real scale, write signatures to a table instead."""
     from pyspark import StorageLevel
 
     sha = _shingle_sets(df, text_col, id_col, shingle_n).persist(

@@ -489,7 +489,8 @@ def events_span_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT e.user_id, e.event_id,
                CASE WHEN f.user_id IS NOT NULL THEN 'flagged'
-                    WHEN ('0x' || substr(md5('tail:' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                    WHEN ('0x' || substr(md5('tail:' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+                         / 1152921504606846976.0 < 0.10
                     THEN 'sampled' END AS keep_reason
         FROM events e LEFT JOIN flagged f USING (user_id)
         WHERE e.event_type IN ('view', 'click', 'purchase')
@@ -506,7 +507,9 @@ def events_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams to decide sampling of high-frequency streams'): the
     low-frequency error stream (severe errors, value > 300) flags users whose HIGH-frequency events
     (view/click/purchase) are kept in full; everyone else is admitted by
-    a deterministic 10% content-hash draw on the user id — the
+    a deterministic 10% draw from the shared content-hash PRNG
+    (operators/sampling.sample_unit — one hashing scheme, one oracle
+    spelling) — the
     trace-level keep-all-errors + fixed-rate-rest policy of production
     tracing, decided AFTER the data is stored, which is exactly what the
     store-raw / materialize-on-query architecture allows.
@@ -521,16 +524,12 @@ def events_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     ).withColumn("_flag", F.lit(1))
     high = ev.where(F.col("event_type").isin("view", "click", "purchase"))
-    draw = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("tail:"), F.col("user_id").cast("string"))), 1, 8),
-            16, 10,
-        ).cast("bigint") % 100
-    )
+    from micromegas_spark.operators.sampling import sample_unit
+
     kept = high.join(F.broadcast(flagged), "user_id", "left").select(
         "user_id",
         F.when(F.col("_flag").isNotNull(), F.lit("flagged"))
-        .when(draw < 10, F.lit("sampled"))
+        .when(sample_unit(F.col("user_id"), salt="tail:") < 0.10, F.lit("sampled"))
         .alias("keep_reason"),
     )
     return (

@@ -267,3 +267,48 @@ def test_admin_catalog_sql_spellings(spark, tmp_path):
     spark.catalog.dropTempView("list_view_sets")
     with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
         noadm.query("SELECT * FROM list_partitions").collect()
+
+
+def test_stream_batches_timestamps_survive_non_utc_session(spark):
+    """Collected timestamps are naive SESSION-timezone datetimes; the
+    stream must localize them before handing Arrow a tz-aware schema, or
+    every instant shifts by the session offset."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    c = Client(Engine.from_test_tables(spark, SF_SMOKE))
+    sql = "SELECT event_id, CAST(ts_us / 1000000 AS TIMESTAMP) AS t FROM events ORDER BY event_id LIMIT 50"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        streamed = {}
+        for b in c.query_stream(sql, batch_rows=20):
+            tb = b.to_pydict()
+            streamed.update(zip(tb["event_id"], tb["t"]))
+        arrow = c.query_arrow(sql).to_pydict()
+        direct = dict(zip(arrow["event_id"], arrow["t"]))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert streamed == direct  # identical instants, no offset shift
+
+
+def test_prepared_statement_reaches_lazy_views_and_audit(spark, tmp_path):
+    """Prepared statements register views keyed on their OWN sql (lazy
+    query_log / admin catalog) and leave their own audit record."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_ps"))
+    eng.register_table("tiny_ps", spark.range(3).toDF("x"))
+    c = Client(eng)
+    c.query("SELECT COUNT(*) AS n FROM tiny_ps")
+    stmt = c.prepare("SELECT COUNT(*) AS n FROM query_log")
+    assert int(stmt.execute().n[0]) == 1  # sees the prior direct query
+    # the statement itself is audit-logged with its own sql
+    sqls = [e[1] for e in eng._query_log]
+    assert any("FROM query_log" in s for s in sqls)
+    # admin catalog views resolve from a prepared statement too
+    assert list(c.prepare("SELECT * FROM list_view_sets").execute().columns) == [
+        "view_set_name"
+    ]
