@@ -136,3 +136,49 @@ def test_scale_nb_and_semdedup(spark):
     # exactly one member of each 4-clique survives
     kept = marked.where(F.col("keep")).count()
     assert kept == m
+
+
+def test_scale_capped_dedup_survives_boilerplate_corpus(spark):
+    """Round-3 guards under adversarial scale: 120k docs sharing one
+    boilerplate template (the worst case for banded/inverted-index
+    dedup). Every capped operator must COMPLETE with bounded candidate
+    volume — before the caps, each of these was an O(n²)-pair plan that
+    would never finish."""
+    from micromegas_spark.operators import dedup
+
+    n = 120_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service apply to all pages of this site contact "
+                  "support for assistance unique tail "),
+            F.col("id").cast("string"),
+            F.lit(" suffix"),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    # SimHash: the shared template makes most docs near-identical; capped
+    # buckets keep the pair space bounded and the job finishes
+    pairs = dedup.simhash_near_duplicates(
+        docs, max_hamming=3, max_bucket_size=50
+    ).count()
+    assert pairs < 50 * 50 * 4 * 70_000 / 1000  # sane bound, not O(n²)
+
+    # exact-substring: every doc shares the boilerplate windows; the df
+    # cap drops them so candidates come only from sub-cap windows
+    overlaps = dedup.exact_substring_overlaps(
+        docs, window=8, max_doc_freq=50
+    ).count()
+    # all truly-shared windows are boilerplate (df = 120k > cap → dropped);
+    # the residue is 32-bit window-hash birthday collisions (~500k hashes),
+    # nowhere near the 7×10⁹ quadratic pair space the cap prevents
+    assert overlaps < 100
+
+    # cross-corpus: training vs a 1k benchmark slice of the same template;
+    # the bench-side bucket cap keeps the A×B join bounded
+    bench = docs.where(F.col("doc_id") < 1_000)
+    train = docs.where(F.col("doc_id") >= 1_000)
+    flagged = dedup.cross_near_duplicates(
+        train, bench, threshold=0.9, max_bucket_size=100
+    ).count()
+    assert flagged >= 0  # completion is the assertion; volume bounded by cap
