@@ -870,7 +870,10 @@ def nb_classify(
 
 
 def perplexity_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_cutoffs: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     every document with the corpus-unigram cross-entropy
@@ -895,9 +898,15 @@ def perplexity_buckets(
     from pyspark import StorageLevel
 
     ce = unigram_logprob(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact percentile buffers values per partition — right for the
+    # oracle-checked path at test scale; at 100 TB pass
+    # exact_cutoffs=False for the sketch-based estimate (bounded memory,
+    # same bucketing semantics), as CCNet itself estimates cutoffs from a
+    # sample
+    pfn = "percentile" if exact_cutoffs else "approx_percentile"
     cuts = ce.agg(
-        F.round(F.expr("percentile(cross_entropy, 1.0/3)"), 6).alias("_c1"),
-        F.round(F.expr("percentile(cross_entropy, 2.0/3)"), 6).alias("_c2"),
+        F.round(F.expr(f"{pfn}(cross_entropy, 1.0/3)"), 6).alias("_c1"),
+        F.round(F.expr(f"{pfn}(cross_entropy, 2.0/3)"), 6).alias("_c2"),
     )
     return ce.crossJoin(F.broadcast(cuts)).select(
         F.col(id_col),

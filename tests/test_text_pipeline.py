@@ -355,3 +355,30 @@ def test_bpe_greedy_batch_filter_skips_conflicts(spark):
     assert select_disjoint_merges(ranked) == [
         ("t", "h", 10), ("e", "r", 8), ("x", "y", 7),
     ]
+
+
+def test_perplexity_buckets_approx_path_is_a_monotone_tercile_partition(spark):
+    """The bounded-memory cutoff path (approx_percentile returns a DATA
+    value where exact percentile interpolates, so boundary docs may
+    legitimately flip bucket) must still produce a monotone three-way
+    partition agreeing with the exact path away from the cutoffs."""
+    from micromegas_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (i, "common shared tokens " * (1 + i % 5) + " ".join(f"rare{i}x{j}" for j in range(i % 9)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
+    rows_a = perplexity_buckets(df, exact_cutoffs=False).collect()
+    approx = {r.doc_id: r.bucket for r in rows_a}
+    ce = {r.doc_id: r.cross_entropy for r in rows_a}
+    assert set(exact.values()) == set(approx.values()) == {"head", "middle", "tail"}
+    # monotone: every head ce <= every middle ce <= every tail ce
+    for b_lo, b_hi in (("head", "middle"), ("middle", "tail")):
+        lo = [ce[i] for i, b in approx.items() if b == b_lo]
+        hi = [ce[i] for i, b in approx.items() if b == b_hi]
+        assert max(lo) <= min(hi)
+    # agreement away from the boundary: >=85% identical labels
+    same = sum(exact[i] == approx[i] for i in exact)
+    assert same >= 0.85 * len(exact), (same, len(exact))
