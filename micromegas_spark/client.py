@@ -39,12 +39,20 @@ def _stream_batches(df, batch_rows: int) -> Iterator["pa.RecordBatch"]:
     # them is fragile (DST, process-vs-session tz). Ship the INSTANT
     # instead: replace each top-level timestamp column with unix_micros
     # on the Spark side and rebuild tz-aware values from epoch micros —
-    # no wall-clock round trip. (TimestampNTZ stays naive by design.)
+    # no wall-clock round trip. (TimestampNTZ stays naive by design.
+    # KNOWN LIMIT: timestamps NESTED inside struct/array columns are not
+    # rewritten and keep the process-tz wall-clock caveat — flatten them
+    # in the SQL if the stream must cross timezones.)
     ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)]
     if ts_cols:
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
         df = df.select(
             *[
-                F.unix_micros(F.col(c)).alias(c) if c in ts_cols else F.col(c)
+                F.unix_micros(F.col(q(c))).alias(c)
+                if c in ts_cols
+                else F.col(q(c)).alias(c)
                 for c in df.columns
             ]
         )
@@ -130,10 +138,18 @@ class Client:
     # datetime-taking signatures.
 
     def _bounded(self, sql: str, begin=None, end=None, args: dict | None = None) -> "pd.DataFrame":
+        import time as _time
+
         from micromegas_spark.timeutils import to_epoch_ns
 
-        self.engine.prepare_views(sql, to_epoch_ns(begin), to_epoch_ns(end))
-        return self.engine.spark.sql(sql, args=args or {}).toPandas()
+        b, e = to_epoch_ns(begin), to_epoch_ns(end)
+        self.engine.prepare_views(sql, b, e)
+        t0 = _time.time()
+        df = self.engine.spark.sql(sql, args=args or {})
+        # convenience lookups are executed statements too: audit-logged
+        # like query() and the prepared paths
+        self.engine.log_query(sql, b, e, (_time.time() - t0) * 1000.0)
+        return df.toPandas()
 
     def find_process(self, process_id: str) -> "pd.DataFrame":
         """Process metadata by id (client.py:782-820); empty frame if

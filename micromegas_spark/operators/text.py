@@ -904,9 +904,13 @@ def perplexity_buckets(
     # same bucketing semantics), as CCNet itself estimates cutoffs from a
     # sample
     pfn = "percentile" if exact_cutoffs else "approx_percentile"
+    # ONE aggregate with an array of percentages: both cutoffs share one
+    # value buffer (exact) / one sketch (approx) instead of two
     cuts = ce.agg(
-        F.round(F.expr(f"{pfn}(cross_entropy, 1.0/3)"), 6).alias("_c1"),
-        F.round(F.expr(f"{pfn}(cross_entropy, 2.0/3)"), 6).alias("_c2"),
+        F.expr(f"{pfn}(cross_entropy, array(1.0D/3, 2.0D/3))").alias("_cs")
+    ).select(
+        F.round(F.element_at("_cs", 1), 6).alias("_c1"),
+        F.round(F.element_at("_cs", 2), 6).alias("_c2"),
     )
     return ce.crossJoin(F.broadcast(cuts)).select(
         F.col(id_col),

@@ -269,27 +269,37 @@ def test_admin_catalog_sql_spellings(spark, tmp_path):
         noadm.query("SELECT * FROM list_partitions").collect()
 
 
-def test_stream_batches_timestamps_survive_non_utc_session(spark):
-    """Collected timestamps are naive SESSION-timezone datetimes; the
-    stream must localize them before handing Arrow a tz-aware schema, or
-    every instant shifts by the session offset."""
+def test_stream_batches_timestamps_survive_non_utc_process(spark):
+    """TimestampType rows collected via toLocalIterator are naive
+    wall-clock datetimes in the driver PROCESS timezone (Python-side
+    fromInternal, not the session tz conf) — the stream must ship
+    instants, not wall clocks, or every value shifts by the process
+    offset. Pinned by actually changing the Python process tz."""
+    import os
+    import time as _time
+
     from micromegas_spark.client import Client
     from micromegas_spark.engine import Engine
     from tests.conftest import SF_SMOKE
 
     c = Client(Engine.from_test_tables(spark, SF_SMOKE))
     sql = "SELECT event_id, CAST(ts_us / 1000000 AS TIMESTAMP) AS t FROM events ORDER BY event_id LIMIT 50"
-    prev = spark.conf.get("spark.sql.session.timeZone")
+    arrow = c.query_arrow(sql).to_pydict()
+    direct = dict(zip(arrow["event_id"], arrow["t"]))
+    prev_tz = os.environ.get("TZ")
     try:
-        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
         streamed = {}
         for b in c.query_stream(sql, batch_rows=20):
             tb = b.to_pydict()
             streamed.update(zip(tb["event_id"], tb["t"]))
-        arrow = c.query_arrow(sql).to_pydict()
-        direct = dict(zip(arrow["event_id"], arrow["t"]))
     finally:
-        spark.conf.set("spark.sql.session.timeZone", prev)
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
     assert streamed == direct  # identical instants, no offset shift
 
 

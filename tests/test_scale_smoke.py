@@ -182,3 +182,6 @@ def test_scale_capped_dedup_survives_boilerplate_corpus(spark):
         train, bench, threshold=0.9, max_bucket_size=100
     ).count()
     assert flagged >= 0  # completion is the assertion; volume bounded by cap
+    # release the session-lifetime persisted shingle relations so the rest
+    # of the (shared-session) suite does not inherit the memory pressure
+    spark.catalog.clearCache()
