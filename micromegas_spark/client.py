@@ -121,15 +121,10 @@ class Client:
         (python-api.md prepared_statement_stream; like the reference,
         prepared statements are primarily for schema discovery — this
         offers no performance edge over query_stream)."""
-        import time as _time
-
-        eng = self.engine
         # the STATEMENT's sql drives view registration (lazy query_log /
-        # admin catalog views key on the text) and the audit record
-        eng.prepare_views(statement.sql, begin_ns, end_ns)
-        t0 = _time.time()
-        df = eng.spark.sql(statement.sql, args=params or {})
-        eng.log_query(statement.sql, begin_ns, end_ns, (_time.time() - t0) * 1000.0)
+        # catalog views key on the text) and the audit record; resolve()
+        # makes register+analyze atomic under concurrency
+        df = self.engine.resolve(statement.sql, begin_ns, end_ns, args=params or {})
         yield from _stream_batches(df, batch_rows)
 
     # -- convenience lookups (client.py:782-976) ---------------------------
@@ -138,18 +133,12 @@ class Client:
     # datetime-taking signatures.
 
     def _bounded(self, sql: str, begin=None, end=None, args: dict | None = None) -> "pd.DataFrame":
-        import time as _time
-
         from micromegas_spark.timeutils import to_epoch_ns
 
         b, e = to_epoch_ns(begin), to_epoch_ns(end)
-        self.engine.prepare_views(sql, b, e)
-        t0 = _time.time()
-        df = self.engine.spark.sql(sql, args=args or {})
         # convenience lookups are executed statements too: audit-logged
-        # like query() and the prepared paths
-        self.engine.log_query(sql, b, e, (_time.time() - t0) * 1000.0)
-        return df.toPandas()
+        # like query() and the prepared paths (resolve() logs)
+        return self.engine.resolve(sql, b, e, args=args or {}).toPandas()
 
     def find_process(self, process_id: str) -> "pd.DataFrame":
         """Process metadata by id (client.py:782-820); empty frame if
@@ -275,16 +264,11 @@ class PreparedStatement:
         begin_ns: int | None = None,
         end_ns: int | None = None,
     ) -> "pd.DataFrame":
-        import time as _time
-
-        eng = self.client.engine
         # re-register range-bounded views (keyed on THIS statement's sql),
         # then run with bound parameters; audit-logged like query()
-        eng.prepare_views(self.sql, begin_ns, end_ns)
-        t0 = _time.time()
-        df = eng.spark.sql(self.sql, args=params or {})
-        eng.log_query(self.sql, begin_ns, end_ns, (_time.time() - t0) * 1000.0)
-        return df.toPandas()
+        return self.client.engine.resolve(
+            self.sql, begin_ns, end_ns, args=params or {}
+        ).toPandas()
 
     def schema(self) -> "pa.Schema":
         """Result schema without executing (the schema-discovery purpose
@@ -295,8 +279,13 @@ class PreparedStatement:
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from micromegas_spark.engine import _PLAN_LOCK
+
         eng = self.client.engine
-        eng.prepare_views(self.sql, None, None)
         names = set(_re.findall(r":(\w+)", self.sql))
-        df = eng.spark.sql(self.sql, args={n: None for n in names})
+        # same register+analyze atomicity as resolve(), minus the audit
+        # record (schema discovery is not an executed statement)
+        with _PLAN_LOCK:
+            eng.prepare_views(self.sql, None, None)
+            df = eng.spark.sql(self.sql, args={n: None for n in names})
         return to_arrow_schema(df.schema)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -32,6 +33,18 @@ from micromegas_spark.session import configure
 
 # builder(begin_ns|None, end_ns|None) -> DataFrame
 ViewBuilder = Callable[[int | None, int | None], DataFrame]
+
+# Temp views are SESSION-global, so two Engines (or two threads on one
+# Engine) planning concurrently on one SparkSession could resolve each
+# other's range-bounded views. Spark analyzes eagerly inside spark.sql()
+# — each temp view's logical plan is SUBSTITUTED into the returned
+# DataFrame at that moment — so holding this lock across
+# (prepare_views → spark.sql) makes register+analyze atomic: once
+# resolve() returns, later view replacement cannot retarget the plan.
+# The lock serializes only ms-scale driver planning, never execution
+# (the reference gets the same isolation from a fresh SessionContext
+# per query, rust/analytics/src/lakehouse/query.rs:207-256).
+_PLAN_LOCK = threading.RLock()
 
 
 @dataclass
@@ -108,15 +121,14 @@ class Engine:
         low = sql.lower()
         if "query_log" in low:
             self._register_query_log_view()
-        # SQL spellings of the admin catalog functions (reference
-        # query.rs:104-176 registers list_partitions/list_view_sets as
-        # UDTFs): registered lazily and ONLY for admin sessions, so a
-        # non-admin query referencing them fails with Spark's own
-        # TABLE_OR_VIEW_NOT_FOUND — the reference's exact "not found"
-        # behavior for unregistered admin functions. Temp views are
-        # session-global, so a NON-admin engine must also DROP any copy a
-        # prior admin engine on the same session left behind — otherwise
-        # the gate leaks through the shared catalog.
+        # SQL spellings of the catalog introspection functions: the
+        # reference registers list_partitions/list_view_sets for EVERY
+        # session (query.rs:113-120 — OUTSIDE the is_admin block; its
+        # functions-reference.md marks only retire/materialize/regenerate/
+        # retire_partition_by_file as 'Requires admin'). Registered lazily
+        # on reference so unrelated statements never pay the catalog scan;
+        # the admin gate lives solely on the mutating surface
+        # (require_admin in client.py / Lakehouse).
         for name, build in (
             ("list_partitions", lambda: self.lakehouse.partitions_df()),
             (
@@ -128,13 +140,7 @@ class Engine:
             ),
         ):
             if name in low:
-                if self.admin:
-                    build().createOrReplaceTempView(name)
-                else:
-                    try:
-                        self.spark.catalog.dropTempView(name)
-                    except Exception:
-                        pass
+                build().createOrReplaceTempView(name)
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)
             tc = self._time_columns.get(name)
@@ -159,20 +165,36 @@ class Engine:
             (time.time_ns(), sql.strip(), begin_ns, end_ns, round(plan_ms, 3))
         )
 
+    def resolve(
+        self,
+        sql: str,
+        begin_ns: int | None = None,
+        end_ns: int | None = None,
+        args: dict | None = None,
+    ) -> DataFrame:
+        """Atomically bind views to [begin, end) and analyze the statement.
+        Every execution path (query(), the client's prepared-statement and
+        convenience lookups) funnels here so concurrent queries with
+        different ranges each resolve against their OWN bounds — see
+        _PLAN_LOCK. Returns the eagerly-analyzed DataFrame; execution
+        stays lazy and unserialized."""
+        with _PLAN_LOCK:
+            self.prepare_views(sql, begin_ns, end_ns)
+            t0 = time.time()
+            out = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+            # self-observability: the reference's analytics service emits a
+            # span per executed query into its own telemetry ("sql spans
+            # on", query.rs:207-256; spans land in the lake like any
+            # process's). The facade records (time, sql, range, plan_ms) —
+            # queryable via query_log(), the engine observing itself.
+            self.log_query(sql, begin_ns, end_ns, (time.time() - t0) * 1000.0)
+        return out
+
     def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
         """Full SQL over all registered views, range-bounded out-of-band —
         the reference's ``client.query(sql, begin, end)``
         (python/micromegas/micromegas/flightsql/client.py:312-370)."""
-        self.prepare_views(sql, begin_ns, end_ns)
-        t0 = time.time()
-        out = self.spark.sql(sql)
-        # self-observability: the reference's analytics service emits a span
-        # per executed query into its own telemetry ("sql spans on",
-        # query.rs:207-256; spans land in the lake like any process's). The
-        # facade records (time, sql, range, plan_ms) — queryable via
-        # query_log(), the engine observing itself with its own tables.
-        self.log_query(sql, begin_ns, end_ns, (time.time() - t0) * 1000.0)
-        return out
+        return self.resolve(sql, begin_ns, end_ns)
 
     def _register_query_log_view(self) -> DataFrame:
         from pyspark.sql.types import (

@@ -223,7 +223,15 @@ def _parse_operand(s: str, pos: int) -> tuple[tuple, int]:
         return ("at", steps), pos
     if m.group("str"):
         body = m.group("str")[1:-1]
-        return ("lit", re.sub(r'\\(.)', r"\1", body)), m.end()
+        # full JSON escape semantics: \n/\t/\uXXXX must decode to the
+        # control/unicode characters (a hand-rolled backslash strip turns
+        # "a\nb" into "anb" and never matches a real newline); strict=False
+        # tolerates raw control chars the tokenizer let through
+        try:
+            lit = json.loads(f'"{body}"', strict=False)
+        except ValueError:
+            raise _PathSyntaxError(f"bad string literal in predicate: {body!r}")
+        return ("lit", lit), m.end()
     if m.group("num"):
         t = m.group("num")
         return ("lit", float(t) if "." in t else int(t)), m.end()
@@ -438,8 +446,13 @@ def register(spark: SparkSession) -> None:
             "j STRING, k STRING",
             "STRING",
             # SQL UDFs inline at analysis, so concat folds to a constant
-            # path for literal keys (variant_get requires a foldable path)
-            "to_json(try_variant_get(try_parse_json(j), concat('$.', k), 'variant'))",
+            # path for literal keys (variant_get requires a foldable path).
+            # Digit keys address ARRAY INDICES, mirroring the Python
+            # jsonb_get and the reference's get.rs — both surfaces must
+            # agree on array access.
+            "CASE WHEN k RLIKE '^[0-9]+$' "
+            "THEN to_json(try_variant_get(try_parse_json(j), concat('$[', k, ']'), 'variant')) "
+            "ELSE to_json(try_variant_get(try_parse_json(j), concat('$.', k), 'variant')) END",
         ),
         ("jsonb_as_f64", "j STRING", "DOUBLE", "try_cast(trim(j) AS DOUBLE)"),
         ("jsonb_as_i64", "j STRING", "BIGINT", "try_cast(trim(j) AS BIGINT)"),

@@ -440,10 +440,17 @@ def simhash_near_duplicates(
     sh = simhash64(df, text_col, id_col)
     parts = []
     for c in range(chunks):
+        start = c * chunk_bits
+        # the LAST chunk absorbs the 64 % chunks remainder bits — with a
+        # uniform 64//chunks width the top bits would be in NO chunk key,
+        # so pairs differing only there could be silently missed even
+        # inside the pigeonhole guarantee (e.g. chunks=5 → 12-bit chunks
+        # covering bits 0-59 only; now widths are 12,12,12,12,16)
+        width = 64 - start if c == chunks - 1 else chunk_bits
         # shiftrightunsigned + mask: the signature is a signed BIGINT, and
         # an arithmetic shift would sign-extend into the top chunk's key
-        chunk = F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
+        chunk = F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
         )
         parts.append(sh.select(F.lit(c).alias("chunk"), chunk.alias("ckey"), id_col, "simhash"))
     allc = parts[0]
@@ -477,13 +484,28 @@ def blocked_jaccard_pairs(
     block_width: int = 50,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within length-bucket blocks — the brute-force
-    verifier with an explicit blocking key (near-identical docs have
-    near-identical lengths). Self-join is bounded per block, never O(n²)
-    over the corpus; shingle sets are int-hashed for cheap set ops.
-    The hashed shingle relation is persisted so the self-join reads it
-    twice from cache instead of re-running the md5/shingle pass per side.
+    """Exact n-gram Jaccard within length-bucket blocks, candidate-
+    generated by the PPJoin prefix filter instead of a block self-join.
+
+    Why no self-join: a.join(b, "blk") is O(block²) — one dense length
+    bucket (millions of same-length boilerplate docs) stalls the stage at
+    scale even though every other bucket is tiny. The prefix filter bounds
+    candidates by shared-shingle co-occurrence instead:
+
+    J(A,B) >= t  ⟹  C(A,B) = |A∩B|/|A| >= t  (since |A∪B| >= |A|), so
+    every Jaccard-t pair is a containment-t pair BOTH ways — the
+    containment prefix bound applies verbatim: at least one of A's
+    |A| − ceil(t·|A|) + 1 SMALLEST shingle hashes must appear in Sh(B).
+    Probing each doc's prefix against a (blk, hash)-bucketed inverted
+    index of all shingles finds every qualifying pair from whichever side
+    has the smaller id (lossless); the index buckets are df-capped like
+    containment_pairs — a shingle shared by more than ``max_doc_freq``
+    same-block docs is corpus furniture carrying no identity signal, and
+    dropping it bounds the candidate space (lossy ONLY for docs whose
+    entire prefix is capped-out; a degenerate boilerplate block belongs
+    in exact dedup first, exactly the sibling operators' contract).
 
     A size-ratio prefilter runs BEFORE the per-pair set intersection:
     J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose set sizes differ
@@ -492,22 +514,58 @@ def blocked_jaccard_pairs(
     the standard length-filter from set-similarity joins)."""
     from pyspark import StorageLevel
 
-    sh = _spread(df.select(F.col(id_col), F.col(text_col), F.col(block_col))).select(
-        F.col(id_col),
-        (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
-        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).select("*", F.size("sh").alias("_nsh")).persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = sh.alias("a"), sh.alias("b")
-    size_ok = F.least(F.col("a._nsh"), F.col("b._nsh")) >= (
-        F.greatest(F.col("a._nsh"), F.col("b._nsh")) * F.lit(threshold)
+    sh = (
+        _spread(df.select(F.col(id_col), F.col(text_col), F.col(block_col)))
+        .select(
+            F.col(id_col),
+            (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
+            F.array_sort(hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .select("*", F.size("sh").alias("_nsh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # prefix length n − ceil(t·n) + 1; round-before-ceil guards the
+    # integral-boundary float case (see containment_pairs)
+    prefix_len = F.greatest(
+        F.col("_nsh")
+        - F.ceil(F.round(F.lit(threshold) * F.col("_nsh"), 6)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    probe = sh.select(
+        F.col(id_col).alias("_ia"),
+        F.col("blk"),
+        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
+    )
+    index = (
+        sh.select(F.col(id_col).alias("_ib"), "blk", F.explode("sh").alias("h"))
+        .groupBy("blk", "h")
+        .agg(F.collect_list("_ib").alias("ids"))
+        .where(F.size("ids") <= max_doc_freq)
+    )
+    cand = (
+        probe.join(index, ["blk", "h"])
+        .select("_ia", F.explode("ids").alias("_ib"))
+        .where(F.col("_ia") < F.col("_ib"))
+        .distinct()
+    )
+    a = sh.select(
+        F.col(id_col).alias("_ia"), F.col("sh").alias("_sa"), F.col("_nsh").alias("_na")
+    )
+    b = sh.select(
+        F.col(id_col).alias("_ib"), F.col("sh").alias("_sb"), F.col("_nsh").alias("_nb")
+    )
+    size_ok = F.least(F.col("_na"), F.col("_nb")) >= (
+        F.greatest(F.col("_na"), F.col("_nb")) * F.lit(threshold)
     )
     return (
-        a.join(b, "blk")
-        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
+        cand.join(a, "_ia")
+        .join(b, "_ib")
+        .where(size_ok)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

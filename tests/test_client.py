@@ -233,12 +233,12 @@ def test_jsonb_as_string_decodes_escapes(spark):
 
 
 def test_admin_catalog_sql_spellings(spark, tmp_path):
-    """list_partitions / list_view_sets are SQL-queryable in admin
-    sessions (reference registers them as UDTFs, query.rs:104-176) and
-    resolve as 'not found' for non-admin sessions."""
-    import pytest
-    from pyspark.errors.exceptions.captured import AnalysisException
-
+    """list_partitions / list_view_sets are SQL-queryable in EVERY
+    session — the reference registers both UDTFs outside the is_admin
+    block (query.rs:113-120) and its functions-reference.md marks only
+    the mutating retire/materialize/regenerate surface 'Requires admin'.
+    Non-admin sessions keep catalog introspection; the mutating surface
+    stays gated (see test_admin_gating_matches_reference_not_found)."""
     from micromegas_spark.engine import Engine
     from micromegas_spark.materialize import BatchViewSpec
 
@@ -265,8 +265,12 @@ def test_admin_catalog_sql_spellings(spark, tmp_path):
     noadm = Engine(spark, warehouse=str(tmp_path / "wh_adm_sql"), admin=False)
     spark.catalog.dropTempView("list_partitions")
     spark.catalog.dropTempView("list_view_sets")
-    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
-        noadm.query("SELECT * FROM list_partitions").collect()
+    rows2 = noadm.query(
+        "SELECT view_set, COUNT(*) AS n FROM list_partitions GROUP BY view_set"
+    ).collect()
+    assert [(r.view_set, r.n) for r in rows2] == [("adm_view", 2)]
+    vs2 = noadm.query("SELECT * FROM list_view_sets").collect()
+    assert [r.view_set_name for r in vs2] == ["adm_view"]
 
 
 def test_stream_batches_timestamps_survive_non_utc_process(spark):
@@ -322,3 +326,47 @@ def test_prepared_statement_reaches_lazy_views_and_audit(spark, tmp_path):
     assert list(c.prepare("SELECT * FROM list_view_sets").execute().columns) == [
         "view_set_name"
     ]
+
+
+def test_concurrent_engine_queries_keep_own_bounds(spark):
+    """Two threads querying ONE Engine with different [begin, end) ranges
+    must each resolve against their own bounds — temp views are
+    session-global, so without register+analyze atomicity (Engine.resolve
+    under _PLAN_LOCK) one thread's createOrReplaceTempView could retarget
+    the other's in-flight plan (the reference avoids this with a fresh
+    SessionContext per query, query.rs:207-256). Many iterations per
+    thread to actually exercise the interleaving."""
+    import threading
+
+    from micromegas_spark.engine import Engine
+
+    eng = Engine(spark)
+    n = 200
+    df = spark.range(n).selectExpr("id * 1000 AS t_ns", "id AS v")
+    eng.register_table("conc_events", df, time_column="t_ns")
+
+    errors: list = []
+
+    def worker(begin_ns: int, end_ns: int, expect: int) -> None:
+        try:
+            for _ in range(12):
+                got = eng.query(
+                    "SELECT COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi FROM conc_events",
+                    begin_ns,
+                    end_ns,
+                ).collect()[0]
+                assert got.n == expect, (begin_ns, end_ns, got)
+                assert got.lo == begin_ns // 1000 and got.hi == end_ns // 1000 - 1
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(0, 50_000, 50)),
+        threading.Thread(target=worker, args=(50_000, 150_000, 100)),
+        threading.Thread(target=worker, args=(120_000, 200_000, 80)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

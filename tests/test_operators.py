@@ -71,6 +71,16 @@ def test_simhash_near_duplicates_pigeonhole_complete(spark, docs):
         for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
     }
     assert found == truth
+    # chunks=5 does not divide 64: the last chunk absorbs the remainder
+    # bits (12,12,12,12,16) so ALL 64 signature bits stay covered — a
+    # uniform 12-bit layout would leave bits 60-63 in no chunk key and
+    # could miss pairs differing only there; pigeonhole still guarantees
+    # full recall at max_hamming ≤ chunks-1, so the output is identical
+    found5 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=3, chunks=5).collect()
+    }
+    assert found5 == truth
     # discriminative sanity: only a minority of all pairs are this close
     # (the synthetic corpus shares one small vocabulary, so simhashes are
     # globally similar — ~13% of pairs sit within distance 3; real corpora

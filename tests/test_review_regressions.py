@@ -381,3 +381,44 @@ def test_partitions_table_includes_legacy_json_views(spark, tmp_path):
     )
     rows = lake.partitions_table().collect()
     assert [(r.view, r.begin_insert_ns) for r in rows] == [("only_json", 0)]
+
+
+def test_jsonb_path_string_literal_full_escape_semantics(spark):
+    """JSON-path predicate string literals decode with FULL JSON escape
+    semantics: \\n/\\t/\\uXXXX are the control/unicode characters, not the
+    letters 'n'/'t'/'uXXXX' (the old backslash-strip made
+    '@.x == "a\\nb"' unmatchable against a value holding a real newline)."""
+    from micromegas_spark.functions import jsonb as J
+
+    df = spark.createDataFrame(
+        [('[{"x":"a\\nb"},{"x":"anb"},{"x":"\\u00e9"}]',)], ["j"]
+    )
+    got = df.select(
+        J.jsonb_path_query_first(
+            F.col("j"), '$[*] ? (@.x == "a\\nb")'
+        ).alias("nl"),
+        J.jsonb_path_query_first(F.col("j"), '$[*] ? (@.x == "\\u00e9")').alias("uni"),
+    ).collect()[0]
+    import json
+
+    assert got.nl is not None and json.loads(got.nl)["x"] == "a\nb"
+    assert got.uni is not None and json.loads(got.uni)["x"] == "é"
+
+
+def test_sql_jsonb_get_numeric_key_is_array_index(spark):
+    """The SQL-registered jsonb_get must mirror the Python surface (and
+    the reference's get.rs): a digit key addresses an ARRAY INDEX, not an
+    object member named '1'."""
+    from micromegas_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        """SELECT jsonb_get('["a","b","c"]', '1') AS arr,
+                  jsonb_get('{"k":"v"}', 'k') AS obj,
+                  jsonb_get('{"1":"member"}', '1') AS digit_member"""
+    ).collect()[0]
+    assert row.arr == '"b"'
+    assert row.obj == '"v"'
+    # parity cost of reference semantics: digit keys never address object
+    # members (the Python jsonb_get behaves identically)
+    assert row.digit_member is None

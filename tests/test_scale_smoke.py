@@ -182,6 +182,16 @@ def test_scale_capped_dedup_survives_boilerplate_corpus(spark):
         train, bench, threshold=0.9, max_bucket_size=100
     ).count()
     assert flagged >= 0  # completion is the assertion; volume bounded by cap
+
+    # blocked Jaccard: 120k near-equal-length docs land in a handful of
+    # length blocks — the retired block self-join was O(block²) (~7×10⁹
+    # pairs); the prefix-filter index caps boilerplate shingles
+    # (df = 120k > cap → dropped) while every tail shingle contains the
+    # doc id (df = 1), so candidates are only hash-collision residue
+    jac = dedup.blocked_jaccard_pairs(
+        docs.withColumn("n_chars", F.length("text")), threshold=0.5, max_doc_freq=50
+    ).count()
+    assert jac < 100
     # release the session-lifetime persisted shingle relations so the rest
     # of the (shared-session) suite does not inherit the memory pressure
     spark.catalog.clearCache()
