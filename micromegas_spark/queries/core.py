@@ -796,6 +796,38 @@ def events_property_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_property_get_legacy",
+    oracle="""
+    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) * 10 AS k_decile,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_property_get_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """property_get over the reference's LEGACY List<Struct{key,value}>
+    physical format — property_get.rs dispatches across three property
+    encodings and this exercises the array one: the JSON bag round-trips
+    json → map → legacy array (properties_to_array), then
+    property_get(fmt="array") reads it back; agreeing with the direct
+    JSON-path oracle proves format equivalence. Filter/element_at are
+    JVM-side higher-order functions — no Python crossing."""
+    from micromegas_spark.functions import properties as P
+
+    ev = load_table(spark, sf_dir, "events")
+    legacy = P.properties_to_array(P.json_properties_to_map(F.col("props")))
+    k = P.property_get(legacy, "k", fmt="array").cast("bigint")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy(((k / 10).cast("bigint") * 10).alias("k_decile"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_decile")
+    )
+
+
+@query(
     "lineitem_bin_center",
     oracle="""
     SELECT FLOOR(l_quantity / 5.0 + 0.5) * 5.0 AS qty_bin,

@@ -86,9 +86,7 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonb_each(ev, "props", ["event_id"])
 
 
-@query(
-    "events_thread_spans",
-    oracle="""
+_THREAD_SPANS_ORACLE = """
     WITH numbered AS (
         SELECT CAST(user_id AS VARCHAR) AS stream_id, event_id,
                epoch_us(ts) AS ts_us,
@@ -125,7 +123,70 @@ def events_jsonb_each(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(duration) AS BIGINT) AS min_duration,
            CAST(SUM(duration) AS BIGINT) AS total_duration
     FROM spans GROUP BY stream_id ORDER BY stream_id
-    """,
+    """
+
+
+def _synth_nested_events(ev: DataFrame) -> DataFrame:
+    """Well-formed nested begin/end stream per user (shared by the batch
+    and streaming thread-span queries — identical input is what makes the
+    streaming≡batch≡oracle triangle meaningful): the period-8 marker
+    pattern B B E B E E B E, hash = frame depth, trailing partial periods
+    dropped so every stream is balanced."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    numbered = ev.select(
+        F.col("user_id").cast("string").alias("stream_id"),
+        F.col("event_id"),
+        F.col("ts_us").alias("time_ns"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+    ).where(F.col("rn") <= (F.col("cnt") / 8).cast("bigint") * 8)
+    delta = F.when(((F.col("rn") - 1) % 8).isin(0, 1, 3, 6), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    wc = Window.partitionBy("stream_id").orderBy("rn")
+    marked = numbered.withColumn("delta", delta).withColumn(
+        "c", F.sum("delta").over(wc)
+    )
+    return marked.select(
+        "stream_id",
+        "event_id",
+        F.when(F.col("delta") == 1, F.lit("begin")).otherwise(F.lit("end")).alias("event_type"),
+        "time_ns",
+        # hash = depth of the frame being opened/closed: every end matches
+        # the open top (same depth), so the stack machine never heals here
+        F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1)
+        .cast("bigint")
+        .alias("hash"),
+        F.concat(
+            F.lit("d"),
+            F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1).cast("bigint"),
+        ).alias("name"),
+        F.lit("events").alias("target"),
+        F.lit("synth").alias("filename"),
+        F.lit(0).alias("line"),
+    )
+
+
+def _span_stats(spans: DataFrame) -> DataFrame:
+    """Per-stream span statistics — the shared SELECT of the batch and
+    streaming thread-span queries, matching _THREAD_SPANS_ORACLE."""
+    return (
+        spans.groupBy("stream_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("depth").alias("max_depth"),
+            F.min("duration").alias("min_duration"),
+            F.sum("duration").alias("total_duration"),
+        )
+        .orderBy("stream_id")
+    )
+
+
+@query(
+    "events_thread_spans",
+    oracle=_THREAD_SPANS_ORACLE,
 )
 def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread-span call-tree building exercised on driver data.
@@ -145,55 +206,59 @@ def events_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes and an equi-join; exact tree semantics (healing, hash
     mismatches, parent links) stay covered by tests/test_spans.py +
     hypothesis invariants."""
-    from pyspark.sql import Window
-
     from micromegas_spark.operators.spans import build_thread_spans
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    numbered = ev.select(
-        F.col("user_id").cast("string").alias("stream_id"),
-        F.col("event_id"),
-        F.col("ts_us").alias("time_ns"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
-    ).where(F.col("rn") <= (F.col("cnt") / 8).cast("bigint") * 8)
-    delta = F.when(((F.col("rn") - 1) % 8).isin(0, 1, 3, 6), F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    wc = Window.partitionBy("stream_id").orderBy("rn")
-    marked = numbered.withColumn("delta", delta).withColumn(
-        "c", F.sum("delta").over(wc)
-    )
-    events = marked.select(
-        "stream_id",
-        "event_id",
-        F.when(F.col("delta") == 1, F.lit("begin")).otherwise(F.lit("end")).alias("event_type"),
-        "time_ns",
-        # hash = depth of the frame being opened/closed: every end matches
-        # the open top (same depth), so the stack machine never heals here
-        F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1)
-        .cast("bigint")
-        .alias("hash"),
-        F.concat(
-            F.lit("d"),
-            F.when(F.col("delta") == 1, F.col("c")).otherwise(F.col("c") + 1).cast("bigint"),
-        ).alias("name"),
-        F.lit("events").alias("target"),
-        F.lit("synth").alias("filename"),
-        F.lit(0).alias("line"),
-    )
+    events = _synth_nested_events(ev)
     spans = build_thread_spans(events, 0, 2**62)
-    return (
-        spans.groupBy("stream_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.max("depth").alias("max_depth"),
-            F.min("duration").alias("min_duration"),
-            F.sum("duration").alias("total_duration"),
-        )
-        .orderBy("stream_id")
+    return _span_stats(spans)
+
+
+@query(
+    "events_thread_spans_stream",
+    oracle=_THREAD_SPANS_ORACLE,
+)
+def events_thread_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING thread-span assembly ≡ batch ≡ SQL oracle (the
+    end-to-end wiring of streaming/stateful.streaming_thread_spans):
+    the SAME synthesized begin/end stream as events_thread_spans lands
+    as two time-split micro-batches; applyInPandasWithState keeps each
+    stream's open-span stack as keyed state across the batch boundary,
+    so a span whose begin and end arrive in DIFFERENT micro-batches is
+    still assembled exactly once, and the per-stream statistics match
+    the batch query's DuckDB oracle bit-for-bit. Batch order is pinned
+    (one_shot_stream_table mtime ordering) because the stack machine is
+    order-sensitive — the one *_stream query where that matters."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from micromegas_spark.streaming.incremental import one_shot_stream_table
+    from micromegas_spark.streaming.stateful import streaming_thread_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    events = _synth_nested_events(ev).select(
+        "stream_id", "event_id", "event_type", "time_ns", "hash", "name"
     )
+    lo, hi = events.agg(F.min("time_ns"), F.max("time_ns")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    schema = StructType(
+        [
+            StructField("stream_id", StringType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("time_ns", LongType()),
+            StructField("hash", LongType()),
+            StructField("name", StringType()),
+        ]
+    )
+    spans = one_shot_stream_table(
+        spark,
+        [events.where(F.col("time_ns") < mid), events.where(F.col("time_ns") >= mid)],
+        schema,
+        streaming_thread_spans,
+        "thread_spans_stream_tbl",
+        output_mode="append",
+    )
+    return _span_stats(spans)
 
 
 def _kmeans_oracle_parts(k: int = 8, n_iter: int = 2) -> list[str]:

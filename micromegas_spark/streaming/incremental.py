@@ -431,6 +431,7 @@ def one_shot_stream_table(
     schema,
     build,
     name: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming transformation over a fixed sequence of
     micro-batches and return the complete-mode result table.
@@ -470,8 +471,23 @@ def one_shot_stream_table(
             pass  # alive under another uid: leave it
     land = os.path.join(tmp, f"{prefix}{os.getpid()}")
     shutil.rmtree(land, ignore_errors=True)
-    for b in batches:
+    # FileStreamSource orders micro-batches by file MODIFICATION TIME;
+    # sequential writes usually ascend but can tie at fs resolution, and
+    # ORDER-SENSITIVE stateful transforms (the thread-span stack machine)
+    # need batch i strictly before batch i+1 — pin each batch's files to
+    # an explicit ascending mtime so listing order IS batch order
+    import time as _time
+
+    t0 = _time.time()
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(land)
+        for entry in os.listdir(land):
+            path = os.path.join(land, entry)
+            if path in seen or not entry.endswith(".parquet"):
+                continue
+            seen.add(path)
+            os.utime(path, (t0 + 10 * i, t0 + 10 * i))
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
     )
@@ -483,7 +499,7 @@ def one_shot_stream_table(
         build(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

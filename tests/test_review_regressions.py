@@ -422,3 +422,37 @@ def test_sql_jsonb_get_numeric_key_is_array_index(spark):
     # parity cost of reference semantics: digit keys never address object
     # members (the Python jsonb_get behaves identically)
     assert row.digit_member is None
+
+
+def test_property_get_legacy_array_format_roundtrip(spark):
+    """Reference parity (property_get.rs handles the legacy
+    List<Struct{key,value}> encoding): map → properties_to_array →
+    property_get(fmt='array') round-trips every entry, the SQL spelling
+    property_get_legacy agrees, and duplicate keys resolve to the FIRST
+    entry (the reference's in-order list scan)."""
+    from micromegas_spark.functions import register_all
+    from micromegas_spark.functions import properties as P
+
+    register_all(spark)
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "x"},), ({"c": "only"},), ({},)], ["m"]
+    ).withColumn("legacy", P.properties_to_array(F.col("m")))
+    got = df.select(
+        P.property_get(F.col("m"), "a").alias("direct"),
+        P.property_get(F.col("legacy"), "a", fmt="array").alias("via_array"),
+        F.expr("property_get_legacy(legacy, 'a')").alias("via_sql"),
+    ).collect()
+    for r in got:
+        assert r.direct == r.via_array == r.via_sql
+
+    dup = spark.sql(
+        "SELECT property_get_legacy(array(named_struct('key','k','value','first'),"
+        " named_struct('key','k','value','second')), 'k') AS v"
+    ).collect()[0]
+    assert dup.v == "first"
+
+    # unknown fmt is a clear error, not silent map semantics
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown property format"):
+        P.property_get(F.col("m"), "a", fmt="bogus")
