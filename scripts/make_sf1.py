@@ -1,0 +1,122 @@
+"""Generate an sf1-scale test corpus by 10x replication of sf0.1.
+
+The driver ships sf0.001/0.01/0.1 (TESTDATA.md); the judge asked for one
+scale-factor step up (VERDICT r3 "Next round" #4) to expose quadratic
+residue or skew stalls the sf0.1 numbers are too small to show. /root/
+testdata is read-only, so the scaled corpus lands in a scratch dir
+(default /tmp/sf1) and only the artifacts (SELFCHECK_sf1.log,
+BENCH_sf1.json) are committed.
+
+Replication preserves referential integrity and distributions: every
+replica i offsets its keys by i * stride (stride = 10^ceil(log10(max+1))
+so key spaces never collide) consistently across fact and dimension
+tables — lineitem replica i joins orders/part/supplier replica i, so join
+selectivities and group cardinalities scale linearly like real TPC-H sf
+steps. region/nation stay fixed (they are fixed-size in TPC-H). Document
+texts get a per-replica tail token so exact-dup structure does not
+explode 10x (each original near-dup cluster stays a cluster; replicas do
+not all collapse into one), mirroring how a bigger real corpus has more
+clusters, not bigger ones. Timestamps/events keep their time range —
+time-bucketed aggregations grow per-bucket rows, not bucket count, which
+is the hard direction for group-by scaling.
+
+Usage: python scripts/make_sf1.py [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def stride_for(con, table: str, key: str) -> int:
+    mx = con.sql(f"SELECT MAX({key}) FROM src_{table}").fetchone()[0]
+    s = 1
+    while s <= mx:
+        s *= 10
+    return s
+
+
+def main(out_dir: str = "/tmp/sf1", factor: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW src_{t} AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        )
+    ko = stride_for(con, "orders", "o_orderkey")
+    kc = stride_for(con, "customer", "c_custkey")
+    kp = stride_for(con, "part", "p_partkey")
+    ks = stride_for(con, "supplier", "s_suppkey")
+    ke = stride_for(con, "events", "event_id")
+    ku = stride_for(con, "events", "user_id")
+    kd = stride_for(con, "documents", "doc_id")
+    kv = stride_for(con, "embeddings", "vec_id")
+
+    con.execute(f"CREATE TABLE reps AS SELECT UNNEST(RANGE({factor})) AS i")
+
+    sel = {
+        "region": "SELECT * FROM src_region",
+        "nation": "SELECT * FROM src_nation",
+        "customer": f"""
+            SELECT c_custkey + i * {kc} AS c_custkey,
+                   c_name || '#' || i AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM src_customer, reps""",
+        "supplier": f"""
+            SELECT s_suppkey + i * {ks} AS s_suppkey,
+                   s_name || '#' || i AS s_name, s_nationkey, s_acctbal
+            FROM src_supplier, reps""",
+        "part": f"""
+            SELECT p_partkey + i * {kp} AS p_partkey,
+                   p_name || '#' || i AS p_name, p_brand, p_type, p_size,
+                   p_retailprice
+            FROM src_part, reps""",
+        "orders": f"""
+            SELECT o_orderkey + i * {ko} AS o_orderkey,
+                   o_custkey + i * {kc} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM src_orders, reps""",
+        "lineitem": f"""
+            SELECT l_orderkey + i * {ko} AS l_orderkey,
+                   l_partkey + i * {kp} AS l_partkey,
+                   l_suppkey + i * {ks} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM src_lineitem, reps""",
+        "events": f"""
+            SELECT event_id + i * {ke} AS event_id, ts,
+                   user_id + i * {ku} AS user_id,
+                   event_type, value, props
+            FROM src_events, reps""",
+        "documents": f"""
+            SELECT doc_id + i * {kd} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE text || ' rep' || i END AS text,
+                   lang, source,
+                   n_chars + CASE WHEN i = 0 THEN 0
+                                  ELSE 5 + LENGTH(CAST(i AS VARCHAR)) END AS n_chars
+            FROM src_documents, reps""",
+        "embeddings": f"""
+            SELECT vec_id + i * {kv} AS vec_id, embedding, label
+            FROM src_embeddings, reps""",
+    }
+    for t in tables:
+        out = os.path.join(out_dir, f"{t}.parquet")
+        con.execute(f"COPY ({sel[t]}) TO '{out}' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{t}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    main(out, factor)
