@@ -117,9 +117,14 @@ class Engine:
         views keyed on the statement's OWN text, not a placeholder."""
         # lazy: materializing the log view costs O(len(log)) driver work,
         # so only refresh it when the statement can actually read it
-        # (case-insensitive: Spark resolves view names case-insensitively)
+        # (case-insensitive: Spark resolves view names case-insensitively;
+        # word-bounded so 'my_query_log_2' or a string literal containing
+        # the token doesn't trigger the O(len(log)) refresh — a FALSE
+        # positive only wastes work, a quoted-identifier miss is benign)
+        import re as _re
+
         low = sql.lower()
-        if "query_log" in low:
+        if _re.search(r"\bquery_log\b", low):
             self._register_query_log_view()
         # SQL spellings of the catalog introspection functions: the
         # reference registers list_partitions/list_view_sets for EVERY
@@ -139,7 +144,7 @@ class Engine:
                 ),
             ),
         ):
-            if name in low:
+            if _re.search(rf"\b{name}\b", low):
                 build().createOrReplaceTempView(name)
         for name, builder in self._views.items():
             df = builder(begin_ns, end_ns)

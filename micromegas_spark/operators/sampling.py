@@ -188,6 +188,11 @@ def dsir_log_weights(
     per-doc aggregation. Nothing shuffles at corpus volume except the
     doc-id aggregation."""
     from micromegas_spark.operators.text import _let, token_hash32, tokens
+    from micromegas_spark.operators.util import spread as _spr
+
+    # the feature explode is CPU-bound; a single-split scan at test scale
+    # would serialize it on one core (no-op at real split counts)
+    df = _spr(df)
 
     def feats(c: Column) -> Column:
         # _let binds the lowered token array ONCE: a lambda body indexing

@@ -405,6 +405,9 @@ def boilerplate_coverage(
     re-aggregation shuffles on the doc id. No quadratic pair space — this
     is the linear-cost cousin of pairwise near-dup detection, which is
     why production pipelines run it corpus-wide."""
+    from micromegas_spark.operators.util import spread as _spr
+
+    df = _spr(df)
     from micromegas_spark.operators.dedup import hashed_shingles
 
     sh = df.select(
@@ -444,6 +447,9 @@ def token_entropy(
     filtering). Output: (id, n_tokens, entropy).
 
     One explode + two aggregations, all map-side combinable."""
+    from micromegas_spark.operators.util import spread as _spr
+
+    df = _spr(df)
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     counts = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
     return (
@@ -482,6 +488,9 @@ def unigram_logprob(
     scoring join back on the term; corpus totals (N, V) ride in as a
     broadcast single-row aggregate, never a window over (). Per-doc
     re-aggregation shuffles on the doc id."""
+    from micromegas_spark.operators.util import spread as _spr
+
+    df = _spr(df)
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(id_col, F.lower(F.col("tok")).alias("term"))
@@ -789,6 +798,9 @@ def nb_classify(
     length is a map-side expression. The argmax is a per-id window over
     |classes| rows. Unseen-at-train terms (train/apply splits) fall into
     the same smoothing mass via the length term."""
+    from micromegas_spark.operators.util import spread as _spr
+
+    df = _spr(df)
     from pyspark.sql import Window
 
     lbl = F.col(label_col)

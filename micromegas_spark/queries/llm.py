@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micromegas_spark.operators import dedup, similarity, text
+from micromegas_spark.operators.util import spread as _spread
 from micromegas_spark.queries.registry import query
 from micromegas_spark.sources.tables import load_table
 
@@ -75,7 +76,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-scoring features (length/punct/stopword
     ratios) — the cheap pre-filters of every LLM data pipeline, all
     JVM-side expressions (operators/text.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     feats = text.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -840,7 +841,7 @@ def docs_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks with 16-token overlap (stride 48) per document — the pass that
     turns a corpus into training windows. explode(sequence) arithmetic,
     no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return text.chunk_spans(d, chunk_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_idx"
     )
@@ -945,7 +946,7 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from micromegas_spark.operators import pii
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     counts = pii.pii_counts(F.col("text"))
     total = reduce(lambda a, b: a + b, counts.values())
     return (
@@ -1159,7 +1160,7 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines fails the oracle. Codegen regex scans, no shuffle."""
     from micromegas_spark.operators import pii
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     txt = F.concat(
         F.lit("contact user"),
         F.col("doc_id").cast("string"),

@@ -207,3 +207,23 @@ def test_ppl_buckets_no_global_window(spark):
     plan = _plan(spark, "docs_ppl_buckets")
     assert "WindowExec" not in plan and "Window " not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_blocked_jaccard_prefix_filtered_no_cartesian(spark):
+    """Round-4: the per-length-block self-join (O(block²) on a dense
+    bucket) is retired — candidates come from the PPJoin prefix explode
+    against a (blk, h)-keyed df-capped inverted index, so the plan has
+    equi-joins only and the bucket lists are exploded to pairs."""
+    plan = _plan(spark, "docs_ngram_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan  # prefix + posting-bucket explodes
+
+
+def test_property_get_legacy_stays_jvm_side(spark):
+    """The legacy array<struct> property path is higher-order filter +
+    try_element_at — no Python crossing anywhere in the plan."""
+    plan = _plan(spark, "events_property_get_legacy")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
