@@ -226,11 +226,14 @@ def _parse_operand(s: str, pos: int) -> tuple[tuple, int]:
         # full JSON escape semantics: \n/\t/\uXXXX must decode to the
         # control/unicode characters (a hand-rolled backslash strip turns
         # "a\nb" into "anb" and never matches a real newline); strict=False
-        # tolerates raw control chars the tokenizer let through
+        # tolerates raw control chars the tokenizer let through. The
+        # tokenizer admits ANY backslash escape (\\.), so non-JSON escapes
+        # like \' fall back to the plain strip — previously-working paths
+        # keep matching instead of silently becoming NULL-for-every-row.
         try:
             lit = json.loads(f'"{body}"', strict=False)
         except ValueError:
-            raise _PathSyntaxError(f"bad string literal in predicate: {body!r}")
+            lit = re.sub(r"\\(.)", r"\1", body)
         return ("lit", lit), m.end()
     if m.group("num"):
         t = m.group("num")

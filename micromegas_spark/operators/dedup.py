@@ -441,11 +441,14 @@ def simhash_near_duplicates(
     parts = []
     for c in range(chunks):
         start = c * chunk_bits
-        # the LAST chunk absorbs the 64 % chunks remainder bits — with a
-        # uniform 64//chunks width the top bits would be in NO chunk key,
-        # so pairs differing only there could be silently missed even
-        # inside the pigeonhole guarantee (e.g. chunks=5 → 12-bit chunks
-        # covering bits 0-59 only; now widths are 12,12,12,12,16)
+        # the LAST chunk absorbs the 64 % chunks remainder bits (chunks=5:
+        # widths 12,12,12,12,16 instead of 12,12,12,12 covering bits 0-59).
+        # Recall was never at risk — a diff confined to uncovered bits
+        # leaves every chunk key EQUAL (more candidates, and the exact
+        # bit_count(xor) verify still filters) — but uncovered bits
+        # weakened bucket SELECTIVITY: docs differing only there collided
+        # into one bucket, inflating the in-bucket pair space the cap then
+        # has to drop. Full coverage keys every signature bit.
         width = 64 - start if c == chunks - 1 else chunk_bits
         # shiftrightunsigned + mask: the signature is a signed BIGINT, and
         # an arithmetic shift would sign-extend into the top chunk's key
@@ -537,11 +540,11 @@ def blocked_jaccard_pairs(
         F.col("blk"),
         F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
     )
-    index = (
-        sh.select(F.col(id_col).alias("_ib"), "blk", F.explode("sh").alias("h"))
-        .groupBy("blk", "h")
-        .agg(F.collect_list("_ib").alias("ids"))
-        .where(F.size("ids") <= max_doc_freq)
+    index = _capped_posting_buckets(
+        sh.select(F.col(id_col).alias("_ib"), "blk", F.explode("sh").alias("h")),
+        "_ib",
+        max_doc_freq,
+        keys=("blk", "h"),
     )
     cand = (
         probe.join(index, ["blk", "h"])
@@ -572,7 +575,7 @@ def blocked_jaccard_pairs(
 
 
 def _capped_posting_buckets(
-    posting: DataFrame, id_alias: str, max_doc_freq: int
+    posting: DataFrame, id_alias: str, max_doc_freq: int, keys: tuple = ("h",)
 ) -> DataFrame:
     """Aggregate an inverted-index posting list (id + "h") into per-hash
     id-list buckets, dropping hashes whose document frequency exceeds
@@ -586,7 +589,7 @@ def _capped_posting_buckets(
     carries no identity signal; without the cap one such gram shared by
     10⁶ docs is a 10¹² pair explosion in candidate generation."""
     return (
-        posting.groupBy("h")
+        posting.groupBy(*keys)
         .agg(F.collect_list(id_alias).alias("ids"))
         .where(F.size("ids") <= max_doc_freq)
     )

@@ -103,7 +103,7 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10) -> None:
                         ELSE text || ' rep' || i END AS text,
                    lang, source,
                    n_chars + CASE WHEN i = 0 THEN 0
-                                  ELSE 5 + LENGTH(CAST(i AS VARCHAR)) END AS n_chars
+                                  ELSE 4 + LENGTH(CAST(i AS VARCHAR)) END AS n_chars
             FROM src_documents, reps""",
         "embeddings": f"""
             SELECT vec_id + i * {kv} AS vec_id, embedding, label

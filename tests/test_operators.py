@@ -72,10 +72,12 @@ def test_simhash_near_duplicates_pigeonhole_complete(spark, docs):
     }
     assert found == truth
     # chunks=5 does not divide 64: the last chunk absorbs the remainder
-    # bits (12,12,12,12,16) so ALL 64 signature bits stay covered — a
-    # uniform 12-bit layout would leave bits 60-63 in no chunk key and
-    # could miss pairs differing only there; pigeonhole still guarantees
-    # full recall at max_hamming ≤ chunks-1, so the output is identical
+    # bits (12,12,12,12,16) so ALL 64 signature bits key the buckets — a
+    # uniform 12-bit layout kept full recall (uncovered-bit diffs leave
+    # every chunk key equal, and the exact Hamming verify still filters)
+    # but let docs differing only in bits 60-63 collide into one bucket;
+    # pigeonhole guarantees recall at max_hamming ≤ chunks-1 either way,
+    # so the output must be identical
     found5 = {
         (r.id_a, r.id_b): r.hamming
         for r in dedup.simhash_near_duplicates(docs, max_hamming=3, chunks=5).collect()
