@@ -732,3 +732,98 @@ def exact_substring_overlaps(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_windows"))
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC / LBFS rolling-window family):
+    a chunk boundary opens at every position i ≥ 2 whose ``window``-char
+    window hashes to 0 mod ``modulus``; position 1 always starts chunk 0.
+    Expected chunk length ≈ ``modulus`` chars. Output one row per chunk:
+    (id, chunk_idx, chunk_start, chunk_len, chunk_md5).
+
+    Why content-defined: boundaries depend only on LOCAL content, so an
+    edit moves only the boundaries whose windows overlap it — unchanged
+    regions of a document re-chunk identically and their chunk hashes
+    still match across versions/documents. Fixed-width blocks lose all
+    alignment after one inserted byte; CDC is what makes SUB-document
+    dedup (shared paragraphs, quoted sections, storage-level dedup)
+    robust to partial edits.
+
+    Engine portability over rolling-hash speed: the window hash is the
+    same md5-prefix 32-bit hash every other operator here uses, so the
+    DuckDB oracle recomputes identical split points. A true Rabin
+    polynomial is O(1) per position instead of O(window) — at production
+    scale swap the boundary scan for an Arrow-batched rolling-hash UDF;
+    the chunk/dedup plumbing downstream is unchanged. Either way the scan
+    is embarrassingly parallel (per-doc expressions, no shuffle until the
+    chunk-hash aggregation).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def whash(i: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(text.substr(i, F.lit(window))), 1, 8), 16, 10
+        ).cast("bigint")
+
+    # interior boundary candidates are 2 .. n-window+1 (a window must fit);
+    # the WHEN guard matters: sequence(2, x) with x < 2 would DESCEND
+    interior = F.when(
+        n >= window + 1,
+        F.filter(
+            F.sequence(F.lit(2), n - (window - 1)),
+            lambda i: whash(i) % modulus == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), interior)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array((n + 1).cast("int")),
+    )
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("start"), (e - s).alias("len"))
+    )
+    return (
+        df.select(F.col(id_col), text.alias("_t"), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("c.start").alias("chunk_start"),
+            F.col("c.len").cast("bigint").alias("chunk_len"),
+            F.md5(F.col("_t").substr(F.col("c.start"), F.col("c.len"))).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_chunk_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    modulus: int = 64,
+    min_chunk_len: int = 32,
+) -> DataFrame:
+    """Sub-document duplicate content via CDC: chunks of at least
+    ``min_chunk_len`` chars whose hash appears in MORE THAN ONE document
+    — shared paragraphs / boilerplate sections that doc-level fingerprints
+    and even shingle resemblance can miss when the rest of the documents
+    differ. One chunk scan + one hash-keyed aggregation (map-side
+    combinable); no pair space at all — the hash group IS the duplicate
+    set."""
+    ch = cdc_chunks(_spread(df), text_col, id_col, window, modulus)
+    return (
+        ch.where(F.col("chunk_len") >= min_chunk_len)
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

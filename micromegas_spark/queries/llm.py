@@ -1913,3 +1913,48 @@ def docs_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotation/partial-copy duplicates that sit near Jaccard 0."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.exact_substring_overlaps(d, window=20).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_cdc_chunk_dups",
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id, 1 AS s FROM documents
+        UNION ALL
+        SELECT doc_id, i
+        FROM (SELECT doc_id, text,
+                     UNNEST(RANGE(2, LENGTH(text) - 14)) AS i
+              FROM documents WHERE LENGTH(text) >= 17) p
+        WHERE ('0x' || substr(md5(substring(text, i, 16)), 1, 8))::BIGINT % 64 = 0
+    ),
+    c AS (
+        SELECT s.doc_id, s.s,
+               COALESCE(LEAD(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s),
+                        LENGTH(d.text) + 1) - s.s AS len,
+               d.text
+        FROM starts s JOIN documents d USING (doc_id)
+    ),
+    ch AS (
+        SELECT doc_id, md5(substring(text, s, len)) AS chunk_md5, len
+        FROM c WHERE len >= 32
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(len) AS BIGINT) AS chunk_len
+    FROM ch
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY chunk_md5
+    """,
+)
+def docs_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.cdc_chunks — the
+    FastCDC/LBFS rolling-window family with an engine-portable md5 window
+    hash): boundaries where the 16-char window hash ≡ 0 mod 64, chunks
+    ≥ 32 chars grouped by content hash, groups spanning >1 document
+    reported. Catches SHARED SECTIONS inside otherwise-different docs —
+    the sub-document granularity doc fingerprints and shingle resemblance
+    miss. No pair space: the hash group is the duplicate set."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_duplicates(d).orderBy("chunk_md5")

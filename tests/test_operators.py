@@ -413,3 +413,40 @@ def test_cross_near_duplicates_flags_only_cross_matches(spark):
            for r in dedup.cross_near_duplicates(train, bench, threshold=0.8).collect()}
     assert set(got) == {1, 2}  # both copies flagged; doc 3 clean
     assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property fixed-width blocking lacks: an insertion early in
+    a document moves only boundaries whose windows overlap it, so chunks
+    of the unchanged suffix keep identical hashes and still dedup across
+    the two versions."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    base = "".join(rng.choice(string.ascii_lowercase) for _ in range(600))
+    edited = base[:10] + "XYZ" + base[10:]
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    rows = dedup.cdc_chunks(df).collect()
+    h1 = {r.chunk_md5 for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_md5 for r in rows if r.doc_id == 2}
+    assert len(h1) >= 3, "corpus should produce several chunks"
+    shared = h1 & h2
+    # only chunks whose windows overlap the edit can differ (≤3 with the
+    # edit inside the first chunk region); the suffix re-aligns by content
+    assert len(shared) >= len(h1) - 3, (len(h1), len(h2), len(shared))
+    # chunk geometry invariants: chunks tile the document exactly
+    for doc_id, txt in ((1, base), (2, edited)):
+        cs = sorted(
+            (r.chunk_start, r.chunk_len) for r in rows if r.doc_id == doc_id
+        )
+        assert cs[0][0] == 1
+        for (s0, l0), (s1, _) in zip(cs, cs[1:]):
+            assert s0 + l0 == s1
+        assert cs[-1][0] + cs[-1][1] == len(txt) + 1
+
+    # short doc (< window+1): exactly one chunk spanning the whole text
+    one = dedup.cdc_chunks(
+        spark.createDataFrame([(9, "tiny doc")], ["doc_id", "text"])
+    ).collect()
+    assert len(one) == 1 and one[0].chunk_len == 8 and one[0].chunk_start == 1
