@@ -13,9 +13,12 @@ plumbing: schema, batching, 1→N row fan-out). ``backend='pil'`` is a REAL
 decoder — dims/mode/format/EXIF via Pillow, and a real downscale +
 re-encode in ``resize_images`` — used when Pillow is importable on the
 executors (tests are importorskip-gated); without Pillow it raises
-NotImplementedError at plan-build time. Both backends share identical
-mapInPandas signatures, schemas, and partitioning, so swapping backends
-changes no plan shape.
+NotImplementedError at plan-build time. ``backend='numpy'`` is a REAL
+decoder with no optional deps (operators/imagecodec: PPM/PGM +
+uncompressed BMP in pure numpy) — the in-container real-decode path,
+differentially checked end-to-end by the media_ppm_roundtrip query.
+All backends share identical mapInPandas signatures, schemas, and
+partitioning, so swapping backends changes no plan shape.
 """
 
 from __future__ import annotations
@@ -123,7 +126,37 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
     an undecodable payload yields NULL dims rather than failing the
     task — at 100 TB some corrupt blobs are a certainty). The reference
     decodes image payloads the same way in its images view
-    (rust/analytics/src/images_table.rs)."""
+    (rust/analytics/src/images_table.rs).
+
+    ``backend='numpy'`` is a REAL decoder with zero optional deps
+    (operators/imagecodec): PPM/PGM and uncompressed BMP headers parsed
+    in pure numpy — the in-container real-decode path; PIL stays the
+    route for compressed formats. Unrecognized payloads yield NULL dims,
+    same contract as the PIL path."""
+    if backend == "numpy":
+        from micromegas_spark.operators.imagecodec import decode_image
+
+        def run_np(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                dims = [decode_image(p) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "media_type": pdf["media_type"],
+                        "width": pd.array(
+                            [d[1] if d else None for d in dims], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [d[2] if d else None for d in dims], dtype="Int32"
+                        ),
+                        "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                        "content_hash": [
+                            hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        return df.mapInPandas(run_np, schema=DECODED_SCHEMA)
     if backend == "pil":
         _require_pil()
 
@@ -288,7 +321,48 @@ def resize_images(df: DataFrame, max_side: int = 256, backend: str = "fake") -> 
     side exceeds ``max_side`` are thumbnailed (aspect-preserving, PIL
     LANCZOS) and re-encoded as PNG inside the Arrow batch; already-small
     or undecodable payloads pass through unchanged. One Python crossing,
-    no shuffle: a map-side stage either way."""
+    no shuffle: a map-side stage either way.
+
+    ``backend='numpy'``: REAL aspect-preserving nearest-neighbor downscale
+    for PPM/PGM/BMP payloads (operators/imagecodec, no optional deps),
+    re-encoded as PPM/PGM; new dims use the same floor-scale formula as
+    the fake path so oracles mirror them."""
+    if backend == "numpy":
+        from micromegas_spark.operators.imagecodec import (
+            decode_image_array,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        def run_np(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"media_id": [], "new_width": [], "new_height": [], "payload": []}
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    out["media_id"].append(mid)
+                    arr = decode_image_array(p)
+                    if arr is None:
+                        out["new_width"].append(None)
+                        out["new_height"].append(None)
+                        out["payload"].append(p)
+                        continue
+                    h, w = arr.shape[0], arr.shape[1]
+                    if max(h, w) > max_side:
+                        scale = max_side / max(h, w)
+                        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                        arr = resize_nearest(arr, nw, nh)
+                        sq = arr[:, :, 0] if arr.shape[2] == 1 else arr
+                        out["payload"].append(encode_ppm(sq))
+                        out["new_width"].append(nw)
+                        out["new_height"].append(nh)
+                    else:
+                        out["payload"].append(p)
+                        out["new_width"].append(w)
+                        out["new_height"].append(h)
+                out["new_width"] = pd.array(out["new_width"], dtype="Int32")
+                out["new_height"] = pd.array(out["new_height"], dtype="Int32")
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(run_np, schema=RESIZED_SCHEMA)
     if backend == "pil":
         _require_pil()
 
@@ -335,3 +409,50 @@ def resize_images(df: DataFrame, max_side: int = 256, backend: str = "fake") -> 
         F.floor(F.col("width") * scale).cast("int").alias("new_width"),
         F.floor(F.col("height") * scale).cast("int").alias("new_height"),
     )
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Pixel-level statistics through the REAL numpy decoder
+    (operators/imagecodec): (media_id, width, height, n_px, mean_px) per
+    decodable payload — NULL stats for unrecognized bytes. The stage that
+    proves decode is real: the stats depend on every pixel byte, so a
+    single wrong stride/offset/channel-order in the codec fails the
+    differential oracle. Arrow-batched mapInPandas, map-side only."""
+    from pyspark.sql.types import DoubleType
+
+    from micromegas_spark.operators.imagecodec import decode_image_array
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("mean_px", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_px": [], "mean_px": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                arr = decode_image_array(p)
+                if arr is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_px"].append(None)
+                    out["mean_px"].append(None)
+                else:
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    out["n_px"].append(int(arr.size))
+                    # exact in float64 (sum < 2^53), so the oracle's AVG
+                    # reproduces it bit-for-bit before the shared round
+                    out["mean_px"].append(round(float(arr.astype("int64").mean()), 6))
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            out["n_px"] = pd.array(out["n_px"], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

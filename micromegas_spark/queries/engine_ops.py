@@ -476,3 +476,62 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "media_ppm_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, UNNEST(RANGE(w * h * 3)) AS k FROM dims
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_px,
+           ROUND(AVG(CAST((doc_id * 31 + k) % 256 AS DOUBLE)), 6) AS mean_px
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+)
+def media_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, differentially checked: per document a
+    deterministic RGB image (w = 8 + id%16, h = 8 + (id//16)%16, pixel k
+    = (id*31 + k) % 256) is ENCODED to binary PPM (P6) bytes, shipped as
+    an opaque BINARY column, and decoded back by the pure-numpy codec
+    (operators/imagecodec via multimodal.pixel_stats) — no Pillow, no
+    fake backend. The oracle recomputes dims and the exact mean pixel
+    value from the closed form, so one wrong header byte, stride, or
+    channel order in the codec fails the hash. Both stages are Arrow-
+    batched mapInPandas, map-side only — no shuffle at any width."""
+    import pandas as _pd
+
+    from micromegas_spark.operators.multimodal import pixel_stats
+    from micromegas_spark.operators.util import spread as _spr
+
+    d = _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from micromegas_spark.operators.imagecodec import encode_ppm
+
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + (did // 16) % 16
+                vals = (did * 31 + np.arange(w * h * 3)) % 256
+                rows["media_id"].append(did)
+                rows["media_type"].append("image")
+                rows["payload"].append(encode_ppm(vals.astype("uint8").reshape(h, w, 3)))
+            yield _pd.DataFrame(rows)
+
+    media = d.mapInPandas(
+        gen, schema="media_id bigint, media_type string, payload binary"
+    )
+    return pixel_stats(media).orderBy("media_id")
