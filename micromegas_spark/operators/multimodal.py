@@ -411,6 +411,71 @@ def resize_images(df: DataFrame, max_side: int = 256, backend: str = "fake") -> 
     )
 
 
+def audio_stats(df: DataFrame, silence_threshold: int = 64) -> DataFrame:
+    """Sample-level audio statistics through the REAL numpy WAV decoder
+    (operators/audiocodec): per decodable payload the sample rate, channel
+    count, frame count, duration, RMS amplitude, peak, and silence ratio
+    (fraction of frames whose max channel magnitude is below
+    ``silence_threshold``). NULL stats for unrecognized bytes. Like
+    pixel_stats this is the stage that proves decode is real — RMS and
+    the silence ratio depend on every sample byte, so one wrong header
+    offset, endianness, or interleave order fails the differential
+    oracle. Arrow-batched mapInPandas, map-side only — no shuffle."""
+    from pyspark.sql.types import DoubleType
+
+    from micromegas_spark.operators.audiocodec import decode_wav
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", IntegerType()),
+            StructField("silence_ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "rms", "peak", "silence_ratio",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                dec = decode_wav(bytes(p) if p is not None else None)
+                if dec is None or dec[2].shape[0] == 0:
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "duration_ms", "rms", "peak", "silence_ratio"):
+                        cols[k].append(None)
+                    continue
+                rate, nch, s = dec
+                n = s.shape[0]
+                # sum of squares in int64 stays exact; < 2^53 so the
+                # float64 mean (and the oracle's AVG) reproduce it exactly
+                sumsq = int((s.astype(np.int64) ** 2).sum())
+                peak = int(np.abs(s).max())
+                frame_peak = np.abs(s).max(axis=1)
+                silent = int((frame_peak < silence_threshold).sum())
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(nch)
+                cols["n_frames"].append(n)
+                cols["duration_ms"].append(n * 1000 // rate)
+                cols["rms"].append(round(float(np.sqrt(sumsq / (n * nch))), 6))
+                cols["peak"].append(peak)
+                cols["silence_ratio"].append(round(silent / n, 6))
+            for k, dt in (("sample_rate", "Int32"), ("n_channels", "Int32"),
+                          ("n_frames", "Int64"), ("duration_ms", "Int64"),
+                          ("peak", "Int32")):
+                cols[k] = pd.array(cols[k], dtype=dt)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def pixel_stats(df: DataFrame) -> DataFrame:
     """Pixel-level statistics through the REAL numpy decoder
     (operators/imagecodec): (media_id, width, height, n_px, mean_px) per

@@ -535,3 +535,69 @@ def media_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="media_id bigint, media_type string, payload binary"
     )
     return pixel_stats(media).orderBy("media_id")
+
+
+@query(
+    "media_wav_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 200 + doc_id % 300 AS n FROM documents
+    ),
+    sm AS (
+        SELECT doc_id, n, ((doc_id * 37 + k * 97) % 4001) - 2000 AS v
+        FROM (SELECT doc_id, n, UNNEST(RANGE(n)) AS k FROM dims)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(AVG(CAST(v * v AS DOUBLE))), 6) AS rms,
+           CAST(MAX(ABS(v)) AS INT) AS peak,
+           ROUND(CAST(SUM(CASE WHEN ABS(v) < 64 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / n, 6) AS silence_ratio
+    FROM sm
+    GROUP BY doc_id, n
+    ORDER BY media_id
+    """,
+)
+def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, differentially checked: per document a
+    deterministic mono PCM16 waveform (n = 200 + id%300 frames at
+    8 kHz, sample k = ((id*37 + k*97) % 4001) - 2000) is ENCODED to
+    RIFF/WAVE bytes (operators/audiocodec.encode_wav), shipped as an
+    opaque BINARY column, and decoded back by the pure-numpy WAV codec
+    via multimodal.audio_stats — real header walk, endianness, and
+    sample interleave under test, no audio libraries. The oracle
+    recomputes frame counts, duration, RMS, peak, and silence ratio from
+    the closed form, so one wrong fmt-chunk offset or sign convention
+    fails the hash. Both stages are Arrow-batched mapInPandas, map-side
+    only — no shuffle at any corpus width (the reference stores audio
+    payloads as the same opaque binary rows, SURVEY §1.3)."""
+    import pandas as _pd
+
+    from micromegas_spark.operators.multimodal import audio_stats
+    from micromegas_spark.operators.util import spread as _spr
+
+    d = _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from micromegas_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 300
+                v = ((did * 37 + np.arange(n, dtype=np.int64) * 97) % 4001) - 2000
+                rows["media_id"].append(did)
+                rows["media_type"].append("audio")
+                rows["payload"].append(encode_wav(v.astype(np.int16), 8000))
+            yield _pd.DataFrame(rows)
+
+    media = d.mapInPandas(
+        gen, schema="media_id bigint, media_type string, payload binary"
+    )
+    return audio_stats(media).orderBy("media_id")
