@@ -601,3 +601,76 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="media_id bigint, media_type string, payload binary"
     )
     return audio_stats(media).orderBy("media_id")
+
+
+@query(
+    "events_cbor_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_micros
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block wire-format round trip, differentially checked end-to-end:
+    events are packed into per-bucket blocks ENCODED as CBOR envelopes
+    (sources/payload.encode_block_cbor — the reference's outer framing is
+    CBOR too, payload.rs:33-37: tag-55799 envelope over zlib'd buffers,
+    objects as an RFC 8742 CBOR Sequence), shipped as opaque BINARY rows,
+    then decoded back by parse_block (auto-detecting the magic prefix)
+    and re-aggregated from the JSON value column. The oracle aggregates
+    the raw events directly, so any encode/decode byte error — int heads,
+    float encoding, zlib layer, sequence framing — shifts a count or sum
+    and fails the hash. Values sum as floor-scaled micros (exact int64)
+    so double summation order cannot perturb the result. Block packing is
+    applyInPandas per hash bucket; parsing is Arrow-batched mapInPandas —
+    both shuffle-bounded by the bucket count, corpus-width independent."""
+    import pandas as _pd
+
+    from micromegas_spark.sources.payload import encode_block_cbor, parse_block
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def pack(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        bid = f"blk-{int(pdf['bucket'].iloc[0]):04d}"
+        objs = [
+            {
+                "__type": "event",
+                "event_id": int(r.event_id),
+                "event_type": r.event_type,
+                "value": float(r.value),
+            }
+            for r in pdf.itertuples()
+        ]
+        return _pd.DataFrame(
+            {"block_id": [bid], "payload": [bytearray(encode_block_cbor(objs))]}
+        )
+
+    blocks = (
+        ev.withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(64)))
+        .groupBy("bucket")
+        .applyInPandas(pack, schema="block_id string, payload binary")
+    )
+    parsed = parse_block(blocks)
+    fields = F.from_json(
+        F.col("value"), "event_id bigint, event_type string, value double"
+    )
+    return (
+        parsed.select(fields.alias("e"))
+        .groupBy(F.col("e.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("e.event_id").alias("sum_id"),
+            F.sum(F.floor(F.col("e.value") * 1000000).cast("long")).alias(
+                "sum_value_micros"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -65,9 +65,54 @@ def encode_block(objects: list[dict]) -> bytes:
     return bytes(out)
 
 
+#: RFC 8949 §3.4.6 self-described-CBOR magic — the prefix that
+#: distinguishes a CBOR block envelope from MMSB length-prefix framing.
+CBOR_MAGIC = b"\xd9\xd9\xf7"
+
+
+def encode_block_cbor(objects: list[dict], compress: bool = True) -> bytes:
+    """Encode event objects as a CBOR block envelope, mirroring the
+    reference's wire shape (payload.rs:33-37: a CBOR-decoded BlockPayload
+    struct of compressed `dependencies` + `objects` buffers). The
+    envelope is tag 55799 (self-described CBOR, so the magic prefix is
+    spec-blessed) over {"dependencies", "objects"}; the objects buffer is
+    a CBOR Sequence (RFC 8742) of the event maps so decode can stream
+    item-by-item, zlib-compressed when ``compress``."""
+    import zlib
+
+    from micromegas_spark.sources import cbor
+
+    objs = b"".join(cbor.dumps(o) for o in objects)
+    deps = b""
+    if compress:
+        objs, deps = zlib.compress(objs), zlib.compress(deps)
+    env = {
+        "dependencies": deps,
+        "objects": objs,
+        "compression": "zlib" if compress else "none",
+    }
+    return cbor.dumps(cbor.Tagged(cbor.SELF_DESCRIBED_TAG, env))
+
+
 def decode_block(payload: bytes) -> Iterator[dict]:
-    """Lazily decode an MMSB payload — iterator so callers (and the
-    parse_block UDTF) can stop early."""
+    """Lazily decode a block payload — iterator so callers (and the
+    parse_block UDTF) can stop early. The wire format is auto-detected:
+    CBOR envelopes (reference-parity outer framing) by the tag-55799
+    magic prefix, MMSB length-prefixed JSON lines otherwise."""
+    if payload[:3] == CBOR_MAGIC:
+        import zlib
+
+        from micromegas_spark.sources import cbor
+
+        env = cbor.loads(payload)
+        objs = env["objects"]
+        if env.get("compression", "zlib") == "zlib":
+            objs = zlib.decompress(objs)
+        for obj in cbor.iter_items(objs):
+            if not isinstance(obj, dict):
+                raise ValueError("CBOR block objects must be maps")
+            yield obj
+        return
     pos = 0
     while pos + 4 <= len(payload):
         (n,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -101,15 +146,31 @@ def parse_block(payloads: DataFrame, limit: int | None = None) -> DataFrame:
                     rows["block_id"].append(bid)
                     rows["object_index"].append(i)
                     rows["type_name"].append(obj.get("__type", "?"))
-                    rows["value"].append(json.dumps(obj, separators=(",", ":"), sort_keys=True))
+                    # CBOR maps may carry binary members JSON can't;
+                    # hex-string them so `value` stays a JSON column
+                    rows["value"].append(
+                        json.dumps(
+                            obj,
+                            separators=(",", ":"),
+                            sort_keys=True,
+                            default=lambda v: v.hex()
+                            if isinstance(v, (bytes, bytearray))
+                            else str(v),
+                        )
+                    )
             yield pd.DataFrame(rows)
 
     return payloads.select("block_id", "payload").mapInPandas(run, schema=PARSED_SCHEMA)
 
 
-def make_payload_table(spark, blocks_events: dict[str, list[dict]]) -> DataFrame:
-    """Build a block_payloads DataFrame from {block_id: [event dicts]}."""
-    rows = [(bid, bytearray(encode_block(evs))) for bid, evs in blocks_events.items()]
+def make_payload_table(
+    spark, blocks_events: dict[str, list[dict]], wire: str = "mmsb"
+) -> DataFrame:
+    """Build a block_payloads DataFrame from {block_id: [event dicts]}.
+    ``wire`` picks the framing per block: 'mmsb' or 'cbor' (decode
+    auto-detects, so mixed tables parse fine)."""
+    enc = encode_block_cbor if wire == "cbor" else encode_block
+    rows = [(bid, bytearray(enc(evs))) for bid, evs in blocks_events.items()]
     return spark.createDataFrame(
         rows, StructType([StructField("block_id", StringType()), StructField("payload", BinaryType())])
     )
