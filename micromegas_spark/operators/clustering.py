@@ -62,16 +62,19 @@ def _farthest_point_init(
 ) -> list[list[float]]:
     """Farthest-point init over a deterministic hash-ordered sample.
 
-    One Spark job (TakeOrdered by xxhash64(id) — a fixed pseudo-random
-    order, so the sample is stable and distribution-independent of the id
-    assignment); the k-center sweep then runs driver-side in NumPy over ≤
-    ``sample_size`` vectors. This is the k-means‖-style 'oversample then
-    refine locally' shape — init cost does not grow with the table."""
+    One Spark job (TakeOrdered by md5(id) — a fixed pseudo-random order,
+    so the sample is stable and distribution-independent of the id
+    assignment; md5 rather than xxhash64 so external engines can mirror
+    the exact sample, which keeps the unrolled DuckDB oracle valid even
+    when the table outgrows the sample); the k-center sweep then runs
+    driver-side in NumPy over ≤ ``sample_size`` vectors. This is the
+    k-means‖-style 'oversample then refine locally' shape — init cost
+    does not grow with the table."""
     # toPandas, not collect: the sample is sample_size × dim floats — the
     # Arrow path moves it in columnar batches instead of py4j row objects
     pdf = (
         df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(max(sample_size, k))
         .toPandas()
     )

@@ -264,10 +264,12 @@ def events_thread_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle_parts(k: int = 8, n_iter: int = 2) -> list[str]:
     """CTE chain for fully-unrolled Lloyd's k-means: farthest-point init
     (k-1 argmax sweeps) + n_iter assignment/update rounds + final
-    assignment (``assign_f``: id, cluster, d). Valid whenever the table
-    fits the operator's 4096-row init sample (it does at the driver's
-    correctness SF), making the whole iterative algorithm differentially
-    checkable. Tie-breaks mirror numpy: argmax → ORDER BY d DESC, id;
+    assignment (``assign_f``: id, cluster, d). The init sweeps run over
+    the operator's deterministic md5-ordered 4096-row sample (``samp`` —
+    mirrored exactly here, so the oracle stays valid at every scale
+    factor, not just while the table fits the sample), making the whole
+    iterative algorithm differentially checkable. Tie-breaks mirror
+    numpy: argmax → ORDER BY d DESC, id;
     argmin → ORDER BY d, cluster. Shared by the emb_kmeans and
     emb_semdedup oracles.
 
@@ -279,16 +281,20 @@ def _kmeans_oracle_parts(k: int = 8, n_iter: int = 2) -> list[str]:
     parts = [
         "pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
         "px AS (SELECT id, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM pts)",
-        "c_0 AS (SELECT dim, x FROM px WHERE id = (SELECT MIN(id) FROM pts))",
+        # the operator's init sample: top-4096 by (md5(id), id) — identical
+        # expression on both engines, so the sweep inputs match at any SF
+        "samp AS (SELECT id FROM pts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 4096)",
+        "pxs AS (SELECT px.* FROM px JOIN samp USING (id))",
+        "c_0 AS (SELECT dim, x FROM pxs WHERE id = (SELECT MIN(id) FROM samp))",
         "mind_0 AS (SELECT p.id, SUM((p.x - c.x) * (p.x - c.x)) AS d"
-        "           FROM px p JOIN c_0 c USING (dim) GROUP BY p.id)",
+        "           FROM pxs p JOIN c_0 c USING (dim) GROUP BY p.id)",
     ]
     for j in range(1, k):
         parts += [
             f"far_{j} AS (SELECT id FROM mind_{j-1} ORDER BY d DESC, id LIMIT 1)",
-            f"c_{j} AS (SELECT dim, x FROM px WHERE id = (SELECT id FROM far_{j}))",
+            f"c_{j} AS (SELECT dim, x FROM pxs WHERE id = (SELECT id FROM far_{j}))",
             f"nd_{j} AS (SELECT p.id, SUM((p.x - c.x) * (p.x - c.x)) AS d"
-            f"           FROM px p JOIN c_{j} c USING (dim) GROUP BY p.id)",
+            f"           FROM pxs p JOIN c_{j} c USING (dim) GROUP BY p.id)",
             f"mind_{j} AS (SELECT a.id, LEAST(a.d, b.d) AS d"
             f"             FROM mind_{j-1} a JOIN nd_{j} b USING (id))",
         ]
