@@ -276,10 +276,43 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling stage (video): 1 row → n_frames rows, the fan-out UDF
-    shape (payload sliced deterministically as the stand-in for ffmpeg
-    keyframe extraction)."""
+def sample_frames(df: DataFrame, n_frames: int = 4, backend: str = "fake") -> DataFrame:
+    """Frame-sampling stage (video): 1 row → up to n_frames rows, the
+    fan-out UDF shape.
+
+    ``backend='fake'`` slices the payload deterministically (plumbing
+    stand-in). ``backend='avi'`` is REAL keyframe extraction with no
+    optional deps: the pure-numpy AVI codec (operators/videocodec)
+    decodes the container, picks n_frames evenly spaced frames
+    (frame j = floor(j * total / n_frames)), and re-encodes each as PPM
+    (operators/imagecodec) so downstream image stages — pixel_stats,
+    resize — consume sampled frames unchanged. Undecodable payloads
+    yield zero rows, the skip-corrupt contract."""
+    if backend == "avi":
+        from micromegas_spark.operators.imagecodec import encode_ppm
+        from micromegas_spark.operators.videocodec import decode_avi
+
+        def run_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"media_id": [], "frame_idx": [], "frame_payload": []}
+                for mid, mtype, p in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]
+                ):
+                    if mtype != "video":
+                        continue
+                    dec = decode_avi(bytes(p) if p is not None else None)
+                    if dec is None or not dec[3]:
+                        continue
+                    frames = dec[3]
+                    take = min(n_frames, len(frames))
+                    for j in range(take):
+                        fi = j * len(frames) // take
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(fi)
+                        out["frame_payload"].append(encode_ppm(frames[fi]))
+                yield pd.DataFrame(out)
+
+        return df.mapInPandas(run_avi, schema=FRAMES_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,6 +329,64 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def video_stats(df: DataFrame) -> DataFrame:
+    """Frame-level video statistics through the REAL numpy AVI decoder
+    (operators/videocodec): per decodable payload the frame count, dims,
+    fps, exact mean pixel value, and an order-weighted checksum
+    Σ v·(idx+1) over the flattened (frame, row, col, channel) order —
+    the stat that catches a row-flip or BGR/RGB swap a plain mean would
+    forgive. NULL stats for unrecognized bytes. Arrow-batched
+    mapInPandas, map-side only — no shuffle."""
+    from pyspark.sql.types import DoubleType
+
+    from micromegas_spark.operators.videocodec import decode_avi
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("fps", IntegerType()),
+            StructField("mean_px", DoubleType()),
+            StructField("weighted_px", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "media_id", "n_frames", "width", "height", "fps",
+                "mean_px", "weighted_px",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                cols["media_id"].append(mid)
+                dec = decode_avi(bytes(p) if p is not None else None)
+                if dec is None or not dec[3]:
+                    for k in ("n_frames", "width", "height", "fps",
+                              "mean_px", "weighted_px"):
+                        cols[k].append(None)
+                    continue
+                w, h, fps, frames = dec
+                flat = np.concatenate([f.reshape(-1) for f in frames]).astype(np.int64)
+                cols["n_frames"].append(len(frames))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["fps"].append(fps)
+                # integer sum < 2^53: exact in float64, oracle's AVG matches
+                cols["mean_px"].append(round(float(flat.sum() / flat.size), 6))
+                cols["weighted_px"].append(
+                    int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
+                )
+            for k, dt in (("n_frames", "Int32"), ("width", "Int32"),
+                          ("height", "Int32"), ("fps", "Int32"),
+                          ("weighted_px", "Int64")):
+                cols[k] = pd.array(cols[k], dtype=dt)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def images_view(media: DataFrame, processes: DataFrame | None = None) -> DataFrame:

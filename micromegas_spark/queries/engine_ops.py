@@ -680,3 +680,77 @@ def events_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "media_avi_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 8 AS w,
+               6 + (doc_id // 8) % 8 AS h
+        FROM documents
+    ),
+    fx AS (SELECT doc_id, nf, w, h, UNNEST(RANGE(nf)) AS f FROM dims),
+    px AS (SELECT doc_id, nf, w, h, f, UNNEST(RANGE(w * h * 3)) AS k FROM fx)
+    SELECT doc_id AS media_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(10 AS INT) AS fps,
+           ROUND(AVG(CAST((doc_id * 13 + f * 101 + k) % 256 AS DOUBLE)), 6)
+               AS mean_px,
+           CAST(SUM(((doc_id * 13 + f * 101 + k) % 256)
+                    * (f * (w * h * 3) + k + 1)) AS BIGINT) AS weighted_px
+    FROM px
+    GROUP BY doc_id, nf, w, h
+    ORDER BY media_id
+    """,
+)
+def media_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, differentially checked: per document a
+    deterministic multi-frame clip (nf = 2 + id%4 frames of
+    w = 8 + id%8 by h = 6 + (id//8)%8, pixel k of frame f =
+    (id*13 + f*101 + k) % 256) is ENCODED as an uncompressed 24-bit AVI
+    container (operators/videocodec.encode_avi — RIFF hdrl/strl/movi
+    tree, bottom-up BGR DIB frames with 4-byte row padding), shipped as
+    an opaque BINARY column, and decoded back by the pure-numpy codec
+    via multimodal.video_stats — no ffmpeg, no optional deps. The
+    order-weighted checksum Σ v·(idx+1) over (frame, row, col, channel)
+    order makes the hash sensitive to row-flip, channel-swap, padding,
+    and frame-order mistakes a plain mean would forgive. Both stages are
+    Arrow-batched mapInPandas, map-side only — no shuffle at any corpus
+    width (the reference stores media payloads as the same opaque binary
+    rows, SURVEY §1.3)."""
+    import pandas as _pd
+
+    from micromegas_spark.operators.multimodal import video_stats
+    from micromegas_spark.operators.util import spread as _spr
+
+    d = _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from micromegas_spark.operators.videocodec import encode_avi
+
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf, w, h = 2 + did % 4, 8 + did % 8, 6 + (did // 8) % 8
+                frames = [
+                    (
+                        (did * 13 + f * 101 + np.arange(w * h * 3, dtype=np.int64))
+                        % 256
+                    ).astype("uint8").reshape(h, w, 3)
+                    for f in range(nf)
+                ]
+                rows["media_id"].append(did)
+                rows["media_type"].append("video")
+                rows["payload"].append(encode_avi(frames, fps=10))
+            yield _pd.DataFrame(rows)
+
+    media = d.mapInPandas(
+        gen, schema="media_id bigint, media_type string, payload binary"
+    )
+    return video_stats(media).orderBy("media_id")

@@ -274,3 +274,37 @@ def test_resize_and_details_raise_without_pil(spark, media):
         MM.resize_images(media, backend="pil")
     with pytest.raises(NotImplementedError):
         MM.decode_image_details(media)
+
+
+def test_sample_frames_avi_real_extraction(spark):
+    """backend='avi': REAL keyframe extraction — frames come back as PPM
+    payloads that the image codec pipeline (pixel_stats) consumes with
+    pixel-exact values."""
+    import numpy as np
+
+    from micromegas_spark.operators.videocodec import encode_avi
+
+    rng = np.random.default_rng(7)
+    clips = {
+        1: [rng.integers(0, 256, (4, 6, 3)).astype(np.uint8) for _ in range(6)],
+        2: [rng.integers(0, 256, (3, 5, 3)).astype(np.uint8) for _ in range(2)],
+    }
+    rows = [
+        (mid, "video", bytearray(encode_avi(fr, fps=5)), {}) for mid, fr in clips.items()
+    ] + [(3, "video", bytearray(b"corrupt"), {}), (4, "image", bytearray(b"x"), {})]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    sampled = MM.sample_frames(media, n_frames=3, backend="avi")
+    got = {(r.media_id, r.frame_idx) for r in sampled.collect()}
+    # clip 1: 6 frames sampled at 0,2,4; clip 2: only 2 frames exist;
+    # corrupt and non-video rows yield nothing
+    assert got == {(1, 0), (1, 2), (1, 4), (2, 0), (2, 1)}
+
+    stats = MM.pixel_stats(
+        sampled.select(
+            F.col("media_id"), F.col("frame_payload").alias("payload")
+        ).where(F.col("media_id") == 1)
+    ).collect()
+    expect = {round(float(clips[1][i].astype("int64").mean()), 6) for i in (0, 2, 4)}
+    assert {r.mean_px for r in stats} == expect
+    assert all((r.width, r.height) == (6, 4) for r in stats)
