@@ -543,9 +543,7 @@ def media_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(media).orderBy("media_id")
 
 
-@query(
-    "media_wav_roundtrip",
-    oracle="""
+_WAV_STATS_ORACLE = """
     WITH dims AS (
         SELECT doc_id, 200 + doc_id % 300 AS n FROM documents
     ),
@@ -565,27 +563,13 @@ def media_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sm
     GROUP BY doc_id, n
     ORDER BY media_id
-    """,
-)
-def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode, differentially checked: per document a
-    deterministic mono PCM16 waveform (n = 200 + id%300 frames at
-    8 kHz, sample k = ((id*37 + k*97) % 4001) - 2000) is ENCODED to
-    RIFF/WAVE bytes (operators/audiocodec.encode_wav), shipped as an
-    opaque BINARY column, and decoded back by the pure-numpy WAV codec
-    via multimodal.audio_stats — real header walk, endianness, and
-    sample interleave under test, no audio libraries. The oracle
-    recomputes frame counts, duration, RMS, peak, and silence ratio from
-    the closed form, so one wrong fmt-chunk offset or sign convention
-    fails the hash. Both stages are Arrow-batched mapInPandas, map-side
-    only — no shuffle at any corpus width (the reference stores audio
-    payloads as the same opaque binary rows, SURVEY §1.3)."""
+    """
+
+
+def _gen_wav_media(d: DataFrame) -> DataFrame:
+    """documents doc_ids → deterministic WAV media rows (shared by the
+    batch and streaming audio queries so their oracle stays one SQL)."""
     import pandas as _pd
-
-    from micromegas_spark.operators.multimodal import audio_stats
-    from micromegas_spark.operators.util import spread as _spr
-
-    d = _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -603,10 +587,71 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["payload"].append(encode_wav(v.astype(np.int16), 8000))
             yield _pd.DataFrame(rows)
 
-    media = d.mapInPandas(
+    return d.mapInPandas(
         gen, schema="media_id bigint, media_type string, payload binary"
     )
+
+
+@query("media_wav_roundtrip", oracle=_WAV_STATS_ORACLE)
+def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, differentially checked: per document a
+    deterministic mono PCM16 waveform (n = 200 + id%300 frames at
+    8 kHz, sample k = ((id*37 + k*97) % 4001) - 2000) is ENCODED to
+    RIFF/WAVE bytes (operators/audiocodec.encode_wav), shipped as an
+    opaque BINARY column, and decoded back by the pure-numpy WAV codec
+    via multimodal.audio_stats — real header walk, endianness, and
+    sample interleave under test, no audio libraries. The oracle
+    recomputes frame counts, duration, RMS, peak, and silence ratio from
+    the closed form, so one wrong fmt-chunk offset or sign convention
+    fails the hash. Both stages are Arrow-batched mapInPandas, map-side
+    only — no shuffle at any corpus width (the reference stores audio
+    payloads as the same opaque binary rows, SURVEY §1.3)."""
+    from micromegas_spark.operators.multimodal import audio_stats
+    from micromegas_spark.operators.util import spread as _spr
+
+    media = _gen_wav_media(
+        _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
+    )
     return audio_stats(media).orderBy("media_id")
+
+
+@query("media_wav_stream", oracle=_WAV_STATS_ORACLE)
+def media_wav_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal decode ≡ batch ≡ SQL oracle: the SAME
+    deterministic WAV corpus as media_wav_roundtrip arrives as two
+    micro-batches (split by doc_id parity) and flows through the
+    pure-numpy decoder — audio_stats is a stateless Arrow-batched
+    mapInPandas stage, so it runs unchanged on the streaming DataFrame
+    (append mode, no state, no watermark) exactly as a production
+    ingest-time feature-extraction stage would. The complete result is
+    hash-checked against the batch query's closed-form oracle,
+    pinning streaming≡batch equivalence for the media pipeline the way
+    events_sessionize_stream does for windowed aggregation."""
+    from pyspark.sql.types import BinaryType, LongType, StringType, StructField, StructType
+
+    from micromegas_spark.operators.multimodal import audio_stats
+    from micromegas_spark.streaming.incremental import one_shot_stream_table
+
+    media = _gen_wav_media(load_table(spark, sf_dir, "documents").select("doc_id"))
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    stats = one_shot_stream_table(
+        spark,
+        [
+            media.where(F.col("media_id") % 2 == 0),
+            media.where(F.col("media_id") % 2 == 1),
+        ],
+        schema,
+        audio_stats,
+        "media_wav_stream_tbl",
+        output_mode="append",
+    )
+    return stats.orderBy("media_id")
 
 
 @query(
