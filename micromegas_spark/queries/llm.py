@@ -1958,3 +1958,86 @@ def docs_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss. No pair space: the hash group is the duplicate set."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.cdc_chunk_duplicates(d).orderBy("chunk_md5")
+
+
+@query(
+    "docs_pretrain_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, text, len(toks) AS n_tokens,
+               len(list_filter(toks,
+                   x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                   / len(toks) AS swr
+        FROM t
+    ),
+    f AS (SELECT * FROM q WHERE n_tokens >= 5 AND swr >= 0.01),
+    d AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+            FROM f
+        ) WHERE rn = 1
+    ),
+    s AS (
+        SELECT * FROM d
+        WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+              < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 0.8 ELSE 0.25 END
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-data pipeline COMPOSITION, differentially
+    checked as one unit: quality filter (token count + stopword ratio,
+    operators/text.quality_features) → exact dedup keeping the min-id
+    representative (operators/dedup.dedup_exact — the representative
+    choice is observable through sum_chars because case/whitespace
+    variants share a canonical fingerprint but differ in raw length) →
+    deterministic source-weighted mixture sample (operators/sampling.
+    stratified_sample, curated sources src0-4 kept at 0.8, the rest at
+    0.25, md5-PRNG salt 'mix1') → per-source token/char budget
+    accounting. Every stage is a map-side filter or one aggregate; the
+    only shuffles are the dedup groupBy and the final per-source agg —
+    the shape a 100 TB mixing job needs. The oracle chains the same four
+    stages in SQL, so a drift in ANY stage (filter threshold, fingerprint
+    canonicalization, representative choice, sampling hash) shifts a
+    budget and fails the hash."""
+    from micromegas_spark.operators.dedup import dedup_exact
+    from micromegas_spark.operators.sampling import stratified_sample
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    feats = text.quality_features(F.col("text"))
+    q = d.select(
+        "doc_id",
+        "source",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio"].alias("swr"),
+    )
+    f = q.where((F.col("n_tokens") >= 5) & (F.col("swr") >= 0.01))
+    dd = dedup_exact(f)
+    s = stratified_sample(
+        dd,
+        "source",
+        {f"src{i}": 0.8 for i in range(5)},
+        key_col="doc_id",
+        default_fraction=0.25,
+        salt="mix1",
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
