@@ -227,3 +227,43 @@ def test_property_get_legacy_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_media_pipelines_shuffle_free(spark):
+    """The multimodal decode pipelines (generate → encode → decode →
+    stats) must be pure map chains: at 100 TB corpus width a shuffle of
+    raw media payloads is the difference between feasible and not. The
+    only allowed Exchange is the final presentation orderBy."""
+    for name in ("media_ppm_roundtrip", "media_wav_roundtrip", "media_avi_roundtrip"):
+        plan = _plan(spark, name)
+        # allowed: the final orderBy's rangepartitioning, plus the spread
+        # RoundRobin of BARE doc_ids before any payload exists (it sits
+        # below the generator mapInPandas, so only 8-byte ids move);
+        # forbidden: any hash exchange of payload-bearing rows
+        ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert all(
+            "rangepartitioning" in ln or "RoundRobinPartitioning" in ln for ln in ex
+        ), (name, ex)
+        assert sum("rangepartitioning" in ln for ln in ex) == 1, (name, ex)
+        # the RoundRobin must be deeper in the tree (below the decode
+        # stages), i.e. more indented than the range exchange
+        rr = [ln for ln in ex if "RoundRobinPartitioning" in ln]
+        if rr:
+            rng = next(ln for ln in ex if "rangepartitioning" in ln)
+            assert len(rr[0]) - len(rr[0].lstrip()) > len(rng) - len(rng.lstrip())
+        # payload bytes cross into Python in Arrow batches, not rows
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
+
+
+def test_cbor_roundtrip_minimal_exchanges(spark):
+    """events_cbor_roundtrip: one hash exchange into the per-bucket block
+    packer, one partial+final agg pair after parsing, one presentation
+    sort — nothing else (no payload re-shuffle between pack and parse)."""
+    plan = _plan(spark, "events_cbor_roundtrip")
+    ex = [ln.strip() for ln in plan.splitlines() if "Exchange" in ln]
+    kinds = [("hash" if "hashpartitioning" in ln else
+              "range" if "rangepartitioning" in ln else "other") for ln in ex]
+    assert kinds.count("other") == 0, ex
+    assert kinds.count("hash") <= 2 and kinds.count("range") == 1, ex
+    # partial aggregation before the final agg exchange (map-side combine)
+    assert "partial" in plan.lower()
