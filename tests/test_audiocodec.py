@@ -100,3 +100,25 @@ def test_truncated_final_frame_dropped():
     payload[riff_at : riff_at + 4] = struct.pack("<I", rlen + 2)
     rate, nch, out = decode_wav(bytes(payload))
     assert out.shape == (2, 2)  # the dangling half-frame is dropped
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(
+        np.int16,
+        st.tuples(st.integers(0, 64), st.integers(1, 4)),
+        elements=st.integers(-32768, 32767),
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_roundtrip_property(samples, rate):
+    dec = decode_wav(encode_wav(samples, rate))
+    assert dec is not None
+    r, nch, out = dec
+    assert (r, nch) == (rate, samples.shape[1])
+    np.testing.assert_array_equal(out, samples.astype(np.int32))

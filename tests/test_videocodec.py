@@ -98,3 +98,23 @@ def test_unknown_chunks_tolerated():
     spliced = payload[:ins] + junk + payload[ins:]
     w, h, fps, out = decode_avi(spliced)
     assert (w, h, fps, len(out)) == (3, 3, 4, 2)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 5),
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 10**6),
+)
+def test_roundtrip_property(n, h, w, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+    dw, dh, _, out = decode_avi(encode_avi(frames, fps=7))
+    assert (dw, dh, len(out)) == (w, h, n)
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
