@@ -81,7 +81,10 @@ def decode_wav(payload: bytes | None):
     if fmt_info is None or data is None:
         return None
     tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt_info
-    if tag != 1 or n_channels < 1 or sample_rate < 1:
+    # sample_rate is a uint32 on the wire; a value past int32 is not a
+    # real rate and would overflow downstream Int32 stat columns —
+    # corrupt-payload contract applies
+    if tag != 1 or n_channels < 1 or not 1 <= sample_rate <= 0x7FFFFFFF:
         return None
     if bits == 16:
         frame_bytes = 2 * n_channels

@@ -64,7 +64,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         1_000_000 // fps,  # dwMicroSecPerFrame
         buf_size * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        0,  # dwFlags: no AVIF_HASINDEX — this writer emits no idx1 chunk
         len(frames),
         0,  # dwInitialFrames
         1,  # dwStreams
@@ -152,37 +152,66 @@ def decode_avi(payload: bytes | None):
         return None
     w = h = None
     fps = 0
+    stream_idx = -1  # index of the last strh seen, in stream order
+    video_stream = None  # stream index of the first DIB video stream
+    await_strf = False  # next strf belongs to that stream
     frame_chunks: list[tuple[int, int]] = []
 
     class _Unsupported(Exception):
         pass
 
     def visit(pos: int, end: int):
-        nonlocal w, h, fps
+        nonlocal w, h, fps, stream_idx, video_stream, await_strf
         for cid, ltype, start, clen in _walk_chunks(payload, pos, end):
             if cid == b"LIST":
                 visit(start, start + clen)
-            elif cid == b"strh" and clen >= 32 and payload[start : start + 4] == b"vids":
-                if payload[start + 4 : start + 8] not in (b"DIB ", b"\x00\x00\x00\x00"):
-                    raise _Unsupported()
-                scale, rate = struct.unpack("<II", payload[start + 20 : start + 28])
-                fps = rate // scale if scale else 0
-            elif cid == b"strf" and clen >= 40 and w is None:
-                bi = struct.unpack("<IiiHHI", payload[start : start + 20])
-                if bi[4] != 24 or bi[5] != 0:  # 24-bit BI_RGB only
-                    raise _Unsupported()
-                w, h = bi[1], abs(bi[2])
+            elif cid == b"strh" and clen >= 32:
+                # stream headers appear in stream order; the strf that
+                # follows belongs to THIS stream — an audio stream's
+                # 40-byte WAVEFORMAT must not be misread as the
+                # BITMAPINFOHEADER, so strf is bound to its strh
+                stream_idx += 1
+                await_strf = False
+                if (
+                    payload[start : start + 4] == b"vids"
+                    and video_stream is None
+                ):
+                    if payload[start + 4 : start + 8] not in (
+                        b"DIB ",
+                        b"\x00\x00\x00\x00",
+                    ):
+                        raise _Unsupported()  # compressed video
+                    video_stream = stream_idx
+                    scale, rate = struct.unpack(
+                        "<II", payload[start + 20 : start + 28]
+                    )
+                    fps = rate // scale if scale else 0
+                    if fps > 0x7FFFFFFF:  # corrupt rate/scale: fps unknown
+                        fps = 0
+                    await_strf = True
+            elif cid == b"strf":
+                if await_strf:
+                    if clen < 40:
+                        raise _Unsupported()
+                    bi = struct.unpack("<IiiHHI", payload[start : start + 20])
+                    if bi[4] != 24 or bi[5] != 0:  # 24-bit BI_RGB only
+                        raise _Unsupported()
+                    w, h = bi[1], abs(bi[2])
+                await_strf = False
             elif cid[2:4] in (b"db", b"dc"):
-                frame_chunks.append((start, clen))
+                frame_chunks.append((cid[:2], start, clen))
 
     try:
         visit(12, len(payload))
     except _Unsupported:
         return None
+    if video_stream is not None:
+        want = b"%02d" % video_stream
+        frame_chunks = [(c, s, n) for c, s, n in frame_chunks if c == want]
     if w is None or h is None or w <= 0 or h <= 0:
         return None
     frames = []
-    for start, clen in frame_chunks:
+    for _, start, clen in frame_chunks:
         f = _frame_from_dib(payload[start : start + clen], w, h)
         if f is None:
             return None

@@ -53,6 +53,24 @@ class Tagged:
         return f"Tagged({self.tag}, {self.value!r})"
 
 
+class Simple:
+    """An unassigned CBOR simple value (major 7), preserved so foreign
+    payloads round-trip loads→dumps."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: int):
+        if not 0 <= value <= 255 or value in (20, 21, 22, 23) or 24 <= value < 32:
+            raise CborError(f"invalid simple value {value}")
+        self.value = value
+
+    def __eq__(self, other):
+        return isinstance(other, Simple) and self.value == other.value
+
+    def __repr__(self):
+        return f"Simple({self.value})"
+
+
 # ---------------------------------------------------------------- encode
 
 
@@ -102,6 +120,11 @@ def _encode_into(obj: Any, out: bytearray) -> None:
     elif isinstance(obj, Tagged):
         out += _head(6, obj.tag)
         _encode_into(obj.value, out)
+    elif isinstance(obj, Simple):
+        if obj.value < 24:
+            out += bytes([(7 << 5) | obj.value])
+        else:
+            out += bytes([(7 << 5) | 24, obj.value])
     else:
         raise CborError(f"cannot encode {type(obj).__name__}")
 
@@ -159,7 +182,7 @@ def _decode_item(buf: memoryview, pos: int, depth: int = 0):
         arg = int.from_bytes(raw, "big")
     elif info == 31:
         arg = None  # indefinite
-        if major in (0, 1) or (major == 7):
+        if major in (0, 1, 6, 7):
             raise CborError("indefinite length not valid here")
     else:
         raise CborError(f"reserved additional info {info}")
@@ -197,6 +220,8 @@ def _decode_item(buf: memoryview, pos: int, depth: int = 0):
         else:
             for _ in range(arg):
                 v, pos = _decode_item(buf, pos, depth + 1)
+                if v is _BREAK:
+                    raise CborError("break inside definite-length array")
                 items.append(v)
         return items, pos
     if major == 5:
@@ -212,10 +237,14 @@ def _decode_item(buf: memoryview, pos: int, depth: int = 0):
             for _ in range(arg):
                 k, pos = _decode_item(buf, pos, depth + 1)
                 v, pos = _decode_item(buf, pos, depth + 1)
+                if k is _BREAK or v is _BREAK:
+                    raise CborError("break inside definite-length map")
                 d[k] = v
         return d, pos
     if major == 6:
         v, pos = _decode_item(buf, pos, depth + 1)
+        if v is _BREAK:
+            raise CborError("break as tag content")
         if arg == SELF_DESCRIBED_TAG:
             return v, pos  # transparent, per RFC 8949 §3.4.6
         return Tagged(arg, v), pos
@@ -226,7 +255,9 @@ def _decode_item(buf: memoryview, pos: int, depth: int = 0):
         return True, pos
     if arg in (22, 23):
         return None, pos
-    return Tagged(-1, arg), pos  # unassigned simple value, preserved
+    if info == 24 and arg < 32:
+        raise CborError("reserved two-byte simple value")
+    return Simple(arg), pos  # unassigned simple value, preserved
 
 
 def loads(data: bytes) -> Any:

@@ -130,6 +130,31 @@ def get_payload(blocks_meta: DataFrame, payloads: DataFrame, block_id: str | Non
     return blocks_meta.join(F.broadcast(p) if block_id else p, "block_id")
 
 
+def _jsonable(v):
+    """Normalize a decoded block object for the JSON `value` column: CBOR
+    maps may carry binary members and non-string keys JSON can't —
+    bytes become hex strings (values and keys), other foreign types
+    stringify, recursively. Doing this up front (not via a dumps
+    ``default=`` hook, which never sees dict KEYS) keeps one malformed
+    foreign object from killing the whole mapInPandas task."""
+    if isinstance(v, dict):
+        return {
+            (
+                k
+                if isinstance(k, str)
+                else k.hex() if isinstance(k, (bytes, bytearray)) else str(k)
+            ): _jsonable(x)
+            for k, x in v.items()
+        }
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return str(v)
+
+
 def parse_block(payloads: DataFrame, limit: int | None = None) -> DataFrame:
     """parse_block UDTF analogue: (block_id, payload) rows → one row per
     decoded object. ``limit`` caps objects decoded *per block* — combined
@@ -146,16 +171,9 @@ def parse_block(payloads: DataFrame, limit: int | None = None) -> DataFrame:
                     rows["block_id"].append(bid)
                     rows["object_index"].append(i)
                     rows["type_name"].append(obj.get("__type", "?"))
-                    # CBOR maps may carry binary members JSON can't;
-                    # hex-string them so `value` stays a JSON column
                     rows["value"].append(
                         json.dumps(
-                            obj,
-                            separators=(",", ":"),
-                            sort_keys=True,
-                            default=lambda v: v.hex()
-                            if isinstance(v, (bytes, bytearray))
-                            else str(v),
+                            _jsonable(obj), separators=(",", ":"), sort_keys=True
                         )
                     )
             yield pd.DataFrame(rows)

@@ -122,3 +122,10 @@ def test_roundtrip_property(samples, rate):
     r, nch, out = dec
     assert (r, nch) == (rate, samples.shape[1])
     np.testing.assert_array_equal(out, samples.astype(np.int32))
+
+
+def test_insane_sample_rate_rejected():
+    payload = bytearray(encode_wav(np.array([1, 2], dtype=np.int16), 8000))
+    fmt_at = payload.index(b"fmt ") + 8
+    payload[fmt_at + 4 : fmt_at + 8] = struct.pack("<I", 3_000_000_000)
+    assert decode_wav(bytes(payload)) is None

@@ -164,3 +164,39 @@ def test_half_float_struct_consistency():
     for h in [0x0000, 0x0001, 0x03FF, 0x0400, 0x3C00, 0x7BFF, 0x8001, 0xBC00]:
         expect = float(np.frombuffer(struct.pack(">H", h)[::-1], dtype="<f2")[0])
         assert cbor.loads(b"\xf9" + struct.pack(">H", h)) == expect
+
+
+def test_break_inside_definite_containers_raises():
+    # 0x81 0xff = [break]; 0xa1 0xff = {break: ...}; 0xc1 0xff = tag(break)
+    for data in (b"\x81\xff", b"\xa1\xff\x01", b"\xc1\xff"):
+        with pytest.raises(cbor.CborError):
+            cbor.loads(data)
+
+
+def test_indefinite_tag_malformed():
+    with pytest.raises(cbor.CborError):
+        cbor.loads(b"\xdf\x01")
+
+
+def test_unassigned_simple_values_roundtrip():
+    # 0xf3 = simple(19); 0xf8 0xff = simple(255)
+    for data in (b"\xf3", b"\xf8\xff"):
+        v = cbor.loads(data)
+        assert isinstance(v, cbor.Simple)
+        assert cbor.dumps(v) == data
+    with pytest.raises(cbor.CborError):
+        cbor.loads(b"\xf8\x10")  # two-byte simple < 32 is reserved
+
+
+def test_parse_block_tolerates_nonstring_keys(spark):
+    """A CBOR block whose maps carry int/bytes keys must flow through the
+    parse_block JSON value column, not kill the task."""
+    import json
+
+    from micromegas_spark.sources.payload import make_payload_table, parse_block
+
+    objs = [{"__type": "e", 1: "x", b"\x00k": [b"\xff", {2: 3}]}]
+    tbl = make_payload_table(spark, {"b1": objs}, wire="cbor")
+    (row,) = parse_block(tbl).collect()
+    v = json.loads(row.value)
+    assert v == {"__type": "e", "1": "x", "006b": ["ff", {"2": 3}]}

@@ -118,3 +118,58 @@ def test_roundtrip_property(n, h, w, seed):
     assert (dw, dh, len(out)) == (w, h, n)
     for a, b in zip(frames, out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_audio_stream_strl_before_video_ignored():
+    """An audio strl whose 40-byte WAVEFORMAT strf precedes the video
+    strl must not be misread as the video BITMAPINFOHEADER."""
+    frames = _frames(2, 4, 4, seed=3)
+    payload = encode_avi(frames, fps=6)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    # audio strh ('auds') + a 40-byte strf (wBitsPerSample=16 at the
+    # offset where BITMAPINFOHEADER keeps biBitCount)
+    astrh = b"auds" + b"\x00" * 52
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 24
+    audio_strl = chunk(b"LIST", b"strl" + chunk(b"strh", astrh) + chunk(b"strf", astrf))
+    # splice the audio strl at the head of hdrl, before avih
+    hdrl_at = payload.index(b"hdrl")
+    ins = hdrl_at + 4
+    spliced = bytearray(payload[:ins] + audio_strl + payload[ins:])
+    # grow the hdrl LIST and RIFF sizes
+    (hlen,) = struct.unpack("<I", spliced[hdrl_at - 4 : hdrl_at])
+    spliced[hdrl_at - 4 : hdrl_at] = struct.pack("<I", hlen + len(audio_strl))
+    (rlen,) = struct.unpack("<I", spliced[4:8])
+    spliced[4:8] = struct.pack("<I", rlen + len(audio_strl))
+
+    dec = decode_avi(bytes(spliced))
+    assert dec is not None
+    w, h, fps, out = dec
+    # video stream is now stream 1, so its frames are the 00db chunks of
+    # stream 0 in the original file — rewrite their ids to 01db
+    assert (w, h, fps) == (4, 4, 6)
+    fixed = bytes(spliced).replace(b"00db", b"01db")
+    _, _, _, out2 = decode_avi(fixed)
+    assert len(out2) == 2
+    for a, b in zip(frames, out2):
+        np.testing.assert_array_equal(a, b)
+    # and the original 00db chunks no longer belong to the video stream
+    assert len(out) == 0
+
+
+def test_no_hasindex_flag_without_idx1():
+    payload = encode_avi(_frames(1, 2, 2), fps=1)
+    avih_at = payload.index(b"avih") + 8
+    (flags,) = struct.unpack("<I", payload[avih_at + 12 : avih_at + 16])
+    assert flags & 0x10 == 0  # AVIF_HASINDEX must be off: no idx1 written
+
+
+def test_corrupt_fps_clamped():
+    payload = bytearray(encode_avi(_frames(1, 2, 2), fps=1))
+    strh_at = payload.index(b"strh") + 8
+    # dwScale=1, dwRate=0xFFFFFFFF → fps past int32: reported as 0
+    payload[strh_at + 20 : strh_at + 28] = struct.pack("<II", 1, 0xFFFFFFFF)
+    dec = decode_avi(bytes(payload))
+    assert dec is not None and dec[2] == 0
