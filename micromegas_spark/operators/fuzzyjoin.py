@@ -1,0 +1,155 @@
+"""Edit-distance similarity join (entity resolution / fuzzy matching).
+
+The PassJoin segment-pigeonhole scheme (Li, Deng, Feng 2011 — public):
+if ed(a, b) <= k, split a into k+1 contiguous segments; at most k edits
+touch them, so at least one segment survives UNTOUCHED and appears in b
+as an exact substring, shifted by at most k positions. Candidate
+generation is therefore an equi-join on (partner_length, segment_index,
+segment_text) — never an O(n²) pair space:
+
+- index side: each string contributes its k+1 segments (balanced split);
+- probe side: each string enumerates, for every partner length within
+  ±k and every segment index, the substrings at the segment's expected
+  position ±k — O(k²·(2k+1)) short substrings per row, all JVM-side
+  (sequence/transform/substring inside codegen, three narrow explodes,
+  no Python);
+- verify: exact `levenshtein` (built-in, identical semantics in DuckDB,
+  which keeps the operator differentially checkable) on the candidate
+  pairs only.
+
+Scale shape: the only shuffles are the candidate equi-join on the
+segment key and a distinct on surviving pairs; a degenerate segment
+shared by half the corpus is dropped by the same df-cap guard every
+sibling dedup operator uses (`max_bucket_size`, bucket-collected — pairs
+come from capped per-bucket lists, never a posting self-join).
+
+Strings shorter than k+1 characters carry no non-empty segment for every
+index and are excluded (documented contract — at k=2 that is strings
+under 3 chars, which edit-distance joins on real entities never target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_geometry(n, i, k: int):
+    """Balanced split of a length-``n`` string into k+1 segments:
+    first (n mod (k+1)) segments get one extra char. Returns (start,
+    length) as 0-based Column expressions."""
+    parts = F.lit(k + 1)
+    base = (n / parts).cast("int")
+    rem = n % parts
+    start = i * base + F.least(i, rem)
+    seg_len = base + F.when(i < rem, F.lit(1)).otherwise(F.lit(0))
+    return start, seg_len
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "t",
+    id_col: str = "id",
+    k: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) with levenshtein(a, b) <= k,
+    plus the exact distance. See module docstring for the candidate
+    scheme and scale shape."""
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_n"),
+    ).where(F.col("_n") >= k + 1)
+
+    # ---- index: the k+1 segments of every string, bucket-collected
+    iidx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i")
+    seg_rows = s.select("_id", "_t", "_n", iidx)
+    start, seg_len = _seg_geometry(F.col("_n"), F.col("_i"), k)
+    posting = seg_rows.select(
+        "_id",
+        "_n",
+        "_i",
+        F.substring(F.col("_t"), start + 1, seg_len).alias("_sub"),
+    )
+    index = (
+        posting.groupBy("_n", "_i", "_sub")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .where(F.size("_ids") <= max_bucket_size)
+    )
+
+    # ---- probe: candidate substrings at the pigeonhole positions
+    probe = (
+        s.select(
+            F.col("_id").alias("_idb"),
+            F.col("_t").alias("_tb"),
+            F.col("_n").alias("_m"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("_dn")
+        )
+        .select("*", (F.col("_m") + F.col("_dn")).alias("_pn"))
+        .where(F.col("_pn") >= k + 1)
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_pi"))
+    )
+    pstart, plen = _seg_geometry(F.col("_pn"), F.col("_pi"), k)
+    probe = (
+        probe.select(
+            "_idb",
+            "_tb",
+            "_m",
+            "_pn",
+            "_pi",
+            pstart.alias("_ps"),
+            plen.alias("_pl"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("_sh")
+        )
+        .select(
+            "_idb",
+            "_tb",
+            "_m",
+            "_pn",
+            "_pi",
+            "_pl",
+            (F.col("_ps") + F.col("_sh")).alias("_s"),
+        )
+        .where((F.col("_s") >= 0) & (F.col("_s") + F.col("_pl") <= F.col("_m")))
+        .select(
+            "_idb",
+            "_pn",
+            "_pi",
+            F.substring(F.col("_tb"), F.col("_s") + 1, F.col("_pl")).alias("_sub"),
+        )
+        .distinct()  # one (probe, key) per substring even if shifts coincide
+    )
+
+    cand = (
+        probe.join(
+            index,
+            (probe["_pn"] == index["_n"])
+            & (probe["_pi"] == index["_i"])
+            & (probe["_sub"] == index["_sub"]),
+        )
+        .select("_idb", F.explode("_ids").alias("_ida"))
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    a = s.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    b = s.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= k)
+    )

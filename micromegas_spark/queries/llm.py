@@ -2041,3 +2041,69 @@ def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "docs_fuzzy_join",
+    oracle=r"""
+    WITH canon AS (
+        SELECT MIN(doc_id) AS id, t FROM (
+            SELECT doc_id,
+                   substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 24) AS t
+            FROM documents
+        ) WHERE length(t) = 24 GROUP BY t
+    ),
+    mut AS (
+        SELECT id + 1000000000 AS id,
+               substr(t, 1, id % 24) || 'q' || substr(t, id % 24 + 2, 24) AS t
+        FROM canon WHERE id % 3 = 0
+    ),
+    corpus AS (SELECT * FROM canon UNION ALL SELECT * FROM mut)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM corpus a JOIN corpus b ON a.id < b.id
+    WHERE levenshtein(a.t, b.t) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (entity resolution), planted-signal
+    differential check: canonical 24-char document prefixes (deduped to
+    one id per distinct string) are joined against typo mutants (every
+    third string gets one character overwritten at an id-derived
+    position) under levenshtein <= 2. The operator
+    (operators/fuzzyjoin.edit_distance_pairs) generates candidates by
+    the PassJoin segment pigeonhole — an equi-join on (partner_length,
+    segment_index, segment_text) with ±k position windows, all JVM-side,
+    never an O(n²) pair space — then verifies with the built-in
+    levenshtein, whose DuckDB twin lets the EXACT quadratic oracle
+    recompute every surviving pair and distance. Catches both the
+    planted mutant pairs and any incidental near-collisions, so a
+    completeness bug (missed segment window) or a verify bug (wrong
+    distance) fails the hash."""
+    from micromegas_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = (
+        d.select(
+            "doc_id",
+            F.substring(
+                F.regexp_replace(F.col("text"), r"\s+", " "), 1, 24
+            ).alias("t"),
+        )
+        .where(F.length("t") == 24)
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("id"))
+        .select("id", "t")
+    )
+    p = (F.col("id") % 24).cast("int")
+    mut = canon.where(F.col("id") % 3 == 0).select(
+        (F.col("id") + F.lit(1000000000)).alias("id"),
+        F.concat(
+            F.substring(F.col("t"), F.lit(1), p),
+            F.lit("q"),
+            F.substring(F.col("t"), p + 2, F.lit(24)),
+        ).alias("t"),
+    )
+    corpus = canon.unionByName(mut)
+    return edit_distance_pairs(corpus, "t", "id", k=2).orderBy("id_a", "id_b")
