@@ -799,3 +799,79 @@ def media_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="media_id bigint, media_type string, payload binary"
     )
     return video_stats(media).orderBy("media_id")
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sv,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM b GROUP BY 1),
+    dense AS (SELECT user_id, UNNEST(RANGE(lo, hi + 1)) AS day FROM bounds),
+    j AS (
+        SELECT d.user_id, d.day, CAST(b.sv AS DOUBLE) / b.cnt AS v
+        FROM dense d LEFT JOIN b ON b.user_id = d.user_id AND b.day = d.day
+    ),
+    w AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((day - pb) / (nb - pb))
+                 END, 6) AS value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated
+    FROM w ORDER BY user_id, day
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation
+    (operators/timeseries.gapfill_linear) — the lerp family (SURVEY §2.8
+    F18, math/lerp.rs) applied across missing samples, the dashboard
+    densify-and-interpolate operator: per-user daily value averages are
+    densified over each user's own [first, last] day and interior gaps
+    are lerped between nearest observed neighbors. Exactly one shuffle
+    on the series key (the dense explode, the observation join, and both
+    IGNORE-NULLS window passes share the user_id partitioning). The
+    per-day average is built from floor-scaled-micros integer sums so
+    both engines interpolate identical correctly-rounded doubles; the
+    oracle mirrors the lerp term-for-term."""
+    from micromegas_spark.operators.timeseries import gapfill_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            F.floor(F.col("value") * 1000000).cast("bigint").alias("_micros"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            (F.sum("_micros").cast("double") / F.count("*")).alias("value")
+        )
+    )
+    out = gapfill_linear(daily, "user_id", "day", "value")
+    return out.select(
+        "user_id",
+        "day",
+        F.round("value", 6).alias("value"),
+        "interpolated",
+    ).orderBy("user_id", "day")

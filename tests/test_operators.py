@@ -450,3 +450,27 @@ def test_cdc_chunks_edit_locality(spark):
         spark.createDataFrame([(9, "tiny doc")], ["doc_id", "text"])
     ).collect()
     assert len(one) == 1 and one[0].chunk_len == 8 and one[0].chunk_start == 1
+
+
+def test_gapfill_linear_basic(spark):
+    """Interior gaps lerp between neighbors; observed bins pass through;
+    single-point series densify to themselves."""
+    from micromegas_spark.operators.timeseries import gapfill_linear
+
+    rows = [
+        ("a", 10, 1.0), ("a", 13, 7.0), ("a", 14, 2.0),
+        ("b", 5, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, b long, v double")
+    got = {
+        (r.s, r.b): (round(r.v, 9), r.interpolated)
+        for r in gapfill_linear(df, "s", "b", "v").collect()
+    }
+    assert got == {
+        ("a", 10): (1.0, 0),
+        ("a", 11): (3.0, 1),   # 1 + (7-1)*(1/3)
+        ("a", 12): (5.0, 1),
+        ("a", 13): (7.0, 0),
+        ("a", 14): (2.0, 0),
+        ("b", 5): (4.0, 0),
+    }
