@@ -195,3 +195,42 @@ def test_scale_capped_dedup_survives_boilerplate_corpus(spark):
     # release the session-lifetime persisted shingle relations so the rest
     # of the (shared-session) suite does not inherit the memory pressure
     spark.catalog.clearCache()
+
+
+def test_scale_fuzzy_join_dense_corpus(spark):
+    """120k strings sharing one boilerplate template: every boilerplate
+    segment bucket is corpus-sized, so without the df cap the candidate
+    join would be ~1.4x10^10 pairs. The cap drops those buckets
+    (df = 120k > cap) — which also surrenders pairs that differ ONLY
+    inside their high-entropy region (the documented lossy-cap contract
+    every sibling dedup operator shares) — while pairs that share any
+    sub-cap segment are still found: 1k planted single-char mutants keep
+    their id-bearing segment (df = 2) and all surface at distance 1.
+    The assertion is bounded completion + exact planted recall, not a
+    quadratic stall."""
+    from micromegas_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    n = 120_000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("customer record for account number "),
+            F.format_string("%07d", F.col("id")),
+            F.lit(" status active tier gold region north"),
+        ).alias("t"),
+    )
+    # 1k mutants: one boilerplate char replaced ('north' -> 'norxh'),
+    # id-digit segment untouched
+    mutants = base.where(F.col("id") < 1_000).select(
+        (F.col("id") + n).alias("id"),
+        F.regexp_replace(F.col("t"), "north$", "norxh").alias("t"),
+    )
+    docs = base.unionByName(mutants).repartition(32)
+    pairs = edit_distance_pairs(docs, "t", "id", k=2, max_bucket_size=100)
+    rows = pairs.collect()
+    planted = {(r.id_a, r.id_b) for r in rows if r.id_b >= n}
+    # every planted (i, i+n) mutant pair is recovered, at distance 1
+    assert planted == {(i, i + n) for i in range(1_000)}
+    assert all(r.dist == 1 for r in rows if r.id_b >= n)
+    # and the un-capped boilerplate pair space never materializes
+    assert len(rows) < 3_000_000
