@@ -24,6 +24,7 @@ partitioning, so swapping backends changes no plan shape.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -375,8 +376,13 @@ def video_stats(df: DataFrame) -> DataFrame:
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["fps"].append(fps)
-                # integer sum < 2^53: exact in float64, oracle's AVG matches
-                cols["mean_px"].append(round(float(flat.sum() / flat.size), 6))
+                # integer sum < 2^53: exact in float64, oracle's AVG
+                # matches; floor-truncate (see audio_stats) — the exact
+                # rational mean can land on a half-ulp of the 6th decimal
+                # where Python and SQL rounding modes diverge
+                cols["mean_px"].append(
+                    math.floor(float(flat.sum() / flat.size) * 1e6) / 1e6
+                )
                 cols["weighted_px"].append(
                     int((flat * (np.arange(flat.size, dtype=np.int64) + 1)).sum())
                 )
@@ -557,7 +563,14 @@ def audio_stats(df: DataFrame, silence_threshold: int = 64) -> DataFrame:
                 cols["duration_ms"].append(n * 1000 // rate)
                 cols["rms"].append(round(float(np.sqrt(sumsq / (n * nch))), 6))
                 cols["peak"].append(peak)
-                cols["silence_ratio"].append(round(silent / n, 6))
+                # floor-truncate, not round(): silent/n is an exact small
+                # rational and CAN land exactly on a half-ulp of the 6th
+                # decimal (10/256 = 0.0390625 does), where Python's
+                # banker's rounding and SQL's half-away-from-zero diverge;
+                # floor of the identical IEEE product is tie-free
+                cols["silence_ratio"].append(
+                    math.floor(silent / n * 1e6) / 1e6
+                )
             for k, dt in (("sample_rate", "Int32"), ("n_channels", "Int32"),
                           ("n_frames", "Int64"), ("duration_ms", "Int64"),
                           ("peak", "Int32")):
@@ -604,8 +617,12 @@ def pixel_stats(df: DataFrame) -> DataFrame:
                     out["height"].append(arr.shape[0])
                     out["n_px"].append(int(arr.size))
                     # exact in float64 (sum < 2^53), so the oracle's AVG
-                    # reproduces it bit-for-bit before the shared round
-                    out["mean_px"].append(round(float(arr.astype("int64").mean()), 6))
+                    # reproduces it bit-for-bit; floor-truncate (see
+                    # audio_stats) because the exact rational mean can tie
+                    # at the 6th decimal where rounding modes diverge
+                    out["mean_px"].append(
+                        math.floor(float(arr.astype("int64").mean()) * 1e6) / 1e6
+                    )
             out["width"] = pd.array(out["width"], dtype="Int32")
             out["height"] = pd.array(out["height"], dtype="Int32")
             out["n_px"] = pd.array(out["n_px"], dtype="Int64")

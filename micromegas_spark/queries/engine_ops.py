@@ -498,7 +498,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
            CAST(w * h * 3 AS BIGINT) AS n_px,
-           ROUND(AVG(CAST((doc_id * 31 + k) % 256 AS DOUBLE)), 6) AS mean_px
+           FLOOR(AVG(CAST((doc_id * 31 + k) % 256 AS DOUBLE)) * 1000000) / 1000000 AS mean_px
     FROM px
     GROUP BY doc_id, w, h
     ORDER BY media_id
@@ -558,8 +558,8 @@ _WAV_STATS_ORACLE = """
            CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
            ROUND(SQRT(AVG(CAST(v * v AS DOUBLE))), 6) AS rms,
            CAST(MAX(ABS(v)) AS INT) AS peak,
-           ROUND(CAST(SUM(CASE WHEN ABS(v) < 64 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / n, 6) AS silence_ratio
+           FLOOR(CAST(SUM(CASE WHEN ABS(v) < 64 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / n * 1000000) / 1000000 AS silence_ratio
     FROM sm
     GROUP BY doc_id, n
     ORDER BY media_id
@@ -742,8 +742,8 @@ def events_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
            CAST(10 AS INT) AS fps,
-           ROUND(AVG(CAST((doc_id * 13 + f * 101 + k) % 256 AS DOUBLE)), 6)
-               AS mean_px,
+           FLOOR(AVG(CAST((doc_id * 13 + f * 101 + k) % 256 AS DOUBLE)) * 1000000)
+               / 1000000 AS mean_px,
            CAST(SUM(((doc_id * 13 + f * 101 + k) % 256)
                     * (f * (w * h * 3) + k + 1)) AS BIGINT) AS weighted_px
     FROM px

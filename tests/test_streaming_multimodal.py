@@ -305,6 +305,11 @@ def test_sample_frames_avi_real_extraction(spark):
             F.col("media_id"), F.col("frame_payload").alias("payload")
         ).where(F.col("media_id") == 1)
     ).collect()
-    expect = {round(float(clips[1][i].astype("int64").mean()), 6) for i in (0, 2, 4)}
+    import math as _math
+
+    expect = {
+        _math.floor(float(clips[1][i].astype("int64").mean()) * 1e6) / 1e6
+        for i in (0, 2, 4)
+    }
     assert {r.mean_px for r in stats} == expect
     assert all((r.width, r.height) == (6, 4) for r in stats)
