@@ -932,3 +932,53 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by smoothed tf-idf:
+    score = tf · (ln((N+1)/(df+1)) + 1), top_k terms per document
+    (ties broken by token asc). Terms are lowercase [a-z0-9]+ runs —
+    engine-portable, mirrored 1:1 by the DuckDB oracle.
+
+    Scale shape: tf is one (doc, tok) groupBy; document frequency is a
+    second aggregation over the *already-distinct* (doc, tok) pairs
+    (count, not countDistinct — no Expand); N joins in as a broadcast
+    1-row aggregate rather than a driver-side count, so the whole plan
+    stays one declarative job. The per-doc top-k is a row_number window
+    partitioned by doc_id — Spark plans a WindowGroupLimit, pushing the
+    rank filter below the final sort."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    tf = terms.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    n_total = df.agg(F.count("*").alias("n_total"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        tf.join(doc_freq, "tok")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_total") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= top_k)
+        .select(id_col, "tok", "score", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -2107,3 +2107,83 @@ def docs_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = canon.unionByName(mut)
     return edit_distance_pairs(corpus, "t", "id", k=2).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_winnow_overlap",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(norm) - 15, 1) + 1),
+                              i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 8))::BIGINT) AS hs
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+                                            j -> list_aggregate(hs[j:j+7], 'min'))) AS fps
+        FROM g
+    ),
+    post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    ok AS (SELECT fp FROM post GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM post a
+        JOIN ok o ON a.fp = o.fp
+        JOIN post b ON b.fp = a.fp
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 5
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap detection: pairs sharing ≥5 winnowed
+    fingerprints (k=16 char-grams, w=8 windows) —
+    operators/dedup.winnow_overlap_pairs. Position-local fingerprints
+    catch partial substring overlaps that whole-doc resemblance misses;
+    the candidate path is the capped bucket-collect every sibling uses."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.winnow_overlap_pairs(d).orderBy("id_a", "id_b")
+
+
+@query(
+    "docs_tfidf_keywords",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+    dfx AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    s AS (
+        SELECT doc_id, tok,
+               round(tf * (ln((n_total + 1.0) / (df_t + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN dfx USING (tok) CROSS JOIN n
+    ),
+    r AS (
+        SELECT doc_id, tok, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+        FROM s
+    )
+    SELECT doc_id, tok, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (operators/text.tfidf_keywords):
+    smoothed idf, N as a broadcast 1-row aggregate (no driver count),
+    WindowGroupLimit top-k per doc. Unlike docs_tfidf_top_terms (which
+    ranks on integer tf and merely reports the idf), the cut here ranks
+    on the float SCORE itself — cross-engine determinism comes from
+    round(score, 6) before the window and the token tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf_keywords(d).orderBy("doc_id", "rk")

@@ -382,3 +382,63 @@ def test_perplexity_buckets_approx_path_is_a_monotone_tercile_partition(spark):
     # agreement away from the boundary: >=85% identical labels
     same = sum(exact[i] == approx[i] for i in exact)
     assert same >= 0.85 * len(exact), (same, len(exact))
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing's core guarantee (Schleimer et al. 2003 §2): documents
+    sharing a substring of length >= k+w-1 share at least one selected
+    fingerprint; and density is far below full k-gram hashing."""
+    from micromegas_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 16, 8
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog"  # 43 chars >= 23
+    rows = [
+        (1, "AAAA unique prefix one " + shared + " tail alpha"),
+        (2, "totally different start " + shared + " other ending here"),
+        (3, "no overlap with the others at all, separate content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 43-char substring must share a fingerprint"
+    # density: selected fingerprints << number of k-grams
+    n_grams = len(rows[0][1]) - k + 1
+    assert len(out[1]) < n_grams / 2
+
+
+def test_winnow_overlap_pairs_counts(spark):
+    from micromegas_spark.operators.dedup import winnow_overlap_pairs
+
+    core = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "intro " + core + " outro"),
+        (2, "different " + core + " closing"),
+        (3, "unrelated words entirely disjoint from everything else here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = winnow_overlap_pairs(df, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_tfidf_keywords_ranks_rare_terms(spark):
+    from micromegas_spark.operators.text import tfidf_keywords
+
+    rows = [
+        (1, "common common common zebra zebra quagga"),
+        (2, "common common words words words words"),
+        (3, "common filler filler filler text text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+    # 'zebra' (tf=2, df=1) must outrank 'common' (tf=3, df=3) in doc 1
+    assert by_doc[1][0] == "zebra"
+    assert len(by_doc[1]) == 2 and by_doc[2][0] == "words"
