@@ -56,25 +56,30 @@ def connected_components(
     execution already delivers every edge to the union-find — no separate
     count job, no persist round-trip. Only when the limit tops out do we
     persist and run the distributed loop (one wasted bounded prefix scan,
-    irrelevant at that scale)."""
+    irrelevant at that scale). The probe runs on the RAW (un-symmetrized)
+    edges — union-find is direction-blind, so symmetrizing before the
+    probe would halve the effective threshold and double the collect
+    (exactly the cliff the sf1 scale step hit: 115k real edges → 231k
+    symmetrized rows → a needless distributed loop)."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    probe = raw.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        return _local_components_from_rows(raw, probe)
+    del probe
     # symmetrize via explode, not union-of-two-projections: a union would
     # execute the (possibly expensive) edge lineage once per branch when
     # the persist materializes — explode reads it once and fans out 1→2
     e = (
-        edges.select(
+        raw.select(
             F.explode(
                 F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
                 )
             ).alias("p")
         )
         .select("p.a", "p.b")
     )
-    probe = e.limit(local_threshold + 1).collect()
-    if len(probe) <= local_threshold:
-        return _local_components_from_rows(e, probe)
-    del probe
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()  # materialize once; every loop round reads the cache
     # init = the first propagation round for free: one aggregation (no
@@ -121,9 +126,10 @@ def connected_components(
 
 
 def _local_components_from_rows(e: DataFrame, rows_in) -> DataFrame:
-    """Union-find over an already-collected symmetrized edge list
-    (small-graph strategy). Output schema matches the distributed loop
-    exactly: (node, component) with the node column's own type."""
+    """Union-find over an already-collected edge list (small-graph
+    strategy; unions are direction-blind so the input need not be
+    symmetrized). Output schema matches the distributed loop exactly:
+    (node, component) with the node column's own type."""
     parent: dict = {}
 
     def find(x):
