@@ -547,3 +547,65 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), id_col)
     )
     return out.limit(topk) if topk is not None else out
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    pool_n: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select k of the top-``pool_n`` candidates,
+    each round maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s)``
+    — relevance traded against redundancy, the standard diversified
+    retrieval step after ANN. Output: (rank, vec_id, rel, mmr_score).
+
+    Scale shape: candidate generation is the distributed exact top-k
+    (one corpus scan, TakeOrderedAndProject — swap in lsh_ann_topk_pruned
+    for the partition-pruned 100 TB path); the greedy selection runs on
+    the collected pool — a k-bounded collect of ``pool_n`` rows like the
+    kmeans/IVF centroid steps, never the corpus. Determinism: rel comes
+    from cosine_topk already rounded to 6; pairwise sims and the mmr
+    combination are rounded to 6 with id tie-breaks, so the DuckDB
+    oracle's unrolled greedy recomputes the identical selection."""
+    import numpy as np
+
+    pool = cosine_topk(df, query_id, k=pool_n, id_col=id_col, vec_col=vec_col)
+    rows = (
+        pool.join(df.select(id_col, vec_col), id_col)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .collect()
+    )
+    ids = [r[id_col] for r in rows]
+    rel = {r[id_col]: float(r["cos_sim"]) for r in rows}
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    selected: list[tuple[int, int, float, float]] = []  # (rank, id, rel, mmr)
+    remaining = list(ids)
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            if selected:
+                ms = float(max(sims[idx[c], idx[s]] for _, s, _, _ in selected))
+            else:
+                ms = 0.0
+            score = round(lam * rel[c] - (1.0 - lam) * ms, 6)
+            # maximize score; ties broken by the SMALLER id (mirrors the
+            # oracle's ORDER BY mmr DESC, vec_id LIMIT 1)
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+        score, c = best
+        selected.append((len(selected) + 1, c, rel[c], score))
+        remaining.remove(c)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, "rank BIGINT, vec_id BIGINT, rel DOUBLE, mmr_score DOUBLE"
+    )

@@ -2187,3 +2187,76 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(score, 6) before the window and the token tie-break."""
     d = load_table(spark, sf_dir, "documents")
     return text.tfidf_keywords(d).orderBy("doc_id", "rk")
+
+
+def _mmr_oracle(k: int = 5, pool_n: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR as a DuckDB CTE chain (the kmeans-oracle
+    technique: fixed iteration count → generated MATERIALIZED CTEs, so
+    the iterative algorithm is fully hash-checkable). sel{i} picks round
+    i's argmax of round(λ·rel − (1−λ)·max sim-to-selected, 6) with the
+    vec_id tie-break — identical to the operator's driver-side greedy."""
+    olam = 1.0 - lam
+    parts = [
+        f"""
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+          FROM embeddings, q WHERE vec_id <> 0),
+    s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+          FROM z GROUP BY vec_id),
+    cands AS MATERIALIZED (
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS rel
+        FROM s ORDER BY rel DESC, vec_id LIMIT {pool_n}
+    ),
+    cv AS MATERIALIZED (
+        SELECT c.vec_id, e.embedding FROM cands c JOIN embeddings e USING (vec_id)
+    ),
+    pz AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+           FROM cv a, cv b WHERE a.vec_id <> b.vec_id),
+    p AS MATERIALIZED (
+        SELECT ia, ib,
+               round(SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))), 6) AS sim
+        FROM pz GROUP BY ia, ib
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, rel, round({lam} * rel, 6) AS mmr
+        FROM cands ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM sel{j}" for j in range(1, i))
+        parts.append(
+            f"""
+    sel{i} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               round({lam} * c.rel - {olam} * (
+                   SELECT MAX(p.sim) FROM p
+                   WHERE p.ia = c.vec_id AND p.ib IN ({prev})
+               ), 6) AS mmr
+        FROM cands c
+        WHERE c.vec_id NOT IN ({prev})
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr AS mmr_score
+    FROM ({union}) ORDER BY rank
+    """
+    )
+
+
+@query("emb_mmr_rerank", oracle=_mmr_oracle())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking of the exact top-20 to the query vector
+    (operators/similarity.mmr_rerank, λ=0.7, k=5): the post-ANN
+    diversity step. Candidate generation is the distributed top-k scan;
+    the greedy selection is a pool-bounded driver step, recomputed
+    round-for-round by the unrolled oracle CTE chain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(e, query_id=0, k=5, pool_n=20).orderBy("rank")

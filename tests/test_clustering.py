@@ -185,3 +185,25 @@ def test_semdedup_oversized_cluster_passthrough(spark):
     out = semdedup(df, k=1, threshold=0.99, max_iter=1, max_cluster_size=10)
     assert out.count() == 31
     assert out.where(~out.keep).count() == 0  # nothing pruned: over the cap
+
+
+def test_mmr_rerank_defers_redundant_neighbor(spark):
+    """MMR's defining property: with two near-identical top candidates,
+    the second is deferred in favor of a diverse lower-relevance one."""
+    from micromegas_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # most relevant
+        (2, [0.985, 0.17, 0.0, 0.0]),       # near-duplicate of 1
+        (3, [0.7, 0.0, 0.71, 0.0]),         # less relevant, diverse
+        (4, [0.7, 0.0, 0.0, 0.71]),         # less relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = mmr_rerank(df, query_id=0, k=3, pool_n=4, lam=0.5).orderBy("rank").collect()
+    order = [r["vec_id"] for r in out]
+    assert order[0] == 1                      # pure relevance first
+    assert order[1] in (3, 4)                 # diversity beats the near-dup
+    assert 2 not in order[:2]
+    # plain relevance ranking would have put 2 second
+    assert len(out) == 3 and all(out[i]["rank"] == i + 1 for i in range(3))
