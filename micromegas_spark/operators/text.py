@@ -982,3 +982,74 @@ def tfidf_keywords(
         .where(F.col("rk") <= top_k)
         .select(id_col, "tok", "score", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one BIGRAM
+    language model — one order up from unigram_logprob, closer to the
+    n-gram LM CCNet actually ranks with (Wenzek et al. 2020 use a 5-gram
+    KenLM; conditioning on one predecessor already separates fluent text
+    from shuffled-token junk that unigram statistics cannot see):
+
+        logp(w2|w1) = ln((c(w1 w2) + 1) / (c1(w1) + V))
+        cross_entropy = -avg over bigram occurrences
+
+    where c1 counts w1's occurrences AS A HISTORY (bigrams starting with
+    w1) and V is the unigram vocabulary size. Docs with fewer than 2
+    tokens have no bigrams and drop out (mirrored by the oracle).
+
+    Scale shape: identical to unigram_logprob — one bigram explode feeds
+    the two count aggregates and the scoring joins (hash joins on the
+    Zipf-bounded bigram/history vocabularies), V rides in as a broadcast
+    1-row aggregate, per-doc re-aggregation shuffles on the doc id."""
+    from micromegas_spark.operators.util import spread as _spr
+
+    df = _spr(df)
+    low = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    bi = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                _let(
+                    low,
+                    lambda tk: F.when(
+                        F.size(tk) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(tk) - 1),
+                            lambda i: F.struct(
+                                F.element_at(tk, i).alias("w1"),
+                                F.concat_ws(
+                                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                                ).alias("bg"),
+                            ),
+                        ),
+                    ).otherwise(F.array()),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.w1", "s.bg")
+    )
+    freq2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    freq1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .select(F.lower(F.col("t")).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("_v"))
+    )
+    scored = (
+        bi.join(freq2, "bg")
+        .join(freq1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c2") + F.lit(1)).cast("double") / (F.col("c1") + F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(-F.avg("_lp"), 6).alias("cross_entropy"),
+    )

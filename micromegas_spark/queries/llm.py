@@ -2260,3 +2260,43 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-for-round by the unrolled oracle CTE chain."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_rerank(e, query_id=0, k=5, pool_n=20).orderBy("rank")
+
+
+@query(
+    "docs_bigram_logprob",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS toks
+        FROM documents
+    ),
+    bb AS (
+        SELECT doc_id, s.w1 AS w1, s.bg AS bg
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]})) AS s
+            FROM t WHERE len(toks) >= 2
+        )
+    ),
+    f2 AS (SELECT bg, COUNT(*) AS c2 FROM bb GROUP BY bg),
+    f1 AS (SELECT w1, COUNT(*) AS c1 FROM bb GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS nv
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    s AS (
+        SELECT doc_id, ln((c2 + 1.0) / (c1 + nv)) AS lp
+        FROM bb JOIN f2 USING (bg) JOIN f1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(-AVG(lp), 6) AS cross_entropy
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM cross-entropy per document
+    (operators/text.bigram_logprob) — the order-2 upgrade of
+    docs_unigram_logprob; same add-one smoothing, same broadcast-totals
+    shape, conditioning on the predecessor token."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(d).orderBy("doc_id")
