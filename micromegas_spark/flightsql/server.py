@@ -246,13 +246,17 @@ class FlightSQLServer:
         lightweight fallback so `flight.Ticket(b"SELECT 1")` works too."""
         try:
             name, value = pb.unpack_any(raw)
-            if name in ("TicketStatementQuery", "CommandStatementQuery"):
-                return pb.decode_fields(value)[1][0].decode("utf-8")
-            if name == "CommandPreparedStatementQuery":
+            if name in (
+                "TicketStatementQuery",
+                "CommandStatementQuery",
                 # prepared handle IS the SQL (stateless, like the reference
                 # where prepared_statement_handle carries the query text)
-                return pb.decode_fields(value)[1][0].decode("utf-8")
-        except (ValueError, KeyError, IndexError, UnicodeDecodeError):
+                "CommandPreparedStatementQuery",
+            ):
+                # proto3 omits empty fields: absent field 1 = empty SQL
+                fields = pb.decode_fields(value)
+                return fields.get(1, [b""])[0].decode("utf-8")
+        except (ValueError, UnicodeDecodeError):
             pass
         return raw.decode("utf-8")
 
@@ -303,7 +307,7 @@ class FlightSQLServer:
         body = action.body.to_pybytes() if action.body is not None else b""
         if action.type == "CreatePreparedStatement":
             _, value = pb.unpack_any(body)
-            sql = pb.decode_fields(value)[1][0].decode("utf-8")
+            sql = pb.decode_fields(value).get(1, [b""])[0].decode("utf-8")
             schema = self._schema_for(sql)
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, schema):
@@ -368,7 +372,10 @@ class FlightSQLServer:
             raise flight.FlightServerError("DoPut descriptor is not a FlightSQL command")
         if name != "CommandStatementIngest":
             raise flight.FlightServerError(f"unsupported DoPut command {name}")
-        table_name = pb.decode_fields(value)[2][0].decode("utf-8")
+        names = pb.decode_fields(value).get(2)
+        if not names:
+            raise flight.FlightServerError("CommandStatementIngest without a table name")
+        table_name = names[0].decode("utf-8")
 
         from micromegas_spark.client import Client
 

@@ -304,3 +304,16 @@ def test_concurrent_clients_distinct_ranges(engine, server):
     assert n_first != n_second
     total = run((lo, hi + 1_000_000_000))
     assert n_first + n_second == total
+
+
+def test_empty_result_set_over_wire(client):
+    out = client.query("SELECT o_orderkey FROM orders WHERE o_orderkey < 0")
+    assert len(out) == 0 and list(out.columns) == ["o_orderkey"]
+
+
+def test_empty_result_with_preserve_dictionary(server):
+    with FlightSQLClient(server.uri, preserve_dictionary=True) as dc:
+        table = dc.query_arrow(
+            "SELECT o_orderstatus FROM orders WHERE o_orderkey < 0"
+        )
+    assert table.num_rows == 0
