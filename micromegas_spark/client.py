@@ -215,6 +215,20 @@ class Client:
             view_set_name, to_epoch_ns(begin), to_epoch_ns(end)
         )
 
+    def retire_partition_by_metadata(
+        self, view_set_name: str, view_instance_id: str, begin, end
+    ) -> int:
+        """Admin: retire the single partition with these exact metadata
+        identifiers (functions-reference.md retire_partition_by_metadata
+        — the preferred admin spelling; by_file is the compatibility
+        path)."""
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        self.engine.require_admin("retire_partition_by_metadata")
+        return self.engine.lakehouse.retire_partition_by_metadata(
+            view_set_name, view_instance_id, to_epoch_ns(begin), to_epoch_ns(end)
+        )
+
     def retire_partition_by_file(self, file_path: str) -> int:
         """Admin: retire the single partition at this storage path
         (functions-reference.md retire_partition_by_file; kept for

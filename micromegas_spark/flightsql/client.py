@@ -194,6 +194,17 @@ class FlightSQLClient:
     def retire_partition_by_file(self, file_path: str) -> dict:
         return self._admin("RetirePartitionByFile", file_path=file_path)
 
+    def retire_partition_by_metadata(
+        self, view_set_name: str, view_instance_id: str, begin, end
+    ) -> dict:
+        return self._admin(
+            "RetirePartitionByMetadata",
+            view_set_name=view_set_name,
+            view_instance_id=view_instance_id,
+            begin=begin,
+            end=end,
+        )
+
     def materialize_partitions(
         self, view_name: str, begin, end, partition_delta_seconds: int
     ) -> dict:

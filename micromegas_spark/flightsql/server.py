@@ -178,6 +178,7 @@ class FlightSQLServer:
                     ("MaterializePartitions", "admin: build partitions in range"),
                     ("RegeneratePartitions", "admin: force-rebuild partitions"),
                     ("RetirePartitionByFile", "admin: retire one partition file"),
+                    ("RetirePartitionByMetadata", "admin: retire one partition by ids"),
                 ]
 
         factory = _make_middleware(flight)(auth_token)
@@ -323,6 +324,7 @@ class FlightSQLServer:
             "MaterializePartitions",
             "RegeneratePartitions",
             "RetirePartitionByFile",
+            "RetirePartitionByMetadata",
         ):
             return self._admin_action(action.type, body)
         raise flight.FlightServerError(f"unknown action {action.type!r}")
@@ -339,6 +341,13 @@ class FlightSQLServer:
             if kind == "RetirePartitions":
                 out = client.retire_partitions(
                     args["view_set_name"], args["begin"], args["end"]
+                )
+            elif kind == "RetirePartitionByMetadata":
+                out = client.retire_partition_by_metadata(
+                    args["view_set_name"],
+                    args["view_instance_id"],
+                    args["begin"],
+                    args["end"],
                 )
             elif kind == "RetirePartitionByFile":
                 out = client.retire_partition_by_file(args["file_path"])

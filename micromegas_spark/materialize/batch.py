@@ -665,6 +665,36 @@ class Lakehouse:
                     shutil.rmtree(p.path)
         return len(drop)
 
+    def retire_partition_by_metadata(
+        self, view_set_name: str, view_instance_id: str, begin_ns: int, end_ns: int
+    ) -> int:
+        """retire_partition_by_metadata(view_set, instance, begin, end)
+        (functions-reference.md:73 — the variant the reference steers
+        admins toward, addressing ONE partition by its exact identifiers
+        instead of a path): retires the single partition whose insert
+        bucket is exactly [begin, end). Lakehouse batch views are
+        single-instance, spelled 'global' like the reference's
+        process-independent views — a non-matching instance retires
+        nothing (per-process JIT instances live in Engine's JIT
+        manifests, not this catalog). Returns partitions retired (0/1)."""
+        if view_instance_id not in ("global", view_set_name):
+            return 0
+        with self._view_lock(view_set_name):
+            parts = self.list_partitions(view_set_name)
+            keep, drop = [], []
+            for p in parts:
+                (
+                    drop
+                    if (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)
+                    else keep
+                ).append(p)
+            if drop:
+                self._save_manifest(view_set_name, keep)
+                for p in drop:
+                    if os.path.exists(p.path):
+                        shutil.rmtree(p.path)
+            return len(drop)
+
     def retire_partition_by_file(self, path: str) -> int:
         """retire_partition_by_file(file_path) (functions-reference.md:79;
         the reference keeps it for compatibility and steers users to the

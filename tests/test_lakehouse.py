@@ -584,3 +584,36 @@ def test_concurrent_materialize_consistent_manifest(spark, tmp_path):
     assert sum(r.get("up_to_date", 0) for r in results) == n_buckets
     total = lake.read("mw_view").count()
     assert total == n_buckets * 5
+
+
+def test_retire_partition_by_metadata(spark, tmp_path):
+    """Reference parity: retire ONE partition by its exact identifiers
+    (functions-reference.md:73 retire_partition_by_metadata — the variant
+    the reference steers admins toward). Wrong instance / non-exact
+    bounds retire nothing."""
+    from micromegas_spark.materialize import BatchViewSpec, Lakehouse
+
+    HOUR = 3600 * 10**9
+    rows = [(int(h * HOUR + 1), h) for h in range(3)]
+    spark.createDataFrame(rows, "time_ns bigint, v bigint").createOrReplaceTempView("evrm")
+    spec = BatchViewSpec(
+        name="rm_view",
+        count_query="SELECT COUNT(*) FROM evrm WHERE time_ns >= {begin} AND time_ns < {end}",
+        extract_query="SELECT time_ns, v FROM evrm WHERE time_ns >= {begin} AND time_ns < {end}",
+        merge_query="SELECT * FROM source",
+        time_column="time_ns",
+    )
+    lake = Lakehouse(spark, str(tmp_path / "wh_rm"))
+    lake.materialize_range(spec, 0, 3 * HOUR, HOUR)
+    assert len(lake.list_partitions("rm_view")) == 3
+    # non-exact range: a range COVERING the bucket is not its identifier
+    assert lake.retire_partition_by_metadata("rm_view", "global", 0, 3 * HOUR) == 0
+    # wrong instance: this catalog only holds the global instance
+    assert lake.retire_partition_by_metadata("rm_view", "proc-123", HOUR, 2 * HOUR) == 0
+    import os
+
+    victim = [p for p in lake.list_partitions("rm_view") if p.begin_insert_ns == HOUR][0]
+    assert lake.retire_partition_by_metadata("rm_view", "global", HOUR, 2 * HOUR) == 1
+    left = lake.list_partitions("rm_view")
+    assert {p.begin_insert_ns for p in left} == {0, 2 * HOUR}
+    assert not os.path.exists(victim.path)
