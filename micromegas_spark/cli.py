@@ -1,0 +1,213 @@
+"""Command-line query tool + server launcher — the reference's CLI surface
+(python/micromegas/micromegas/cli/query.py: positional SQL or --file/'-',
+--begin/--end accepting RFC 3339 or relative deltas ('1h', '30m', '7d'),
+--all, --format table|csv|json, --max-colwidth) over either runtime:
+
+    python -m micromegas_spark.cli "SELECT ..." --all --sf-dir /root/testdata/sf0.01
+    python -m micromegas_spark.cli --uri grpc://host:50051 "SELECT ..." --begin 1h
+    python -m micromegas_spark.cli serve --sf-dir ... --port 50051
+
+``--uri`` talks FlightSQL to a running server (flightsql/client.py);
+without it an in-process Engine over ``--sf-dir`` answers directly.
+``serve`` starts the FlightSQL server on the same engine. The table
+formatter is dependency-free (no tabulate wheel in this environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import pathlib
+import sys
+
+
+def parse_timestamp(value: str | None):
+    """RFC 3339 timestamp or relative delta → tz-aware datetime
+    (cli/query.py:13-32: deltas are 'now - delta')."""
+    from micromegas_spark.timeutils import parse_datetime, parse_time_delta
+
+    if value is None:
+        return None
+    try:
+        delta = parse_time_delta(value)
+        return datetime.datetime.now(datetime.timezone.utc) - delta
+    except (RuntimeError, ValueError):
+        pass
+    dt = parse_datetime(value)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt
+
+
+def truncate_value(value, max_width: int):
+    if value is None:
+        return value
+    s = str(value)
+    if len(s) > max_width:
+        return s[: max_width - 3] + "..."
+    return s
+
+
+def _format_table(df, max_colwidth: int) -> str:
+    if max_colwidth > 0:
+        df = df.copy()
+        for col in df.columns:
+            df[col] = df[col].apply(lambda x: truncate_value(x, max_colwidth))
+    cells = [[str(c) for c in df.columns]] + [
+        ["" if v is None else str(v) for v in row] for row in df.itertuples(index=False)
+    ]
+    widths = [max(len(r[i]) for r in cells) for i in range(len(cells[0]))]
+    lines = [
+        "  ".join(c.ljust(w) for c, w in zip(cells[0], widths)).rstrip(),
+        "  ".join("-" * w for w in widths),
+    ]
+    lines += ["  ".join(c.ljust(w) for c, w in zip(r, widths)).rstrip() for r in cells[1:]]
+    return "\n".join(lines)
+
+
+def read_sql_source(args) -> str:
+    if args.file:
+        if args.file == "-":
+            return sys.stdin.read().strip()
+        return pathlib.Path(args.file).read_text(encoding="utf-8").strip()
+    return args.sql
+
+
+def _query_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="micromegas-spark",
+        description="Run SQL against the engine (in-process or FlightSQL); "
+        "'micromegas-spark serve' starts a FlightSQL server",
+    )
+    p.add_argument("sql", nargs="?", default=None,
+                   help="SQL query to execute (or use --file)")
+    p.add_argument("--file", help="Read SQL from a file path ('-' for stdin)")
+    p.add_argument("--begin",
+                   help="Begin timestamp (RFC 3339, or relative like '1h', '30m', '7d')")
+    p.add_argument("--end", help="End timestamp (defaults to now when --begin is set)")
+    p.add_argument("--all", action="store_true",
+                   help="Query the entire time range (no time filtering)")
+    p.add_argument("--format", choices=["table", "csv", "json"], default="table")
+    p.add_argument("--max-colwidth", type=int, default=50,
+                   help="Max column width for table format (0 = unlimited)")
+    p.add_argument("--uri", help="FlightSQL server URI (grpc://host:port)")
+    p.add_argument("--sf-dir", default=None,
+                   help="Local parquet dir for the in-process engine "
+                        "(default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)")
+    p.add_argument("--cpus", default=None, help="local[N] parallelism for in-process mode")
+    return p
+
+
+def _serve_parser() -> argparse.ArgumentParser:
+    s = argparse.ArgumentParser(
+        prog="micromegas-spark serve",
+        description="Start a FlightSQL server over the engine",
+    )
+    s.add_argument("--port", type=int, default=50051)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--sf-dir", default=None)
+    s.add_argument("--cpus", default=None)
+    s.add_argument("--auth-token", default=None,
+                   help="require 'authorization: Bearer <token>' on every call")
+    s.add_argument("--admin", action="store_true",
+                   help="serve an admin engine (partition-admin actions enabled)")
+    return s
+
+
+def _default_sf_dir(arg):
+    import os
+
+    return arg or os.environ.get("SPARK_GRAFT_SF_DIR") or "/root/testdata/sf0.01"
+
+
+def _in_process_client(sf_dir: str, cpus):
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.session import get_spark
+
+    spark = get_spark("micromegas-cli", cpus=cpus)
+    return Client(Engine.from_test_tables(spark, sf_dir))
+
+
+def cmd_serve(args) -> int:
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.server import FlightSQLServer
+    from micromegas_spark.session import get_spark
+
+    spark = get_spark("micromegas-flightsql", cpus=args.cpus)
+    engine = Engine.from_test_tables(spark, _default_sf_dir(args.sf_dir))
+    engine.admin = bool(args.admin)
+    server = FlightSQLServer(
+        engine,
+        location=f"grpc://{args.host}:{args.port}",
+        auth_token=args.auth_token,
+    )
+    print(f"serving FlightSQL on {server.uri}", flush=True)
+    server.serve()  # blocks until killed
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # a subcommand and a positional SQL argument can't share one argparse
+    # parser; 'serve' is dispatched by its leading token (and a query
+    # starting with SELECT never collides)
+    if argv[:1] == ["serve"]:
+        return cmd_serve(_serve_parser().parse_args(argv[1:]))
+    if argv[:1] == ["query"]:
+        argv = argv[1:]
+    parser = _query_parser()
+    args = parser.parse_args(argv)
+
+    if args.file and args.sql:
+        parser.error("cannot use both positional SQL and --file")
+    if not args.file and not args.sql:
+        parser.error("must provide SQL as a positional argument or via --file")
+    try:
+        sql = read_sql_source(args)
+    except OSError as e:
+        parser.error(f"cannot read file '{args.file}': {e}")
+
+    if not args.begin and not args.all:
+        parser.error("--begin is required (or use --all for the entire time range)")
+    if args.all and (args.begin or args.end):
+        parser.error("--all and --begin/--end are mutually exclusive")
+
+    def ts(flag, value):
+        try:
+            return parse_timestamp(value)
+        except (ValueError, OverflowError):
+            parser.error(
+                f"invalid --{flag} timestamp {value!r}: expected RFC 3339 "
+                f"(e.g. 2026-01-01T00:00:00Z) or a delta like '1h', '30m', '7d'"
+            )
+
+    begin, end = ts("begin", args.begin), ts("end", args.end)
+    if begin is not None and end is None:
+        end = datetime.datetime.now(datetime.timezone.utc)
+
+    if args.uri:
+        from micromegas_spark.flightsql.client import FlightSQLClient
+
+        with FlightSQLClient(args.uri) as client:
+            df = client.query(sql, begin, end)
+    else:
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        client = _in_process_client(_default_sf_dir(args.sf_dir), args.cpus)
+        df = client.query(sql, to_epoch_ns(begin), to_epoch_ns(end))
+
+    if df.empty:
+        print("no data")
+        return 0
+    if args.format == "table":
+        print(_format_table(df, args.max_colwidth))
+    elif args.format == "csv":
+        print(df.to_csv(index=False), end="")
+    else:
+        print(df.to_json(orient="records", indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""CLI parity (reference cli/query.py): SQL in, table/csv/json out, time
+bounds as RFC 3339 or relative deltas; in-process and FlightSQL modes."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from micromegas_spark import cli
+from tests.conftest import SF_SMOKE
+
+
+def run(capsys, *argv):
+    rc = cli.main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+def test_query_table_format(spark, capsys):
+    rc, out = run(
+        capsys,
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        "--all", "--sf-dir", SF_SMOKE,
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert lines[0].split() == ["o_orderstatus", "n"]
+    assert set(lines[1]) == {"-", " "}
+    assert len(lines) == 5  # header + rule + F/O/P
+
+
+def test_query_csv_and_json(spark, capsys):
+    rc, out = run(
+        capsys,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation",
+        "--all", "--sf-dir", SF_SMOKE, "--format", "csv",
+    )
+    assert rc == 0 and out == "n\n25\n"
+    rc, out = run(
+        capsys,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation",
+        "--all", "--sf-dir", SF_SMOKE, "--format", "json",
+    )
+    assert json.loads(out) == [{"n": 25}]
+
+
+def test_query_time_bounds(spark, capsys):
+    rc, full = run(
+        capsys, "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events",
+        "--all", "--sf-dir", SF_SMOKE, "--format", "csv",
+    )
+    # bounds far in the past exclude everything
+    rc, none = run(
+        capsys, "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events",
+        "--begin", "2000-01-01T00:00:00Z", "--end", "2000-01-02T00:00:00Z",
+        "--sf-dir", SF_SMOKE, "--format", "csv",
+    )
+    assert int(full.splitlines()[1]) > 0
+    assert none.splitlines()[1] == "0"
+
+
+def test_relative_delta_parsing():
+    now = datetime.datetime.now(datetime.timezone.utc)
+    got = cli.parse_timestamp("1h")
+    assert abs((now - got).total_seconds() - 3600) < 5
+    assert cli.parse_timestamp("2024-03-01T00:00:00Z").year == 2024
+
+
+def test_arg_validation(spark, capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--all"])  # no sql
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["SELECT 1", "--sf-dir", SF_SMOKE])  # no --begin / --all
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["SELECT 1", "--all", "--begin", "1h", "--sf-dir", SF_SMOKE])
+    capsys.readouterr()
+
+
+def test_query_file_stdin(spark, capsys, tmp_path, monkeypatch):
+    f = tmp_path / "q.sql"
+    f.write_text("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region")
+    rc, out = run(
+        capsys, "--file", str(f), "--all", "--sf-dir", SF_SMOKE, "--format", "csv"
+    )
+    assert out == "n\n5\n"
+
+
+def test_query_over_flightsql_uri(spark, capsys):
+    flight = pytest.importorskip("pyarrow.flight")  # noqa: F841
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    eng = Engine.from_test_tables(spark, SF_SMOKE)
+    with FlightSQLServer(eng) as srv:
+        rc, out = run(
+            capsys,
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier",
+            "--all", "--uri", srv.uri, "--format", "csv",
+        )
+    assert rc == 0 and out.splitlines()[1].isdigit()
