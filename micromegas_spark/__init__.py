@@ -23,3 +23,15 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def connect(uri=None, preserve_dictionary=False):
+    """Connect to a FlightSQL server — the reference's top-level entry
+    point (python/micromegas/micromegas/__init__.py:13-27: default
+    grpc://localhost:50051). For an in-process engine without a server,
+    use ``Engine.from_test_tables`` + ``client.Client`` instead."""
+    from micromegas_spark.flightsql.client import FlightSQLClient
+
+    return FlightSQLClient(
+        uri or "grpc://localhost:50051", preserve_dictionary=preserve_dictionary
+    )

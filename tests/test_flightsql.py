@@ -317,3 +317,10 @@ def test_empty_result_with_preserve_dictionary(server):
             "SELECT o_orderstatus FROM orders WHERE o_orderkey < 0"
         )
     assert table.num_rows == 0
+
+
+def test_top_level_connect(server):
+    import micromegas_spark
+
+    with micromegas_spark.connect(server.uri) as c:
+        assert int(c.query("SELECT CAST(2 AS BIGINT) AS two")["two"][0]) == 2
