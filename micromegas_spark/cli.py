@@ -43,9 +43,11 @@ def truncate_value(value, max_width: int):
     if value is None:
         return value
     s = str(value)
-    if len(s) > max_width:
-        return s[: max_width - 3] + "..."
-    return s
+    if len(s) <= max_width:
+        return s
+    if max_width <= 3:  # no room for an ellipsis — hard cut
+        return s[:max_width]
+    return s[: max_width - 3] + "..."
 
 
 def _format_table(df, max_colwidth: int) -> str:

@@ -136,8 +136,12 @@ class FlightSQLClient:
         for result in self._client.do_action(action, options=self._options()):
             _, value = pb.unpack_any(result.body.to_pybytes())
             fields = pb.decode_fields(value)
-            handle = fields[1][0]
-            with pa.ipc.open_stream(fields[2][0]) as r:
+            # proto3-canonical servers omit empty fields entirely
+            handle = fields.get(1, [b""])[0]
+            schema_ipc = fields.get(2, [b""])[0]
+            if not schema_ipc:
+                raise RuntimeError("prepared-statement result carries no schema")
+            with pa.ipc.open_stream(schema_ipc) as r:
                 schema = r.schema
             return PreparedStatement(handle.decode("utf-8"), schema)
         raise RuntimeError("server returned no prepared-statement result")

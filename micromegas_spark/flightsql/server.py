@@ -42,11 +42,6 @@ def _flight():
     return flight
 
 
-class _HeaderMiddleware:
-    def __init__(self, headers: dict):
-        self.headers = headers
-
-
 def _make_middleware(flight):
     class _Factory(flight.ServerMiddlewareFactory):
         def __init__(self, auth_token: str | None):
@@ -122,6 +117,14 @@ def dictionary_encode_stream(df, schema, batches, max_dictionary_values: int = 4
                     cols.append(col)
                 else:
                     idx = pc.index_in(col, value_set=d).cast(pa.int32())
+                    # backstop: a value absent from the precomputed
+                    # dictionary would silently become NULL — fail loudly
+                    # instead (can only happen if the persisted result
+                    # was recomputed non-deterministically)
+                    if idx.null_count > col.null_count:
+                        raise RuntimeError(
+                            f"dictionary miss streaming column {field.name!r}"
+                        )
                     cols.append(pa.DictionaryArray.from_arrays(idx, d))
             yield pa.RecordBatch.from_arrays(cols, schema=dschema)
 
@@ -182,6 +185,9 @@ class FlightSQLServer:
                 ]
 
         factory = _make_middleware(flight)(auth_token)
+        # remember the bound host so .uri reports the real endpoint
+        # (the port may have been 0 = ephemeral; the host is as given)
+        self._host = location.split("://", 1)[-1].rsplit(":", 1)[0] or "127.0.0.1"
         self._server = _Server(location, middleware={_HEADERS_KEY: factory})
 
     # -- lifecycle ---------------------------------------------------------
@@ -192,7 +198,7 @@ class FlightSQLServer:
 
     @property
     def uri(self) -> str:
-        return f"grpc://127.0.0.1:{self.port}"
+        return f"grpc://{self._host}:{self.port}"
 
     def serve(self):
         """Blocks. Run in a thread for in-process tests."""
@@ -279,20 +285,34 @@ class FlightSQLServer:
         begin_ns, end_ns, preserve = self._call_options(context)
         df = self.engine.resolve(sql, begin_ns, end_ns)
         schema = to_arrow_schema(df.schema)
-        batches = _stream_batches(df, self.batch_rows)
         if preserve:
             import pyarrow as pa
+            from pyspark import StorageLevel
 
-            schema, batches = dictionary_encode_stream(
-                df, schema, batches, self.max_dictionary_values
+            # ONE execution feeds both the dictionary aggregates and the
+            # batch stream: without the persist, a non-deterministic query
+            # (LIMIT without ORDER BY, rand()) could stream values absent
+            # from the collected dictionary — which the transport would
+            # deliver as NULLs
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            schema, raw = dictionary_encode_stream(
+                df, schema, _stream_batches(df, self.batch_rows),
+                self.max_dictionary_values,
             )
+
+            def batches(d=df, inner=raw):
+                try:
+                    yield from inner
+                finally:
+                    d.unpersist()
+
             # GeneratorStream's writer doesn't emit the dictionary batches
             # a dictionary-typed schema requires; a RecordBatchReader-backed
             # stream goes through the full IPC dictionary path
             return flight.RecordBatchStream(
-                pa.RecordBatchReader.from_batches(schema, batches)
+                pa.RecordBatchReader.from_batches(schema, batches())
             )
-        return flight.GeneratorStream(schema, batches)
+        return flight.GeneratorStream(schema, _stream_batches(df, self.batch_rows))
 
     def _get_flight_info(self, context, descriptor):
         flight = _flight()

@@ -854,10 +854,7 @@ def winnow_fingerprints(text: Column, k: int = 16, w: int = 8) -> Column:
     def _grams(t: Column) -> Column:
         n = F.greatest(F.length(t) - (k - 1), F.lit(1))
         return F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10).cast(
-                "bigint"
-            ),
+            F.sequence(F.lit(1), n), lambda i: token_hash32(F.substring(t, i, k))
         )
 
     def _window_mins(hs: Column) -> Column:

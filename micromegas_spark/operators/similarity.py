@@ -574,12 +574,25 @@ def mmr_rerank(
     oracle's unrolled greedy recomputes the identical selection."""
     import numpy as np
 
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    out_schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("rel", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
     pool = cosine_topk(df, query_id, k=pool_n, id_col=id_col, vec_col=vec_col)
     rows = (
         pool.join(df.select(id_col, vec_col), id_col)
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .collect()
     )
+    if not rows:  # unknown query id / singleton corpus → empty result
+        return spark.createDataFrame([], out_schema)
     ids = [r[id_col] for r in rows]
     rel = {r[id_col]: float(r["cos_sim"]) for r in rows}
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
@@ -605,7 +618,4 @@ def mmr_rerank(
         selected.append((len(selected) + 1, c, rel[c], score))
         remaining.remove(c)
 
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        selected, "rank BIGINT, vec_id BIGINT, rel DOUBLE, mmr_score DOUBLE"
-    )
+    return spark.createDataFrame(selected, out_schema)

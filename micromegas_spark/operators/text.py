@@ -966,7 +966,7 @@ def tfidf_keywords(
     win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
     return (
         tf.join(doc_freq, "tok")
-        .join(F.broadcast(n_total))
+        .crossJoin(F.broadcast(n_total))
         .withColumn(
             "score",
             F.round(
