@@ -234,3 +234,30 @@ def test_scale_fuzzy_join_dense_corpus(spark):
     assert all(r.dist == 1 for r in rows if r.id_b >= n)
     # and the un-capped boilerplate pair space never materializes
     assert len(rows) < 3_000_000
+
+
+def test_scale_winnow_survives_boilerplate_corpus(spark):
+    """Winnowing under the adversarial template corpus: the shared
+    boilerplate's fingerprints have document frequency = corpus size,
+    far above max_doc_freq — the cap must drop them so candidate volume
+    stays bounded by genuinely-shared rare fingerprints, not O(n²)
+    template pairs."""
+    from micromegas_spark.operators import dedup
+
+    n = 60_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service apply to all pages of this site contact "
+                  "support for assistance unique tail "),
+            F.col("id").cast("string"),
+            F.lit(" suffix"),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    pairs = dedup.winnow_overlap_pairs(
+        docs, min_shared=1, max_doc_freq=100
+    ).count()
+    # boilerplate fps have df=60k >> 100 → dropped; survivors are the
+    # short unique tails, whose buckets are tiny
+    assert pairs < 2_000_000
