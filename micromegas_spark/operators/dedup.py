@@ -171,6 +171,27 @@ def _banded_keys(
     )
 
 
+def _df_capped(posting: DataFrame, keys, max_size: int, min_size: int = 1) -> DataFrame:
+    """Drop hot keys BEFORE any id list materializes: a count aggregate
+    (map-side combinable, fixed-width rows — no arrays) finds the keys
+    whose frequency lies in [min_size, max_size]; the posting then
+    inner-joins onto those keys. The previous collect-then-filter
+    spelling materialized each key's FULL id array before the size check
+    ever ran — on a clone-heavy corpus (sf10 = 100× replication) a
+    boilerplate key's array was a GB-scale single allocation that killed
+    the executor task (observed: GCLocker retry → lost task). Both the
+    count aggregate and the subsequent groupBy shuffle on the same keys,
+    so the extra pass costs one cheap fixed-width shuffle."""
+    kcols = list(keys)
+    ok = (
+        posting.groupBy(*kcols)
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= min_size) & (F.col("_df") <= max_size))
+        .select(*kcols)
+    )
+    return posting.join(ok, kcols)
+
+
 def _bucket_pairs(buckets: DataFrame, list_col: str, key=None) -> DataFrame:
     """Explode each bucket's collected element list into ordered (a, b)
     pairs via a higher-order cross — the shared pair-generation step of
@@ -229,9 +250,9 @@ def minhash_lsh_candidates(
     # come from a higher-order cross of the (small) list. Buckets are small
     # by construction — they contain only near-duplicate clusters.
     buckets = (
-        all_bands.groupBy("band", "bkey")
+        _df_capped(all_bands, ("band", "bkey"), max_bucket_size, min_size=2)
+        .groupBy("band", "bkey")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
     return (
         _bucket_pairs(buckets, "ids")
@@ -329,10 +350,13 @@ def cross_near_duplicates(
         F.col(id_col).alias("_ta"), "band", "bkey"
     )
     bb = (
-        _banded_keys(shb, id_col, n_hashes, bands)
+        _df_capped(
+            _banded_keys(shb, id_col, n_hashes, bands),
+            ("band", "bkey"),
+            max_bucket_size,
+        )
         .groupBy("band", "bkey")
         .agg(F.collect_list(F.col(id_col)).alias("_tbs"))
-        .where(F.size("_tbs") <= max_bucket_size)
     )
     cand = (
         ba.join(bb, ["band", "bkey"])
@@ -460,9 +484,9 @@ def simhash_near_duplicates(
     for extra in parts[1:]:
         allc = allc.unionByName(extra)
     buckets = (
-        allc.groupBy("chunk", "ckey")
+        _df_capped(allc, ("chunk", "ckey"), max_bucket_size, min_size=2)
+        .groupBy("chunk", "ckey")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms"))
-        .where((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
     pairs = _bucket_pairs(buckets, "ms", key=lambda s: s.getField("i"))
     ham = F.bit_count(
@@ -587,11 +611,13 @@ def _capped_posting_buckets(
     band bucket-collect. A gram above the cap is corpus furniture —
     license headers, navigation chrome — shared by so many docs it
     carries no identity signal; without the cap one such gram shared by
-    10⁶ docs is a 10¹² pair explosion in candidate generation."""
+    10⁶ docs is a 10¹² pair explosion in candidate generation. The cap
+    is applied count-first (_df_capped) so a hot key's id array never
+    materializes at all."""
     return (
-        posting.groupBy(*keys)
+        _df_capped(posting, keys, max_doc_freq)
+        .groupBy(*keys)
         .agg(F.collect_list(id_alias).alias("ids"))
-        .where(F.size("ids") <= max_doc_freq)
     )
 
 
@@ -892,9 +918,9 @@ def winnow_overlap_pairs(
         F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp")
     )
     buckets = (
-        posting.groupBy("fp")
+        _df_capped(posting, ("fp",), max_doc_freq, min_size=2)
+        .groupBy("fp")
         .agg(F.collect_list(id_col).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_doc_freq))
     )
     return (
         _bucket_pairs(buckets, "ids")
