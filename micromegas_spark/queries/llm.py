@@ -2300,3 +2300,68 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, conditioning on the predecessor token."""
     d = load_table(spark, sf_dir, "documents")
     return text.bigram_logprob(d).orderBy("doc_id")
+
+
+# the same MinHash pair chain over the exact-deduped subset `dd` instead of
+# the raw table — textual rebind of the shared definition so the cascade
+# oracle can never drift from docs_minhash_neardup's banding scheme
+_PAIRS_DD_SQL = _PAIRS_SQL.replace("FROM documents", "FROM dd")
+
+
+@query(
+    "docs_cascade_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    f AS (SELECT doc_id, source, text, {_FP} AS fp FROM documents),
+    keepx AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp),
+    dd AS (SELECT f.doc_id, f.source, f.text FROM f JOIN keepx USING (doc_id)),
+    {_PAIRS_DD_SQL},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+           FROM reach GROUP BY a),
+    dropx AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+    kept AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dropx)),
+    a AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    b AS (SELECT source, COUNT(*) AS c FROM dd GROUP BY source),
+    k AS (SELECT source, COUNT(*) AS c FROM kept GROUP BY source)
+    SELECT a.source,
+           CAST(a.c AS BIGINT) AS n_docs,
+           CAST(b.c AS BIGINT) AS n_after_exact,
+           CAST(k.c AS BIGINT) AS n_final
+    FROM a JOIN b USING (source) JOIN k USING (source)
+    ORDER BY a.source
+    """,
+)
+def docs_cascade_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard industrial dedup CASCADE as one checked unit:
+    exact dedup (md5 fingerprint, keep min id) → MinHash near-dup pairs
+    over the survivors → connected components → keep each cluster's min
+    id. Output: per-source accounting (n_docs → n_after_exact →
+    n_final). The cascade ordering is the sf10 scale lesson encoded:
+    collapsing exact/clone duplicates FIRST is what keeps the near-dup
+    pair space output-proportional on clone-heavy corpora (SCALE.md
+    sf10 section)."""
+    from micromegas_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    uniq = dedup.dedup_exact(d)
+    pairs = dedup.minhash_near_duplicates(uniq, threshold=0.8).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = uniq.join(drop, "doc_id", "left_anti")
+    n_docs = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_exact = uniq.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_after_exact")
+    )
+    n_final = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_final")
+    )
+    return (
+        n_docs.join(n_exact, "source").join(n_final, "source").orderBy("source")
+    )
