@@ -181,7 +181,11 @@ def _df_capped(posting: DataFrame, keys, max_size: int, min_size: int = 1) -> Da
     boilerplate key's array was a GB-scale single allocation that killed
     the executor task (observed: GCLocker retry → lost task). Both the
     count aggregate and the subsequent groupBy shuffle on the same keys,
-    so the extra pass costs one cheap fixed-width shuffle."""
+    so the extra pass costs one cheap fixed-width shuffle. Note the
+    posting lineage evaluates twice (count side + collect side; the
+    planner broadcasts the small surviving-key set back, so no extra
+    posting shuffle) — persist the posting upstream if its lineage is
+    expensive enough to matter."""
     kcols = list(keys)
     ok = (
         posting.groupBy(*kcols)

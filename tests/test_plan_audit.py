@@ -267,3 +267,35 @@ def test_cbor_roundtrip_minimal_exchanges(spark):
     assert kinds.count("hash") <= 2 and kinds.count("range") == 1, ex
     # partial aggregation before the final agg exchange (map-side combine)
     assert "partial" in plan.lower()
+
+
+def test_tfidf_keywords_plan_shape(spark):
+    """docs_tfidf_keywords: the per-doc top-k is a WindowGroupLimit (rank
+    filter pushed below the final sort), both stats joins broadcast, and
+    no cartesian product appears (N rides in as a broadcast 1-row agg)."""
+    plan = _plan(spark, "docs_tfidf_keywords")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_overlap_single_pass(spark):
+    """docs_winnow_overlap: the expensive fingerprint HOF runs once
+    map-side — the plan has no cartesian product and only hash/range
+    exchanges (posting groupBys + presentation sort); candidate pairs
+    come from the bucket cross, never a posting self-join."""
+    plan = _plan(spark, "docs_winnow_overlap")
+    assert "CartesianProduct" not in plan
+    # allowed: posting/count groupBys (hash), presentation sort (range),
+    # _spread's RoundRobin, and the capped-keys set broadcast back onto
+    # the posting — nothing else (in particular no posting self-join SMJ)
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all(
+        "hashpartitioning" in ln
+        or "rangepartitioning" in ln
+        or "RoundRobinPartitioning" in ln
+        or "BroadcastExchange" in ln
+        for ln in ex
+    ), ex
+    assert "SortMergeJoin" not in plan
