@@ -745,8 +745,15 @@ def exact_substring_overlaps(
     # docs shorter than the window have NO window-length runs: excluded
     # entirely (the n-gram helper's whole-text fallback would otherwise
     # claim a verbatim `window`-token overlap between two short docs)
-    w = df.where(token_count(F.col(text_col)) >= window).select(
-        F.col(id_col), F.explode(grams).alias("h")
+    from pyspark import StorageLevel
+
+    # persisted because _df_capped's count and collect sides both read the
+    # posting — without the cache the window-hash HOF (the expensive part)
+    # would evaluate twice (measured 1.8x at sf1)
+    w = (
+        df.where(token_count(F.col(text_col)) >= window)
+        .select(F.col(id_col), F.explode(grams).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # bucket-collect instead of a posting self-join: ONE shuffle of the
     # posting list (the groupBy) replaces shuffling it on both join
@@ -918,9 +925,13 @@ def winnow_overlap_pairs(
     boilerplate, not signal), in-bucket higher-order pair cross, then a
     count aggregation. No posting self-join, no O(n²) pair space; the
     only shuffles are the fp groupBy and the (id_a, id_b) count."""
+    from pyspark import StorageLevel
+
+    # persisted: the winnow HOF (an md5 per character position) is the
+    # dominant cost, and _df_capped's two sides both read the posting
     posting = df.select(
         F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = (
         _df_capped(posting, ("fp",), max_doc_freq, min_size=2)
         .groupBy("fp")
