@@ -1254,3 +1254,50 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+@query(
+    "events_funnel_anchor",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, ANY_VALUE(s1.t1) AS t1
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + 259200000000
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+          AND epoch_us(e.ts) <= s2.t1 + 259200000000
+        GROUP BY e.user_id
+    )
+    SELECT step, event_type, n FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    ) ORDER BY step
+    """,
+)
+def events_funnel_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel view→click→purchase with a 3-day window from
+    each user's earliest VIEW — anchor-window semantics, vs the sibling
+    events_funnel's per-transition 24h windows — via the reusable N-step
+    operator (operators/funnel.funnel_counts): earliest-anchor greedy
+    matching, one user-keyed aggregation per step (co-partitioned joins,
+    no window functions, no event collection)."""
+    from micromegas_spark.operators.funnel import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, ["view", "click", "purchase"], ts_col="ts_us",
+        window_ns=259_200_000_000,
+    )

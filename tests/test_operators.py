@@ -474,3 +474,30 @@ def test_gapfill_linear_basic(spark):
         ("a", 14): (2.0, 0),
         ("b", 5): (4.0, 0),
     }
+
+
+def test_funnel_counts_order_and_window(spark):
+    """Earliest-anchor greedy funnel: order matters (click before view
+    doesn't count) and the window bounds completion."""
+    from micromegas_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1 completes in order within window
+        (1, "view", 100), (1, "click", 200), (1, "buy", 300),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, "click", 50), (2, "view", 100),
+        # u3 completes but outside the window
+        (3, "view", 100), (3, "click", 200), (3, "buy", 5000),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts BIGINT")
+    got = {
+        (r["step"], r["event_type"]): r["n"]
+        for r in funnel_counts(df, ["view", "click", "buy"], window_ns=1000).collect()
+    }
+    assert got == {(1, "view"): 3, (2, "click"): 2, (3, "buy"): 1}
+    # unwindowed: u3's late buy now counts
+    got2 = {
+        r["step"]: r["n"]
+        for r in funnel_counts(df, ["view", "click", "buy"]).collect()
+    }
+    assert got2 == {1: 3, 2: 2, 3: 2}
