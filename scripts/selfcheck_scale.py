@@ -37,6 +37,48 @@ frame_canon = _sc.frame_canon
 
 SF_DIR = os.environ.get("SELFCHECK_SF", "/tmp/sf1")
 
+# Approximate-sketch queries get a TOLERANCE gate at scale instead of hash
+# equality: their oracles are exact only in the sketches' small-cardinality
+# regimes (percentile_approx exact mode, DataSketches HLL sparse mode),
+# which sf1 cardinalities leave BY DESIGN. The gate is still strict about
+# shape (same rows, same keys) — only numeric cells may deviate, within
+# the documented relative error.
+APPROX_TOLERANCE = {
+    "events_approx_quantiles": 0.05,  # sketch interpolation vs exact quantile
+    # Spark's hll_union_agg caps the union at lgMaxK=12, DOWNGRADING the
+    # lgK=20 partials — merged-estimate RSE ≈ 1.04/2^6 ≈ 1.6%; measured
+    # max per-bucket deviation 3.5% at sf1 (mean 0.8%), so 5% ≈ 3σ
+    "events_hll_distinct_users": 0.05,
+}
+
+
+def _within_tolerance(sdf, ddf, rel_tol: float) -> bool:
+    """Row-aligned numeric comparison: sort both frames by their
+    non-float columns, require identical shape and key columns, and every
+    float cell within rel_tol."""
+    import numpy as np
+
+    cols = sorted(sdf.columns)
+    if sorted(ddf.columns) != cols or len(sdf) != len(ddf):
+        return False
+    sdf, ddf = sdf[cols], ddf[cols]
+    keys = [c for c in cols if not np.issubdtype(sdf[c].dtype, np.number)]
+    # sort keys first, then numerics — frames with no string key align on
+    # their (engine-identical) integer key columns, e.g. hour_epoch
+    sort_cols = keys + [c for c in cols if c not in keys]
+    sdf = sdf.sort_values(sort_cols).reset_index(drop=True)
+    ddf = ddf.sort_values(sort_cols).reset_index(drop=True)
+    for c in cols:
+        if c in keys:
+            if not (sdf[c].astype(str) == ddf[c].astype(str)).all():
+                return False
+        else:
+            a, b = sdf[c].to_numpy(float), ddf[c].to_numpy(float)
+            scale = np.maximum(np.maximum(np.abs(a), np.abs(b)), 1e-12)
+            if not (np.abs(a - b) / scale <= rel_tol).all():
+                return False
+    return True
+
 
 def main(budget: float, names: list[str]) -> int:
     spark = get_spark("selfcheck_scale", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -69,7 +111,14 @@ def main(budget: float, names: list[str]) -> int:
                 if sc_ != dc:
                     outcome.append(f"SCHEMA MISMATCH {sc_} vs {dc}")
                 elif sr != dr:
-                    outcome.append(f"VALUE MISMATCH ({len(sr)} vs {len(dr)} rows)")
+                    tol = APPROX_TOLERANCE.get(name)
+                    if tol is not None and _within_tolerance(sdf, ddf, tol):
+                        outcome.append(
+                            f"ok~ {len(sr)} rows within {tol:.0%} "
+                            f"(approx-sketch gate; spark {t_spark:.1f}s, oracle {t_duck:.1f}s)"
+                        )
+                    else:
+                        outcome.append(f"VALUE MISMATCH ({len(sr)} vs {len(dr)} rows)")
                 else:
                     outcome.append(
                         f"ok {len(sr)} rows (spark {t_spark:.1f}s, oracle {t_duck:.1f}s)"
