@@ -1,0 +1,57 @@
+"""Log-template mining (Drain-style variable detection, batch-ified).
+
+Clusters raw log messages into templates by detecting VARIABLE token
+positions: tokenize each message, group messages by token count, and mask
+any position whose distinct-token cardinality exceeds a threshold — the
+core heuristic of Drain (He et al., ICWS'17) re-expressed as two
+declarative aggregations instead of a parse tree, which is what makes it
+embarrassingly parallel:
+
+1. one shuffle on (n_tokens, position) to count distinct tokens per slot;
+2. the per-slot mask is a TINY dimension (n_tokens x positions rows) —
+   broadcast back and rebuild each message's template with ``zip_with``,
+   JVM-side, no Python crossing;
+3. one shuffle on the template string for the final counts.
+
+Reference parity: the reference's log_entries view (SURVEY §1.4) exposes
+raw messages; template mining is the standard next step every log
+analytics stack (Drain3, LogMine) bolts on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mine_templates(
+    df: DataFrame,
+    msg_col: str = "msg",
+    id_col: str = "event_id",
+    max_distinct: int = 8,
+) -> DataFrame:
+    """One row per input row: (id, template) with variable positions
+    masked as ``<*>``. A position is variable when, among all messages
+    with the same token count, it carries more than ``max_distinct``
+    distinct tokens (constant-ish slots like level names survive; ids,
+    numbers and payloads get masked)."""
+    toks = F.split(F.trim(F.col(msg_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).withColumn("n_toks", F.size("toks"))
+    pos = base.select("n_toks", F.posexplode("toks").alias("pos", "tok"))
+    decisions = pos.groupBy("n_toks", "pos").agg(
+        (F.count_distinct("tok") > max_distinct).alias("masked")
+    )
+    # (n_toks, pos) is tiny; fold to one mask array per token count,
+    # ordered by position (struct sort keys on the leading field)
+    mask = (
+        decisions.groupBy("n_toks")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "masked"))).alias("m"))
+        .select("n_toks", F.col("m.masked").alias("mask"))
+    )
+    templ = F.array_join(
+        F.zip_with("toks", "mask", lambda t, m: F.when(m, F.lit("<*>")).otherwise(t)),
+        " ",
+    )
+    return base.join(F.broadcast(mask), "n_toks").select(
+        F.col(id_col), templ.alias("template")
+    )

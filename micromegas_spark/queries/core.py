@@ -1301,3 +1301,185 @@ def events_funnel_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ["view", "click", "purchase"], ts_col="ts_us",
         window_ns=259_200_000_000,
     )
+
+
+@query(
+    "events_counter_rate",
+    oracle="""
+    WITH v AS (
+        SELECT epoch_us(ts) AS ts_us, event_id, user_id,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    l AS (
+        SELECT (ts_us // 3600000000) * 3600 AS hour_epoch, v,
+               lag(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pv
+        FROM v
+    )
+    SELECT hour_epoch,
+           CAST(SUM(CASE WHEN pv IS NULL THEN NULL
+                         WHEN v >= pv THEN v - pv
+                         ELSE v END) AS DOUBLE) AS increase,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resets,
+           round(CAST(SUM(CASE WHEN pv IS NULL THEN NULL
+                               WHEN v >= pv THEN v - pv
+                               ELSE v END) AS DOUBLE) / 3600, 6) AS rate_per_sec
+    FROM l GROUP BY hour_epoch ORDER BY hour_epoch
+    """,
+)
+def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase()/rate() with counter-RESET handling — the
+    monotonic-counter semantics every metrics backend needs: per series
+    (user_id here; (process, metric) in the reference's measures view),
+    delta to the previous sample ordered by (ts, id); a drop means the
+    counter restarted, so the new raw value is the contribution
+    (Prometheus increase() reset rule). Exact-decimal deltas so the
+    per-hour sum is summation-order independent; one window shuffle on
+    the series key, then one hash agg — both partition-parallel at 100 TB
+    when keyed by series."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pv = F.lag(v).over(w)
+    inc = (
+        F.when(pv.isNull(), F.lit(None).cast("decimal(18,6)"))
+        .when(v >= pv, v - pv)
+        .otherwise(v)
+    )
+    reset = F.when(pv.isNotNull() & (v < pv), 1).otherwise(0)
+    binned = ev.select(
+        (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"),
+        inc.alias("inc"),
+        reset.alias("reset"),
+    )
+    return (
+        binned.groupBy("hour_epoch")
+        .agg(
+            F.sum("inc").cast("double").alias("increase"),
+            F.sum("reset").cast("bigint").alias("n_resets"),
+            F.round(F.sum("inc").cast("double") / 3600, 6).alias("rate_per_sec"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+@query(
+    "events_slo_burn",
+    oracle="""
+    WITH b AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT hour_epoch, n, e,
+               CAST(SUM(n) OVER f AS BIGINT) AS n6,
+               CAST(SUM(e) OVER f AS BIGINT) AS e6
+        FROM b
+        WINDOW f AS (ORDER BY hour_epoch RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour_epoch, n, e,
+           round((e::DOUBLE / n) / 0.25, 6) AS burn_1h,
+           round((e6::DOUBLE / n6) / 0.25, 6) AS burn_6h,
+           CASE WHEN (e::DOUBLE / n) / 0.25 > 1.0 AND (e6::DOUBLE / n6) / 0.25 > 1.0
+                THEN 1 ELSE 0 END AS alert
+    FROM w ORDER BY hour_epoch
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the Google SRE
+    workbook rule): per hour, error ratio over a 75% SLO's budget gives
+    the short-window burn; a trailing 6h time-RANGE window (robust to
+    empty hours, unlike ROWS) gives the long window; alert only when BOTH
+    exceed 1x budget — the standard guard against blips and against
+    stale long-window averages. One agg + one ordered range-window over
+    the hour spine; partition by (service, slo) at fleet scale."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("bigint").alias("e"),
+    )
+    f = Window.orderBy("hour_epoch").rangeBetween(-18000, 0)
+    w = b.select(
+        "hour_epoch",
+        "n",
+        "e",
+        F.sum("n").over(f).cast("bigint").alias("n6"),
+        F.sum("e").over(f).cast("bigint").alias("e6"),
+    )
+    burn1 = (F.col("e").cast("double") / F.col("n")) / F.lit(0.25)
+    burn6 = (F.col("e6").cast("double") / F.col("n6")) / F.lit(0.25)
+    return w.select(
+        "hour_epoch",
+        "n",
+        "e",
+        F.round(burn1, 6).alias("burn_1h"),
+        F.round(burn6, 6).alias("burn_6h"),
+        F.when((burn1 > 1.0) & (burn6 > 1.0), 1).otherwise(0).alias("alert"),
+    ).orderBy("hour_epoch")
+
+
+@query(
+    "events_log_templates",
+    oracle=r"""
+    WITH m AS (
+        SELECT event_id, user_id,
+               regexp_split_to_array(trim(event_type || ' ' || props), '\s+') AS toks
+        FROM events
+    ),
+    p AS (
+        SELECT event_id, user_id, len(toks) AS n_toks,
+               unnest(generate_series(1, len(toks))) AS pos,
+               unnest(toks) AS tok
+        FROM m
+    ),
+    dec AS (
+        SELECT n_toks, pos, (COUNT(DISTINCT tok) > 8) AS masked
+        FROM p GROUP BY 1, 2
+    ),
+    tm AS (
+        SELECT p.event_id, min(p.user_id) AS user_id,
+               string_agg(CASE WHEN d.masked THEN '<*>' ELSE p.tok END,
+                          ' ' ORDER BY p.pos) AS template
+        FROM p JOIN dec d USING (n_toks, pos)
+        GROUP BY p.event_id
+    )
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS example_id
+    FROM tm GROUP BY template ORDER BY n DESC, template
+    """,
+)
+def events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log-template mining over the raw message stream
+    (event_type + payload here; the reference's log_entries messages in
+    production): positions whose distinct-token count exceeds a threshold
+    within each token-count group are variables -> masked ``<*>``; stable
+    slots survive verbatim. Two hash aggs + one broadcast of the tiny
+    per-slot mask dimension (operators/logmine.py) — no parse tree, no
+    Python crossing, partition-parallel at 100 TB. Output: each template
+    with its frequency, distinct-user spread and earliest exemplar."""
+    from micromegas_spark.operators.logmine import mine_templates
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        "event_id",
+        "user_id",
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("msg"),
+    )
+    tm = mine_templates(msgs, msg_col="msg", id_col="event_id").join(
+        msgs.select("event_id", "user_id"), "event_id"
+    )
+    return (
+        tm.groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").cast("bigint").alias("example_id"),
+        )
+        .orderBy(F.desc("n"), "template")
+    )

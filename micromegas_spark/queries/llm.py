@@ -2365,3 +2365,67 @@ def docs_cascade_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_docs.join(n_exact, "source").join(n_final, "source").orderBy("source")
     )
+
+
+_KMV_EST = (
+    "round(CASE WHEN len({l}) >= 256 THEN 255.0 / ({l}[len({l})] / 281474976710656.0) "
+    "ELSE len({l})::DOUBLE END, 6)"
+)
+_KMV_EST_RAW = (
+    "CASE WHEN len({l}) >= 256 THEN 255.0 / ({l}[len({l})] / 281474976710656.0) "
+    "ELSE len({l})::DOUBLE END"
+)
+
+
+@query(
+    "docs_kmv_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'A' ELSE 'B' END AS side,
+               {_TOKS} AS toks, text
+        FROM documents
+    ),
+    sh AS (SELECT side, {_SHINGLES} AS s FROM t),
+    hs AS (
+        SELECT side,
+               unnest(list_transform(s, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)) AS h
+        FROM sh
+    ),
+    d AS (SELECT DISTINCT side, h FROM hs),
+    ka AS (SELECT list_sort(list(h)) AS a FROM (SELECT h FROM d WHERE side = 'A' ORDER BY h LIMIT 256)),
+    kb AS (SELECT list_sort(list(h)) AS b FROM (SELECT h FROM d WHERE side = 'B' ORDER BY h LIMIT 256)),
+    m AS (SELECT a, b, list_sort(list_distinct(list_concat(a, b)))[1:256] AS u FROM ka, kb),
+    c AS (
+        SELECT a, b, u,
+               len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x)))::DOUBLE
+                   / len(u) AS jf
+        FROM m
+    )
+    SELECT CAST(256 AS BIGINT) AS k,
+           {_KMV_EST.format(l='a')} AS n_a_est,
+           {_KMV_EST.format(l='b')} AS n_b_est,
+           {_KMV_EST.format(l='u')} AS union_est,
+           round(jf * ({_KMV_EST_RAW.format(l='u')}), 6) AS inter_est,
+           round(jf, 6) AS jaccard_est
+    FROM c
+    """,
+)
+def docs_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation WITHOUT a join: KMV sketches (k=256
+    smallest 48-bit shingle hashes per side) merged into distinct/union/
+    intersection/Jaccard estimates (Beyer et al. SIGMOD'07). The 100 TB
+    answer to "how contaminated is corpus A by corpus B" — a few KB of
+    mergeable sketch per side vs an output-proportional join; the sketch
+    build is a scan-side threshold filter (~8k/N of rows survive), never
+    a global sort (operators/sketch.py). Reference parity: extends the
+    mergeable-sketch contract of SURVEY §2.4 A9 (HLL COUNT DISTINCT,
+    rust/analytics histogram/HLL UDAFs) to set algebra, which HLL alone
+    cannot express."""
+    from micromegas_spark.operators.sketch import kmv_hashes, kmv_merge_estimates, kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, "A").otherwise("B")
+    pairs = docs.select(
+        side.alias("side"), F.explode(kmv_hashes(F.col("text"))).alias("h")
+    )
+    return kmv_merge_estimates(kmv_sketches(pairs, k=256), k=256)
