@@ -465,7 +465,14 @@ def simhash_near_duplicates(
     the cap bounds the worst-case pair space at buckets·cap² instead of
     O(n²)."""
     chunk_bits = 64 // chunks
-    sh = simhash64(df, text_col, id_col)
+    # persisted: the 64-conditional-sum signature agg is the dominant cost
+    # and is consumed by every chunk branch of the union AND by both sides
+    # of _df_capped's count-then-join — without this it recomputes per
+    # consumer (exchange reuse across differently-projected consumers is
+    # not guaranteed)
+    from pyspark import StorageLevel
+
+    sh = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     parts = []
     for c in range(chunks):
         start = c * chunk_bits

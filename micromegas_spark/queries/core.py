@@ -1483,3 +1483,142 @@ def events_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "template")
     )
+
+
+@query(
+    "events_ohlc_downsample",
+    oracle="""
+    WITH v AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch,
+               epoch_us(ts) AS ts_us, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY hour_epoch ORDER BY ts_us, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY hour_epoch ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        FROM v
+    )
+    SELECT hour_epoch,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the dashboard-render query of every metrics
+    store (candlestick per bin: first/max/min/last + mean): open/close
+    resolved by a total (ts, id) tie-broken row_number per bin, extrema
+    and exact-decimal mean as plain aggregates. One window + one agg,
+    both keyed on the time bin — embarrassingly parallel across bins at
+    100 TB; per-series variants add the series key to both partitionings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"),
+        "ts_us",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("hour_epoch").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("hour_epoch").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    r = v.select(
+        "hour_epoch",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.groupBy("hour_epoch")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("mean"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+_HT_START, _HT_END, _HT_BINS = 0.0, 500.0, 25
+_HT_WIDTH = (_HT_END - _HT_START) / _HT_BINS
+
+
+@query(
+    "events_histogram_timeseries",
+    oracle=f"""
+    WITH v AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, value FROM events
+    ),
+    h AS (
+        SELECT hour_epoch,
+               CAST(LEAST(GREATEST(FLOOR((value - {_HT_START}) / {_HT_WIDTH}), 0.0), {_HT_BINS - 1}.0) AS BIGINT) AS b,
+               COUNT(*) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT hour_epoch, b, c,
+               SUM(c) OVER (PARTITION BY hour_epoch ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY hour_epoch) AS total
+        FROM h
+    )
+    SELECT hour_epoch,
+           round(arg_min(({_HT_START} + (CAST(b AS DOUBLE) + (0.95 * CAST(total AS DOUBLE) - (cum - c)) / c) * {_HT_WIDTH}), b), 6) AS p95,
+           CAST(MIN(total) AS BIGINT) AS n
+    FROM s
+    WHERE cum >= 0.95 * CAST(total AS DOUBLE)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_histogram_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus histogram_quantile over time: per hour bin, a fixed-bin
+    histogram of `value`, then the interpolated p95 read out of the bins
+    (SURVEY §2.4 A4+A6 composed into a timeseries — the reference's
+    histogram UDAF exists precisely so dashboards can do this over
+    pre-aggregated partials, histogram_udaf.rs + quantile.rs:96). The
+    histogram IS the mergeable partial: per-hour state is 25 counters no
+    matter how many raw events — the constant-size rollup contract that
+    makes p95-over-time tractable at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch"),
+        "value",
+    )
+    b = F.least(
+        F.greatest(F.floor((F.col("value") - _HT_START) / _HT_WIDTH), F.lit(0.0)),
+        F.lit(float(_HT_BINS - 1)),
+    ).cast("bigint")
+    h = v.groupBy("hour_epoch", b.alias("b")).agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("hour_epoch").orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("hour_epoch")
+    s = h.select(
+        "hour_epoch",
+        "b",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    p95 = (
+        _HT_START
+        + (F.col("b").cast("double") + (0.95 * F.col("total").cast("double") - (F.col("cum") - F.col("c"))) / F.col("c"))
+        * _HT_WIDTH
+    )
+    return (
+        s.where(F.col("cum") >= 0.95 * F.col("total").cast("double"))
+        .groupBy("hour_epoch")
+        .agg(
+            F.round(F.min_by(p95, F.col("b")), 6).alias("p95"),
+            F.min("total").cast("bigint").alias("n"),
+        )
+        .orderBy("hour_epoch")
+    )
