@@ -1303,9 +1303,7 @@ def events_funnel_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_counter_rate",
-    oracle="""
+_COUNTER_RATE_ORACLE = """
     WITH v AS (
         SELECT epoch_us(ts) AS ts_us, event_id, user_id,
                CAST(value AS DECIMAL(18,6)) AS v
@@ -1326,8 +1324,10 @@ def events_funnel_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                WHEN v >= pv THEN v - pv
                                ELSE v END) AS DOUBLE) / 3600, 6) AS rate_per_sec
     FROM l GROUP BY hour_epoch ORDER BY hour_epoch
-    """,
-)
+    """
+
+
+@query("events_counter_rate", oracle=_COUNTER_RATE_ORACLE)
 def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style increase()/rate() with counter-RESET handling — the
     monotonic-counter semantics every metrics backend needs: per series
@@ -1619,6 +1619,58 @@ def events_histogram_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min_by(p95, F.col("b")), 6).alias("p95"),
             F.min("total").cast("bigint").alias("n"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+@query("events_counter_rate_stream", oracle=_COUNTER_RATE_ORACLE)
+def events_counter_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING counter rate ≡ batch ≡ SQL oracle: the same events land
+    as two time-split micro-batches; applyInPandasWithState keeps each
+    series' LAST SAMPLE as keyed state across the batch boundary
+    (streaming/stateful.streaming_counter_increments), so the delta whose
+    two samples arrive in different batches is still computed exactly
+    once — then the per-hour rollup of the streamed increments matches
+    events_counter_rate's exact-decimal DuckDB oracle bit-for-bit
+    (increments travel as micro-unit integers; the final
+    sum(micro)/1e6 → double equals the batch CAST(SUM(decimal) AS
+    DOUBLE) because both are the nearest double to the same rational).
+    Batch ORDER is pinned by one_shot_stream_table; within a series
+    state transitions sort by (ts, id) exactly like the batch window."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from micromegas_spark.streaming.incremental import one_shot_stream_table
+    from micromegas_spark.streaming.stateful import streaming_counter_increments
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select("user_id", "event_id", "ts_us", "value")
+    lo, hi = samples.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    incs = one_shot_stream_table(
+        spark,
+        [samples.where(F.col("ts_us") < mid), samples.where(F.col("ts_us") >= mid)],
+        schema,
+        streaming_counter_increments,
+        "counter_rate_stream_tbl",
+        output_mode="append",
+    )
+    inc = F.when(F.col("has_inc") == 1, F.col("inc_micro"))
+    increase = F.sum(inc).cast("double") / F.lit(1e6)
+    return (
+        incs.groupBy("hour_epoch")
+        .agg(
+            increase.alias("increase"),
+            F.sum("reset").cast("bigint").alias("n_resets"),
+            F.round(increase / 3600, 6).alias("rate_per_sec"),
         )
         .orderBy("hour_epoch")
     )

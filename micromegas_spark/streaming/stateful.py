@@ -101,3 +101,64 @@ def streaming_thread_spans(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming counter rate (PromQL increase() with reset handling, live)
+# ---------------------------------------------------------------------------
+
+RATE_ROW_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("hour_epoch", LongType()),
+        StructField("inc_micro", LongType()),
+        StructField("has_inc", IntegerType()),
+        StructField("reset", IntegerType()),
+    ]
+)
+
+_RATE_STATE_SCHEMA = StructType([StructField("last_json", StringType())])
+
+
+def _process_counter(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    """Per-series state = the last sample's scaled value. Values travel as
+    exact micro-units (round-half-up of value*1e6 — the same rounding as a
+    DECIMAL(18,6) cast), so streamed increments match the batch query's
+    exact-decimal arithmetic bit-for-bit, not approximately."""
+    (user_id,) = key
+    last = json.loads(state.get[0]) if state.exists else None  # [ts_us, event_id, v_micro]
+    out: list[dict] = []
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    for ev in pdf.to_dict("records"):
+        v = int((float(ev["value"]) * 1e6) + 0.5)  # half-up; values are >= 0
+        hour = (int(ev["ts_us"]) // 3_600_000_000) * 3600
+        row = {"user_id": int(user_id), "hour_epoch": hour, "inc_micro": 0, "has_inc": 1, "reset": 0}
+        if last is None:
+            row["inc_micro"], row["has_inc"] = 0, 0  # first-ever sample: no attributable increase
+        elif v >= last[2]:
+            row["inc_micro"] = v - last[2]
+        else:
+            row["inc_micro"], row["reset"] = v, 1  # counter restarted below the last sample
+        out.append(row)
+        last = [int(ev["ts_us"]), int(ev["event_id"]), v]
+    state.update((json.dumps(last),))
+    yield pd.DataFrame(out, columns=[f.name for f in RATE_ROW_SCHEMA.fields])
+
+
+def streaming_counter_increments(events: DataFrame) -> DataFrame:
+    """events (streaming DF: user_id, event_id, ts_us, value) → one
+    increment row per sample with counter-reset semantics; keyed state =
+    the series' last sample, surviving micro-batch boundaries, so a
+    delta whose samples arrive in different batches is still computed
+    exactly once (the streaming twin of events_counter_rate)."""
+    from micromegas_spark.session import configure
+
+    configure(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _process_counter,
+        outputStructType=RATE_ROW_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -299,3 +299,35 @@ def test_winnow_overlap_single_pass(spark):
         for ln in ex
     ), ex
     assert "SortMergeJoin" not in plan
+
+
+def test_log_templates_mask_broadcast_and_two_aggs(spark):
+    # the per-slot mask dimension must broadcast back (never shuffle the
+    # corpus against it), and template mining is hash aggs, not sorts
+    plan = _plan(spark, "events_log_templates")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_sketch_no_global_sort(spark):
+    # the k-smallest build is threshold-filter + per-side collect; a
+    # rangepartitioning exchange would mean a global sort of the distinct
+    # hash relation crept back in
+    plan = _plan(spark, "docs_kmv_overlap")
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_counter_rate_single_series_shuffle(spark):
+    # one hashpartitioning exchange on the series key feeds the lag
+    # window; the hour rollup reuses or re-shuffles the small binned rows
+    plan = _plan(spark, "events_counter_rate")
+    assert "hashpartitioning(user_id" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ohlc_windows_share_hour_partitioning(spark):
+    plan = _plan(spark, "events_ohlc_downsample")
+    # both row_number windows and the final agg key on hour_epoch — count
+    # the exchanges: the two opposite-order windows share one partitioning
+    assert plan.count("hashpartitioning(hour_epoch") >= 1
+    assert "CartesianProduct" not in plan
