@@ -104,6 +104,32 @@ def hash_topk_per_group(
     )
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, key_col: str, salt: str = "ws"
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement (PPS):
+    each row draws an exponential clock key = -ln(u)/w from the portable
+    md5 PRNG; the k smallest keys are a probability-proportional-to-size
+    sample (the Gumbel/exponential-race identity — equivalent to the
+    classic u^(1/w) max-k formulation, but the smallest-k form composes
+    with TakeOrderedAndProject: no global sort, map-side partial top-k).
+    THE training-mix primitive: sample documents proportional to a
+    quality/importance score, reproducibly, in one pass. u is nudged by
+    2^-60 (one PRNG step) so a zero hash cannot produce ln(0).
+
+    The ln() crossing is the one engine-libm dependence (ulp-level);
+    selection differs only if two keys collide within error — the same
+    accepted risk as the unigram-LM/perplexity queries."""
+    _check_key_type(df, key_col)
+    u = sample_unit(F.col(key_col), salt)
+    key = -F.log(u + F.lit(2.0**-60)) / F.col(weight_col)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

@@ -2429,3 +2429,31 @@ def docs_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         side.alias("side"), F.explode(kmv_hashes(F.col("text"))).alias("h")
     )
     return kmv_merge_estimates(kmv_sketches(pairs, k=256), k=256)
+
+
+@query(
+    "docs_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               -ln((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / 1152921504606846976.0) + 8.673617379884035e-19) / n_chars AS es_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(es_key, 9) AS es_key
+    FROM w ORDER BY w.es_key, doc_id LIMIT 50
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size document sampling
+    (Efraimidis-Spirakis exponential clocks, operators/sampling.
+    weighted_sample): longer documents (n_chars as the importance weight
+    — a quality score in production) win proportionally more slots, the
+    md5 PRNG makes the draw reproducible on both engines, and the
+    smallest-k form runs as TakeOrderedAndProject — per-partition
+    partial top-k, no global sort, no shuffle of the corpus at 100 TB."""
+    from micromegas_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    s = weighted_sample(d, weight_col="n_chars", k=50, key_col="doc_id")
+    return s.select("doc_id", "source", "n_chars", F.round("es_key", 9).alias("es_key"))

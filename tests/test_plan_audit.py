@@ -331,3 +331,9 @@ def test_ohlc_windows_share_hour_partitioning(spark):
     # the exchanges: the two opposite-order windows share one partitioning
     assert plan.count("hashpartitioning(hour_epoch") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_topk_no_global_sort(spark):
+    plan = _plan(spark, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
