@@ -2377,9 +2377,7 @@ _KMV_EST_RAW = (
 )
 
 
-@query(
-    "docs_kmv_overlap",
-    oracle=f"""
+_KMV_ORACLE = f"""
     WITH t AS (
         SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'A' ELSE 'B' END AS side,
                {_TOKS} AS toks, text
@@ -2408,8 +2406,10 @@ _KMV_EST_RAW = (
            round(jf * ({_KMV_EST_RAW.format(l='u')}), 6) AS inter_est,
            round(jf, 6) AS jaccard_est
     FROM c
-    """,
-)
+    """
+
+
+@query("docs_kmv_overlap", oracle=_KMV_ORACLE)
 def docs_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-overlap estimation WITHOUT a join: KMV sketches (k=256
     smallest 48-bit shingle hashes per side) merged into distinct/union/
@@ -2457,3 +2457,43 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     s = weighted_sample(d, weight_col="n_chars", k=50, key_col="doc_id")
     return s.select("doc_id", "source", "n_chars", F.round("es_key", 9).alias("es_key"))
+
+
+@query("docs_kmv_overlap_stream", oracle=_KMV_ORACLE)
+def docs_kmv_overlap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV sketch maintenance ≡ batch ≡ SQL oracle: the corpus
+    streams in as two doc-id-split micro-batches; keyed state per side is
+    the current k smallest distinct hashes (streaming/stateful.
+    streaming_kmv_sketches). Because sketches are monotone, the k
+    smallest across all per-batch emissions equal the final state, and
+    the merged estimates match docs_kmv_overlap's oracle bit-for-bit —
+    the mergeable-sketch contract (SURVEY §2.4 A2/A9) held live."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from micromegas_spark.operators.sketch import kmv_hashes, kmv_merge_estimates
+    from micromegas_spark.streaming.incremental import one_shot_stream_table
+    from micromegas_spark.streaming.stateful import streaming_kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, "A").otherwise("B")
+    pairs = docs.select(
+        F.col("doc_id"), side.alias("side"), F.explode(kmv_hashes(F.col("text"))).alias("h")
+    )
+    schema = StructType([StructField("side", StringType()), StructField("h", LongType())])
+    emissions = one_shot_stream_table(
+        spark,
+        [
+            pairs.where(F.col("doc_id") % 2 == 0).select("side", "h"),
+            pairs.where(F.col("doc_id") % 2 == 1).select("side", "h"),
+        ],
+        schema,
+        lambda s: streaming_kmv_sketches(s, k=256),
+        "kmv_overlap_stream_tbl",
+        output_mode="append",
+    )
+    sketches = (
+        emissions.select("side", F.explode(F.from_json("ks_json", "array<bigint>")).alias("h"))
+        .groupBy("side")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 256).alias("ks"))
+    )
+    return kmv_merge_estimates(sketches, k=256)

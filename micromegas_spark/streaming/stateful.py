@@ -162,3 +162,54 @@ def streaming_counter_increments(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV sketch maintenance (live corpus-overlap estimation)
+# ---------------------------------------------------------------------------
+
+KMV_ROW_SCHEMA = StructType(
+    [
+        StructField("side", StringType()),
+        StructField("ks_json", StringType()),
+    ]
+)
+
+_KMV_STATE_SCHEMA = StructType([StructField("ks_json", StringType())])
+
+
+def _make_process_kmv(k: int):
+    def _process_kmv(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        (side,) = key
+        ks: list[int] = json.loads(state.get[0]) if state.exists else []
+        seen = set(ks)
+        for pdf in pdf_iter:
+            seen.update(int(h) for h in pdf["h"])
+        ks = sorted(seen)[:k]
+        state.update((json.dumps(ks),))
+        # emit the current sketch each batch: sketches are monotone
+        # (k-smallest of a superset), so the k smallest of ALL emissions
+        # equals the final state — downstream re-slices, no "last batch"
+        # bookkeeping needed
+        yield pd.DataFrame([{"side": side, "ks_json": json.dumps(ks)}])
+
+    return _process_kmv
+
+
+def streaming_kmv_sketches(pairs: DataFrame, k: int) -> DataFrame:
+    """(side, h) stream → per-batch KMV sketch emissions; keyed state =
+    the side's current k smallest distinct hashes. The streaming twin of
+    operators/sketch.kmv_sketches: sketches stay a few KB per key no
+    matter how much data streams through — the mergeable-sketch contract
+    maintained live. Parallelism scales with the number of sketch keys
+    ((corpus, shard) in production; two sides here)."""
+    from micromegas_spark.session import configure
+
+    configure(pairs.sparkSession)
+    return pairs.groupBy("side").applyInPandasWithState(
+        _make_process_kmv(k),
+        outputStructType=KMV_ROW_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
