@@ -875,3 +875,91 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "interpolated",
     ).orderBy("user_id", "day")
+
+
+_SPAN_SELFTIME_ORACLE = """
+    WITH numbered AS (
+        SELECT CAST(user_id AS VARCHAR) AS stream_id, event_id,
+               epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ),
+    marked AS (
+        SELECT stream_id, ts_us, rn,
+               CASE WHEN (rn - 1) % 8 IN (0, 1, 3, 6) THEN 1 ELSE -1 END AS delta
+        FROM numbered WHERE rn <= 8 * (cnt // 8)
+    ),
+    depths AS (
+        SELECT *, CAST(SUM(delta) OVER (PARTITION BY stream_id ORDER BY rn) AS BIGINT) AS c
+        FROM marked
+    ),
+    begins AS (
+        SELECT stream_id, ts_us AS begin_ts, c AS d,
+               ROW_NUMBER() OVER (PARTITION BY stream_id, c ORDER BY rn) AS k
+        FROM depths WHERE delta = 1
+    ),
+    ends AS (
+        SELECT stream_id, ts_us AS end_ts, c + 1 AS d,
+               ROW_NUMBER() OVER (PARTITION BY stream_id, c ORDER BY rn) AS k
+        FROM depths WHERE delta = -1
+    ),
+    spans AS (
+        SELECT b.stream_id, b.d, b.begin_ts, e.end_ts,
+               e.end_ts - b.begin_ts AS duration
+        FROM begins b JOIN ends e USING (stream_id, d, k)
+    ),
+    kids AS (
+        SELECT p.stream_id, p.d, p.begin_ts,
+               CAST(SUM(c.duration) AS BIGINT) AS child_dur
+        FROM spans p JOIN spans c
+          ON c.stream_id = p.stream_id AND c.d = p.d + 1
+         AND c.begin_ts >= p.begin_ts AND c.end_ts <= p.end_ts
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.stream_id, CAST(s.d - 1 AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(s.duration) AS BIGINT) AS total_duration,
+           CAST(SUM(s.duration - COALESCE(k.child_dur, 0)) AS BIGINT) AS total_self
+    FROM spans s LEFT JOIN kids k USING (stream_id, d, begin_ts)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("events_span_selftime", oracle=_SPAN_SELFTIME_ORACLE)
+def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flamegraph EXCLUSIVE time — the profiler rollup every tracing UI
+    renders (reference: span trees feed Perfetto; self time = duration −
+    Σ direct children): the stack machine's parent links make it one
+    aggregate on parent id + one left join, both partition-local to the
+    stream key. The oracle recomputes parenthood independently via
+    depth-containment (the unique d−1 span enclosing each span), so the
+    parent links themselves are what's being checked, not just durations.
+    Output: per (stream, depth) span counts, inclusive and exclusive
+    totals."""
+    from micromegas_spark.operators.spans import build_thread_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = build_thread_spans(_synth_nested_events(ev), 0, 2**62)
+    kid = spans.groupBy("stream_id", "parent").agg(
+        F.sum("duration").alias("child_dur")
+    )
+    s = spans.join(
+        kid,
+        (spans["id"] == kid["parent"]) & (spans["stream_id"] == kid["stream_id"]),
+        "left",
+    ).select(
+        spans["stream_id"],
+        spans["depth"],
+        spans["duration"],
+        (spans["duration"] - F.coalesce(kid["child_dur"], F.lit(0))).alias("self_time"),
+    )
+    return (
+        s.groupBy("stream_id", "depth")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("duration").cast("bigint").alias("total_duration"),
+            F.sum("self_time").cast("bigint").alias("total_self"),
+        )
+        .orderBy("stream_id", "depth")
+    )
