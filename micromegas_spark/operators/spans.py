@@ -481,3 +481,55 @@ def span_concurrency(
         F.max("open_spans").cast("bigint").alias("peak_concurrency"),
         (F.count("*") / 2).cast("bigint").alias("n_spans"),
     )
+
+
+
+def span_self_times(
+    spans: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    duration_col: str = "duration",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Flamegraph EXCLUSIVE time per span: self = duration − Σ direct
+    children (the single most-used profiler aggregate; the reference's
+    span trees feed Perfetto's flamegraph, which renders exactly this —
+    perfetto_trace_execution_plan.rs / span_table.rs parent links).
+
+    Returns the input columns plus ``self_time``. Rows whose id never
+    appears as any child's parent (leaves) get self = duration; unclosed
+    spans contribute their healed duration like any other (call_tree.rs
+    heals end to the range bound, so duration is always defined).
+
+    Scale shape: one partial-aggregated groupBy on (keys, parent) — the
+    child-sum relation is at most one row per INTERNAL node, i.e. ≤ the
+    span count — followed by one left join back on (keys, id). Both
+    shuffles hash on the stream key first, so a repartition by key
+    upstream (build_thread_spans already leaves data key-partitioned)
+    lets AQE reuse co-location; no window over the whole trace, no
+    self-join on time containment (that formulation is O(n·fanout) per
+    stream and needs the begin/end sort this one avoids).
+
+    The aggregated side is renamed (``_sst_*``) BEFORE the self-join:
+    joining a DataFrame to an aggregate derived from itself with
+    ``spans["id"] == kid["parent"]`` is ambiguous to the analyzer (both
+    sides share lineage), the classic Spark self-join trap.
+    """
+    keys = list(key_cols or [])
+    kid = (
+        spans.groupBy(*keys, parent_col)
+        .agg(F.sum(duration_col).alias("_sst_child_dur"))
+        .withColumnRenamed(parent_col, "_sst_pid")
+    )
+    for k in keys:
+        kid = kid.withColumnRenamed(k, f"_sst_{k}")
+    cond = spans[id_col] == kid["_sst_pid"]
+    for k in keys:
+        cond = cond & (spans[k].eqNullSafe(kid[f"_sst_{k}"]))
+    joined = spans.join(kid, cond, "left")
+    return joined.select(
+        *[spans[c] for c in spans.columns],
+        (
+            spans[duration_col] - F.coalesce(kid["_sst_child_dur"], F.lit(0))
+        ).alias("self_time"),
+    )

@@ -937,22 +937,12 @@ def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent links themselves are what's being checked, not just durations.
     Output: per (stream, depth) span counts, inclusive and exclusive
     totals."""
-    from micromegas_spark.operators.spans import build_thread_spans
+    from micromegas_spark.operators.spans import build_thread_spans, span_self_times
 
     ev = load_table(spark, sf_dir, "events")
     spans = build_thread_spans(_synth_nested_events(ev), 0, 2**62)
-    kid = spans.groupBy("stream_id", "parent").agg(
-        F.sum("duration").alias("child_dur")
-    )
-    s = spans.join(
-        kid,
-        (spans["id"] == kid["parent"]) & (spans["stream_id"] == kid["stream_id"]),
-        "left",
-    ).select(
-        spans["stream_id"],
-        spans["depth"],
-        spans["duration"],
-        (spans["duration"] - F.coalesce(kid["child_dur"], F.lit(0))).alias("self_time"),
+    s = span_self_times(spans, key_cols=["stream_id"]).select(
+        "stream_id", "depth", "duration", "self_time"
     )
     return (
         s.groupBy("stream_id", "depth")

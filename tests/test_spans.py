@@ -417,3 +417,71 @@ def test_span_concurrency_zero_length_spans_count(spark):
     # user 1: lone instantaneous span -> peak 1
     # user 2: [0,10) closes at 10 BEFORE the zero-length [10,10] opens -> peak 1
     assert got == {1: (1, 1), 2: (1, 2)}
+
+
+def test_span_self_times_basic(spark):
+    from micromegas_spark.operators.spans import span_self_times
+
+    # root(0..100) -> a(10..40), b(50..90); a -> leaf(20..30)
+    rows = [
+        ("s1", 1, -1, 100),
+        ("s1", 2, 1, 30),
+        ("s1", 3, 1, 40),
+        ("s1", 4, 2, 10),
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, id long, parent long, duration long")
+    out = {
+        r["id"]: r["self_time"]
+        for r in span_self_times(df, key_cols=["stream_id"]).collect()
+    }
+    assert out == {1: 100 - 70, 2: 30 - 10, 3: 40, 4: 10}
+
+
+def test_span_self_times_multi_stream_isolated(spark):
+    from micromegas_spark.operators.spans import span_self_times
+
+    # same ids in two streams — child sums must not cross streams
+    rows = [
+        ("a", 1, -1, 100),
+        ("a", 2, 1, 60),
+        ("b", 1, -1, 50),
+        ("b", 2, 1, 5),
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, id long, parent long, duration long")
+    out = {
+        (r["stream_id"], r["id"]): r["self_time"]
+        for r in span_self_times(df, key_cols=["stream_id"]).collect()
+    }
+    assert out == {("a", 1): 40, ("a", 2): 60, ("b", 1): 45, ("b", 2): 5}
+
+
+def test_span_self_times_from_healed_unclosed_spans(spark):
+    from micromegas_spark.operators.spans import build_thread_spans, span_self_times
+
+    # begin root, begin child, child never closed: both heal to range end
+    events = spark.createDataFrame(
+        [
+            ("t", 1, "begin", 0, 11, "root", "m", "a.rs", 1),
+            ("t", 2, "begin", 10, 22, "child", "m", "a.rs", 2),
+        ],
+        "stream_id string, event_id long, event_type string, time_ns long, "
+        "hash long, name string, target string, filename string, line int",
+    )
+    spans = build_thread_spans(events, 0, 100)
+    out = {
+        r["hash"]: (r["duration"], r["self_time"])
+        for r in span_self_times(spans, key_cols=["stream_id"]).collect()
+    }
+    # root 0..100 (healed), child 10..100 (healed): root self = 100-90
+    assert out == {11: (100, 10), 22: (90, 90)}
+
+
+def test_span_self_times_preserves_input_columns(spark):
+    from micromegas_spark.operators.spans import span_self_times
+
+    df = spark.createDataFrame(
+        [("s", 1, -1, 10, "x")],
+        "stream_id string, id long, parent long, duration long, name string",
+    )
+    out = span_self_times(df, key_cols=["stream_id"])
+    assert out.columns == ["stream_id", "id", "parent", "duration", "name", "self_time"]
