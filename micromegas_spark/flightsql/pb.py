@@ -52,6 +52,15 @@ def _len_field(field: int, payload: bytes) -> bytes:
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
     while True:
+        # bounds + shift cap as ValueError: the wire-facing callers (raw-SQL
+        # ticket fallback, DoPut command parse) treat ValueError as "not
+        # protobuf" — a truncated varint must not escape as IndexError, and
+        # 10 continuation bytes (shift 63) is the uint64 maximum, anything
+        # longer is adversarial
+        if pos >= len(data):
+            raise ValueError("truncated varint")
+        if shift > 63:
+            raise ValueError("varint exceeds 64 bits")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift

@@ -295,10 +295,17 @@ class FlightSQLServer:
             # from the collected dictionary — which the transport would
             # deliver as NULLs
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            schema, raw = dictionary_encode_stream(
-                df, schema, _stream_batches(df, self.batch_rows),
-                self.max_dictionary_values,
-            )
+            try:
+                schema, raw = dictionary_encode_stream(
+                    df, schema, _stream_batches(df, self.batch_rows),
+                    self.max_dictionary_values,
+                )
+            except BaseException:
+                # the batch generator (whose finally owns the unpersist)
+                # doesn't exist yet — don't leave the result cached in the
+                # long-lived server session
+                df.unpersist()
+                raise
 
             def batches(d=df, inner=raw):
                 try:

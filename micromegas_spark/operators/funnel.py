@@ -5,8 +5,10 @@ surface a telemetry lakehouse is used for (the reference's docs drive the
 same events tables at dashboards). Semantics: earliest-anchor greedy
 matching, the standard funnel-engine contract — step 1 matches each
 user's EARLIEST step-1 event, and each later step matches its earliest
-event strictly after the previous match (optionally within
-``window_ns`` of the anchor). Greedy-from-earliest can miss windowed
+event strictly after the previous match (optionally within ``window``
+of the anchor — expressed in ``ts_col``'s own unit, whatever that is;
+the in-repo callers pass microsecond timestamps and a microsecond
+window). Greedy-from-earliest can miss windowed
 sequences a later anchor would complete; that caveat is inherent to the
 contract and mirrored exactly by the DuckDB oracle.
 """
@@ -23,7 +25,7 @@ def funnel_counts(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
-    window_ns: int | None = None,
+    window: int | None = None,
 ) -> DataFrame:
     """Users reaching each funnel step in order → (step, event_type,
     n_users), step 1-indexed.
@@ -41,20 +43,20 @@ def funnel_counts(
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t1"))
     )
-    if window_ns is not None:
-        cur = cur.select(user_col, "_t1", (F.col("_t1") + F.lit(window_ns)).alias("_hi"))
+    if window is not None:
+        cur = cur.select(user_col, "_t1", (F.col("_t1") + F.lit(window)).alias("_hi"))
     out_counts = [cur.agg(F.count("*").cast("bigint").alias("n")).select(
         F.lit(1).cast("bigint").alias("step"), F.lit(steps[0]).alias(type_col), "n"
     )]
     prev = cur
     for i, step in enumerate(steps[1:], start=2):
         cond = (F.col(type_col) == step) & (F.col(ts_col) > F.col(f"_t{i-1}"))
-        if window_ns is not None:
+        if window is not None:
             cond = cond & (F.col(ts_col) <= F.col("_hi"))
         nxt = (
             df.join(prev, user_col)
             .where(cond)
-            .groupBy(user_col, *( ["_hi"] if window_ns is not None else [] ))
+            .groupBy(user_col, *( ["_hi"] if window is not None else [] ))
             .agg(F.min(ts_col).alias(f"_t{i}"))
         )
         out_counts.append(

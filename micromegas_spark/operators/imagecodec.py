@@ -105,7 +105,10 @@ def decode_image(payload: bytes):
         bmp = _parse_bmp_header(payload or b"")
         if bmp is not None:
             w, h, bpp, _off, _td = bmp
-            return ("bmp", w, h, bpp // 8)
+            # decode_image_array drops the alpha plane of 32-bpp BMPs
+            # (rows[:, :, 2::-1]), so header metadata reports the channel
+            # count the pixel path actually yields
+            return ("bmp", w, h, min(bpp // 8, 3))
     except Exception:
         return None
     return None

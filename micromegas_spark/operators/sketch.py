@@ -60,6 +60,12 @@ def kmv_sketches(pairs: DataFrame, k: int, side_col: str = "side", hash_col: str
     try:
         # per-side distinct counts: one small agg over the distinct relation
         counts = {r["side"]: r["n"] for r in d.groupBy("side").agg(F.count("*").alias("n")).collect()}
+        if not counts:
+            # empty input: F.coalesce(*[]) below would raise — the empty
+            # (side, ks) relation is the correct empty sketch set
+            return d.groupBy("side").agg(
+                F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks")
+            )
         slack = 8.0
         for _ in range(4):
             # scan-side threshold per side: keep h < 2^48 * slack*k/n

@@ -1299,7 +1299,7 @@ def events_funnel_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return funnel_counts(
         e, ["view", "click", "purchase"], ts_col="ts_us",
-        window_ns=259_200_000_000,
+        window=259_200_000_000,  # 3 days in ts_us's unit (µs)
     )
 
 

@@ -492,7 +492,7 @@ def test_funnel_counts_order_and_window(spark):
     df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts BIGINT")
     got = {
         (r["step"], r["event_type"]): r["n"]
-        for r in funnel_counts(df, ["view", "click", "buy"], window_ns=1000).collect()
+        for r in funnel_counts(df, ["view", "click", "buy"], window=1000).collect()
     }
     assert got == {(1, "view"): 3, (2, "click"): 2, (3, "buy"): 1}
     # unwindowed: u3's late buy now counts
