@@ -532,24 +532,20 @@ def blocked_jaccard_pairs(
     scale even though every other bucket is tiny. The prefix filter bounds
     candidates by shared-shingle co-occurrence instead:
 
-    J(A,B) >= t  ⟹  C(A,B) = |A∩B|/|A| >= t  (since |A∪B| >= |A|), so
-    every Jaccard-t pair is a containment-t pair BOTH ways — the
-    containment prefix bound applies verbatim: at least one of A's
-    |A| − ceil(t·|A|) + 1 SMALLEST shingle hashes must appear in Sh(B).
-    Probing each doc's prefix against a (blk, hash)-bucketed inverted
-    index of all shingles finds every qualifying pair from whichever side
-    has the smaller id (lossless); the index buckets are df-capped like
-    containment_pairs — a shingle shared by more than ``max_doc_freq``
-    same-block docs is corpus furniture carrying no identity signal, and
-    dropping it bounds the candidate space (lossy ONLY for docs whose
-    entire prefix is capped-out; a degenerate boilerplate block belongs
-    in exact dedup first, exactly the sibling operators' contract).
-
-    A size-ratio prefilter runs BEFORE the per-pair set intersection:
-    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose set sizes differ
-    by more than the threshold ratio cannot pass — two integer compares
-    replace an array_intersect for the bulk of candidate pairs (lossless;
-    the standard length-filter from set-similarity joins)."""
+    The verify step is index-native counting (see containment_pairs /
+    _pair_counts): |A∩B| is a groupBy COUNT over the (blk, hash)-bucketed
+    capped index's co-occurrence pairs, J = ∩/(|A|+|B|−∩) from per-doc
+    capped-universe sizes — two ints per pair through the final join, no
+    shingle array ever shipped per pair (the array-verify formulation was
+    the sf10 ~400 GB sort spill, SCALE.md). Jaccard is evaluated over the
+    DF-CAPPED universe: a shingle shared by more than ``max_doc_freq``
+    same-block docs is corpus furniture and is excluded from both the
+    intersection and the set sizes — identical to the uncapped exact
+    answer whenever the cap doesn't bind (max block df at sf0.1: 11 vs
+    the 1000 cap, so the DuckDB oracle's uncapped quadratic check matches
+    hash-for-hash), and the right call at 100 TB (a degenerate
+    boilerplate block belongs in exact dedup first, exactly the sibling
+    operators' contract)."""
     from pyspark import StorageLevel
 
     sh = (
@@ -559,53 +555,81 @@ def blocked_jaccard_pairs(
             (F.col(block_col) / F.lit(block_width)).cast("bigint").alias("blk"),
             F.array_sort(hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
-        .select("*", F.size("sh").alias("_nsh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # prefix length n − ceil(t·n) + 1; round-before-ceil guards the
-    # integral-boundary float case (see containment_pairs)
-    prefix_len = F.greatest(
-        F.col("_nsh")
-        - F.ceil(F.round(F.lit(threshold) * F.col("_nsh"), 6)).cast("int")
-        + F.lit(1),
-        F.lit(1),
-    )
-    probe = sh.select(
-        F.col(id_col).alias("_ia"),
-        F.col("blk"),
-        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
-    )
-    index = _capped_posting_buckets(
-        sh.select(F.col(id_col).alias("_ib"), "blk", F.explode("sh").alias("h")),
-        "_ib",
-        max_doc_freq,
-        keys=("blk", "h"),
-    )
-    cand = (
-        probe.join(index, ["blk", "h"])
-        .select("_ia", F.explode("ids").alias("_ib"))
-        .where(F.col("_ia") < F.col("_ib"))
-        .distinct()
-    )
-    a = sh.select(
-        F.col(id_col).alias("_ia"), F.col("sh").alias("_sa"), F.col("_nsh").alias("_na")
-    )
-    b = sh.select(
-        F.col(id_col).alias("_ib"), F.col("sh").alias("_sb"), F.col("_nsh").alias("_nb")
-    )
-    size_ok = F.least(F.col("_na"), F.col("_nb")) >= (
-        F.greatest(F.col("_na"), F.col("_nb")) * F.lit(threshold)
+    posting = sh.select(F.col(id_col), "blk", F.explode("sh").alias("h"))
+    capped = _df_capped(posting, ("blk", "h"), max_doc_freq)
+    buckets = capped.groupBy("blk", "h").agg(F.collect_list(id_col).alias("ids"))
+    inter = _pair_counts(buckets)
+    # a doc lives in exactly one block, so per-doc sizes key on id alone
+    sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
+    na = sizes.select(F.col(id_col).alias("_ia"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("_ib"), F.col("_n").alias("_nb"))
+    j = F.round(
+        F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
     )
     return (
-        cand.join(a, "_ia")
-        .join(b, "_ib")
-        .where(size_ok)
+        inter.join(na, "_ia")
+        .join(nb, "_ib")
         .select(
             F.col("_ia").alias("id_a"),
             F.col("_ib").alias("id_b"),
-            F.round(jaccard(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
+            j.alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
+    """Inverted-index buckets → exact per-pair intersection counts
+    (_ia < _ib, _inter = number of buckets where both ids co-occur) —
+    the verify step of the exact set-similarity joins, computed from the
+    index ITSELF instead of joining each candidate pair's two full
+    shingle arrays.
+
+    Why: the array-shipping verify was the sf10 disk wall (SCALE.md §sf10
+    lesson 2) — ~300M true clone pairs × two ~650 B arrays sorted through
+    a merge join ≈ 400 GB of sort spill. Here nothing wider than 24 bytes
+    ever shuffles: bucket pairs stream from the explode straight into a
+    partial hash aggregate, and the shuffle carries the aggregate's
+    output rows (pair + count).
+
+    The repartition by hash(ids) is the load-bearing trick: a clone
+    cluster's buckets are IDENTICAL id lists repeated once per shared
+    shingle, so co-locating equal lists lets the partial aggregate
+    collapse a cluster's n-fold duplicate pairs to ONE pre-shuffle row —
+    the shuffle is then proportional to DISTINCT co-occurring pairs, not
+    pairs × shingles. (Mixed buckets co-locate only when byte-equal;
+    the aggregate stays correct either way, just less pre-reduced.) One
+    mega-cluster signature lands on a single task — bounded at
+    buckets × C(max_doc_freq, 2) emissions by the df cap upstream.
+
+    ids are deduped + sorted before pair generation, so _ia < _ib holds
+    and an in-doc 32-bit hash collision can't double-count a bucket.
+
+    Pair generation is a TWO-step explode (posexplode the left element,
+    then explode the array tail after it), not one flattened
+    struct-pair array: higher-order functions evaluate interpreted
+    (no codegen), and a single C(cap, 2) = 500k-element boxed array per
+    row × 32 concurrent tasks was a measured executor heap OOM at sf10.
+    The two-step form streams through whole-stage codegen with O(k)
+    per-row memory; the pair rows never materialize as a collection."""
+    p = buckets.sparkSession.sparkContext.defaultParallelism
+    b = buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids")).repartition(
+        p * 4, F.hash("ids")
+    )
+    left = b.select(F.posexplode("ids").alias("_i", "_ia"), F.col("ids"))
+    return (
+        left.select(
+            "_ia",
+            # 0-based pos → partners strictly after _ia; slice tolerates
+            # length past the end and yields [] at the last element
+            F.explode(
+                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("_ib"),
+        )
+        .groupBy("_ia", "_ib")
+        .agg(F.count("*").alias("_inter"))
     )
 
 
@@ -646,15 +670,25 @@ def containment_pairs(
     symmetric Jaccard misses: a snippet quoted inside a larger page has
     high containment but low resemblance.
 
-    Scale shape — prefix filtering (the PPJoin family's length/prefix
-    bound applied to containment): if C(a,b) >= t then at least one of
-    a's floor((1-t)*|Sh(a)|)+1 SMALLEST shingle hashes must appear in
-    Sh(b), so the probe side explodes only that prefix (a handful of
-    hashes per doc at high t) against the inverted index of all
-    shingles. The candidate join shuffles on the shingle hash; the
-    verify step reads the persisted shingle sets once per side. No
-    O(n²) pair space — candidates are bounded by shared-shingle
-    co-occurrence, exactly like the LSH band join."""
+    Scale shape — index-native counting (Vernica/Carey/Li's MapReduce
+    set-similarity verify, turned into two hash aggregates): the capped
+    inverted index's buckets already encode every co-occurrence, so
+    |A∩B| is a groupBy COUNT over bucket pairs (_pair_counts) and the
+    verify "join" ships two ints per pair instead of two full shingle
+    arrays — the array-shipping formulation was the sf10 ~400 GB sort
+    spill (SCALE.md). Containment is evaluated over the DF-CAPPED shingle
+    universe: shingles shared by more than ``max_doc_freq`` docs are
+    corpus furniture (license headers, chrome) and are excluded from both
+    |A∩B| and |Sh(a)| — identical to the exact full-universe answer
+    whenever the cap doesn't bind (measured: max df at sf0.1 is 25 vs the
+    1000 cap, so the DuckDB oracle's uncapped quadratic check still
+    matches hash-for-hash), and at 100 TB it is the semantics you want: a
+    boilerplate shingle carries no identity signal, and keeping clones of
+    a furniture-heavy page at C = 1.0 requires dropping it from BOTH
+    sides of the ratio. A pair sharing ONLY capped shingles is not
+    reported (same lossiness the prefix-filter formulation had).
+    Nothing wider than a 24-byte row ever shuffles; no O(n²) pair space —
+    the pair stream is bounded by Σ_h C(df_h, 2) with df ≤ the cap."""
     from pyspark import StorageLevel
 
     from micromegas_spark.operators.util import spread as _spread
@@ -665,54 +699,43 @@ def containment_pairs(
             F.col(id_col),
             F.array_sort(hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
-        .select("*", F.size("sh").alias("_nsh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # C >= t  ⟺  |∩| >= ceil(t·n)  ⟹  at most n − ceil(t·n) prefix misses,
-    # so the prefix needs n − ceil(t·n) + 1 elements. Rounding before the
-    # ceil guards the integral-boundary float case ((1−0.9)·10 evaluates
-    # to 0.999…98 — a naive floor((1−t)·n)+1 comes up one short exactly
-    # when t·n is integral, dropping boundary C == t pairs); noise pushes
-    # k larger, never smaller.
-    prefix_len = F.greatest(
-        F.col("_nsh")
-        - F.ceil(F.round(F.lit(threshold) * F.col("_nsh"), 6)).cast("int")
-        + F.lit(1),
-        F.lit(1),
-    )
-    probe = sh.select(
-        F.col(id_col).alias("_ia"),
-        F.explode(F.slice(F.col("sh"), F.lit(1), prefix_len)).alias("h"),
-    )
-    # the index is bucket-collected per hash with the frequent-gram cap
-    # (_capped_posting_buckets): one groupBy replaces the raw posting
-    # join side AND enforces the cap — without it one boilerplate shingle
-    # shared by 10⁶ docs explodes the candidate join. Lossy only for docs
-    # whose ENTIRE prefix is corpus furniture — which have no identity
-    # signal to match on anyway.
-    index = _capped_posting_buckets(
-        sh.select(F.col(id_col).alias("_ib"), F.explode("sh").alias("h")),
-        "_ib",
-        max_doc_freq,
-    )
-    cand = (
-        probe.join(index, "h")
-        .select("_ia", F.explode("ids").alias("_ib"))
-        .where(F.col("_ia") != F.col("_ib"))
-        .distinct()
-    )
-    a = sh.select(F.col(id_col).alias("_ia"), F.col("sh").alias("_sa"), F.col("_nsh").alias("_na"))
-    b = sh.select(F.col(id_col).alias("_ib"), F.col("sh").alias("_sb"))
+    # posting re-derives from the persisted arrays (explode from cache is
+    # cheap; the md5 shingle hashing is what the persist amortizes across
+    # _df_capped's count pass, the bucket collect, and the size aggregate)
+    posting = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+    capped = _df_capped(posting, ("h",), max_doc_freq)
+    buckets = capped.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
+    inter = _pair_counts(buckets)
+    # per-doc set size over the same capped universe as the numerator
+    # (count(*), not countDistinct: an in-doc 32-bit hash collision is
+    # counted in size(sh) by the uncapped formulation and the oracle too)
+    sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
+    na = sizes.select(F.col(id_col).alias("_ia"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("_ib"), F.col("_n").alias("_nb"))
+    # containment is directional: evaluate the symmetric intersection
+    # count against both denominators and emit each passing direction
     return (
-        cand.join(a, "_ia")
-        .join(b, "_ib")
+        inter.join(na, "_ia")
+        .join(nb, "_ib")
         .select(
-            F.col("_ia").alias("id_a"),
-            F.col("_ib").alias("id_b"),
-            F.round(
-                F.size(F.array_intersect("_sa", "_sb")) / F.col("_na"), 6
-            ).alias("containment"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_ia").alias("id_a"),
+                        F.col("_ib").alias("id_b"),
+                        F.round(F.col("_inter") / F.col("_na"), 6).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("_ib").alias("id_a"),
+                        F.col("_ia").alias("id_b"),
+                        F.round(F.col("_inter") / F.col("_nb"), 6).alias("containment"),
+                    ),
+                )
+            ).alias("r")
         )
+        .select("r.*")
         .where(F.col("containment") >= threshold)
     )
 

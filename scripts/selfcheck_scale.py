@@ -42,14 +42,33 @@ SF_DIR = os.environ.get("SELFCHECK_SF", "/tmp/sf1")
 # regimes (percentile_approx exact mode, DataSketches HLL sparse mode),
 # which sf1 cardinalities leave BY DESIGN. The gate is still strict about
 # shape (same rows, same keys) — only numeric cells may deviate, within
-# the documented relative error.
-APPROX_TOLERANCE = {
-    "events_approx_quantiles": 0.05,  # sketch interpolation vs exact quantile
-    # Spark's hll_union_agg caps the union at lgMaxK=12, DOWNGRADING the
-    # lgK=20 partials — merged-estimate RSE ≈ 1.04/2^6 ≈ 1.6%; measured
-    # max per-bucket deviation 3.5% at sf1 (mean 0.8%), so 5% ≈ 3σ
-    "events_hll_distinct_users": 0.05,
-}
+# the documented relative error. The per-query tolerances live in
+# SCALE.md's "Approximate-sketch tolerance table" (single source of truth,
+# alongside the measured deviations that justify each bound) and are
+# parsed here.
+
+
+def _load_tolerances() -> dict[str, float]:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    tol: dict[str, float] = {}
+    try:
+        text = open(path, encoding="utf-8").read()
+        block = text.split("<!-- TOLERANCE_TABLE_BEGIN -->")[1].split(
+            "<!-- TOLERANCE_TABLE_END -->"
+        )[0]
+    except (OSError, IndexError):
+        return tol
+    for line in block.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) >= 2 and cells[0] not in ("query", "") and not set(cells[0]) <= {"-"}:
+            try:
+                tol[cells[0]] = float(cells[1])
+            except ValueError:
+                continue
+    return tol
+
+
+APPROX_TOLERANCE = _load_tolerances()
 
 
 def _within_tolerance(sdf, ddf, rel_tol: float) -> bool:

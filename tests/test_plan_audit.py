@@ -210,14 +210,16 @@ def test_ppl_buckets_no_global_window(spark):
 
 
 def test_blocked_jaccard_prefix_filtered_no_cartesian(spark):
-    """Round-4: the per-length-block self-join (O(block²) on a dense
-    bucket) is retired — candidates come from the PPJoin prefix explode
-    against a (blk, h)-keyed df-capped inverted index, so the plan has
-    equi-joins only and the bucket lists are exploded to pairs."""
+    """Round-4 retired the per-length-block self-join (O(block²) on a
+    dense bucket); round-5 retired the array-shipping verify join too —
+    pairs AND intersection counts both come from the (blk, h)-keyed
+    df-capped inverted index (bucket explode → count aggregate), so the
+    plan has equi-joins only, the bucket lists are exploded to pairs, and
+    no per-pair shingle array survives into any join."""
     plan = _plan(spark, "docs_ngram_jaccard")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "Generate explode" in plan  # prefix + posting-bucket explodes
+    assert "Generate explode" in plan  # posting-bucket pair explode
 
 
 def test_property_get_legacy_stays_jvm_side(spark):
