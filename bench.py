@@ -81,16 +81,40 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
-    # the driver's artifact truncates long stdout tails — also persist the
-    # full per-query JSON next to the repo so round-over-round comparison
-    # never loses queries (judge request, VERDICT r3 "What's wrong" #4)
+    # Persist the full per-query JSON next to the repo so round-over-round
+    # comparison never loses queries (judge request, VERDICT r3 #4).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_full.json"), "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # ONE compact JSON line on stdout: the driver's artifact keeps only a
+    # 2000-char stdout tail, and a full 142-query line is ~5 KB, so its
+    # head (the {"metric": ... opener) was clipped and BENCH_r05.json
+    # recorded "parsed": null (VERDICT r5 "What's wrong" #3). The compact
+    # line carries the headline (TPC-H) subset plus the total across ALL
+    # queries and stays well under the tail window; the full per-query
+    # breakdown is committed as BENCH_full.json.
+    headline_names = [n for n in sorted(timings) if re.match(r"q\d+_", n)]
+    headline = {n: timings[n] for n in headline_names}
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "repeats": repeats,
+        "queries_full": "BENCH_full.json",
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never exceed the tail window
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -54,12 +54,96 @@ class JitViewSet:
     - ``source(instance)``      → the instance's raw event DataFrame
     - ``count(instance, b, e)`` → source hash for staleness (object count)
     - ``build(instance, b, e)`` → the decoded/derived DataFrame to cache
-    """
+
+    Block-aware mode (reference #1429, event-time JIT grouping): when
+    ``list_blocks``/``build_blocks`` are provided, view_instance() cuts
+    JIT partitions from the instance's *block list ordered by event time*
+    (``(begin_ns, end_ns)``) instead of fixed insert-time buckets — see
+    ``group_blocks_into_partitions``. ``list_blocks(instance, b, e)``
+    returns block descriptors ``{block_id, begin_ns, end_ns, insert_ns,
+    nb_objects}`` whose EVENT range overlaps [b, e); ``build_blocks(
+    instance, block_ids)`` builds the derived DataFrame from exactly those
+    blocks' events (the builder time-sorts the concatenated events, so
+    call trees span block boundaries and overlapping blocks — a producer
+    stamping the replacement block's begin before closing the outgoing
+    one — interleave correctly: the gap-only ``begin <= last_end``
+    contiguity of the reference's fix falls out of the sort rather than a
+    per-block merge)."""
 
     name: str
     source_count: Callable[[str, int, int], int]
     build: Callable[[str, int, int], DataFrame]
     time_column: str
+    # block-aware JIT (optional; enables the event-time grouping path)
+    list_blocks: Callable[[str, int, int], list] | None = None
+    build_blocks: Callable[[str, list], DataFrame] | None = None
+    max_nb_objects: int = 100_000
+
+
+def group_blocks_into_partitions(
+    blocks: list[dict], max_nb_objects: int
+) -> list[list[dict]]:
+    """Cut a stream's blocks into JIT partitions by EVENT time with
+    insert-safe cuts (reference #1429; jit_partitions.rs
+    group_blocks_into_partitions after the fix).
+
+    Blocks are sorted by ``(begin_ns, end_ns)`` — event time, not
+    registration order — so a stream whose blocks were registered out of
+    event-time order still yields partitions holding event-contiguous
+    blocks (call trees assemble across block boundaries inside one
+    partition). Because event-time order can put blocks with out-of-order
+    ``insert_ns`` on either side of a size-based cut, a cut is taken only
+    at *insert-safe* points: every block in the partition being closed
+    inserted no later than every remaining block (prefix-max insert ≤
+    suffix-min insert). When the soft ``max_nb_objects`` limit is reached
+    at an unsafe index, the cut falls back to the most recent safe index
+    inside the open partition, or — failing any — the partition grows past
+    the soft limit until the next safe point. This keeps partitions'
+    insert-time ranges non-overlapping (the reference's
+    lakehouse_partitions_no_overlap exclusion constraint)."""
+    if not blocks:
+        return []
+    bs = sorted(blocks, key=lambda b: (b["begin_ns"], b["end_ns"]))
+    n = len(bs)
+    # suffix min of insert_ns: cut after index i is insert-safe iff
+    # max(insert[0..i]) <= min(insert[i+1..])
+    suffix_min = [0] * n
+    m = None
+    for i in range(n - 1, -1, -1):
+        m = bs[i]["insert_ns"] if m is None else min(m, bs[i]["insert_ns"])
+        suffix_min[i] = m
+
+    parts: list[list[dict]] = []
+    start = 0
+    while start < n:
+        prefix_max = None
+        count = 0
+        last_safe = -1  # most recent safe cut index within this partition
+        cut = None
+        for i in range(start, n):
+            prefix_max = (
+                bs[i]["insert_ns"]
+                if prefix_max is None
+                else max(prefix_max, bs[i]["insert_ns"])
+            )
+            count += bs[i]["nb_objects"]
+            safe = i == n - 1 or prefix_max <= suffix_min[i + 1]
+            if safe:
+                last_safe = i
+            if count >= max_nb_objects:
+                if safe:
+                    cut = i
+                    break
+                if last_safe >= start:
+                    cut = last_safe
+                    break
+                # no safe point yet: grow past the soft limit (reference
+                # logs debug! here) until the next safe index
+        if cut is None:
+            cut = last_safe if last_safe >= start else n - 1
+        parts.append(bs[start : cut + 1])
+        start = cut + 1
+    return parts
 
 
 class Engine:
@@ -332,8 +416,14 @@ class Engine:
         """JIT materialization (materialized_view.rs:69-72, log_view.rs:
         148-210, jit_partitions.rs:59-95): bucket the range by insert time,
         rebuild stale/missing buckets (source-count hash), then read the
-        union of cached parquet partitions filtered to the range."""
+        union of cached parquet partitions filtered to the range.
+
+        Block-aware view sets (``JitViewSet.list_blocks`` set) instead cut
+        partitions from the event-time-ordered block list with insert-safe
+        cuts (reference #1429) — see _view_instance_blocks."""
         vs = self._jit[view_set]
+        if vs.list_blocks is not None:
+            return self._view_instance_blocks(vs, instance, begin_ns, end_ns)
         mpath = self._jit_manifest(view_set, instance)
         manifest: dict[str, dict] = {}
         if os.path.exists(mpath):
@@ -364,6 +454,89 @@ class Engine:
             if cur > 0:
                 paths.append(manifest[key]["path"])
             b += bucket_ns
+        if changed:
+            tmp = mpath + f".tmp{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, mpath)
+        if not paths:
+            return self.spark.range(0).select()
+        df = self.spark.read.parquet(*paths)
+        return df.where(
+            (F.col(vs.time_column) >= begin_ns) & (F.col(vs.time_column) < end_ns)
+        )
+
+    def _view_instance_blocks(
+        self, vs: JitViewSet, instance: str, begin_ns: int, end_ns: int
+    ) -> DataFrame:
+        """Event-time JIT grouping (reference #1429, jit_partitions.rs
+        group_blocks_into_partitions + RetireMatch::Overlap):
+
+        1. list the instance's blocks overlapping [begin, end) by EVENT
+           time, cut partitions via group_blocks_into_partitions (event-
+           time order, insert-safe cuts);
+        2. reuse a cached partition iff its block set is identical (key =
+           hash over sorted (block_id, nb_objects) — staleness by content,
+           matching the reference's is_jit_partition_up_to_date);
+        3. a moved cut point between runs can leave a stale cached
+           partition that merely OVERLAPS (not contains) a new one, so
+           retirement matches by inclusive insert-range intersection —
+           RetireMatch::Overlap with this run's partitions protected by
+           identity (same_run_ranges), not range shape.
+        """
+        import hashlib
+        import shutil
+
+        blocks = list(vs.list_blocks(instance, begin_ns, end_ns))
+        mpath = self._jit_manifest(vs.name, instance) + ".blocks"
+        manifest: dict[str, dict] = {}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+
+        groups = group_blocks_into_partitions(blocks, vs.max_nb_objects)
+        paths: list[str] = []
+        run_keys: set[str] = set()
+        changed = False
+        for grp in groups:
+            ident = sorted((str(b["block_id"]), int(b["nb_objects"])) for b in grp)
+            key = hashlib.sha1(json.dumps(ident).encode()).hexdigest()[:16]
+            run_keys.add(key)
+            ent = manifest.get(key)
+            if ent is None:
+                df = vs.build_blocks(instance, [b["block_id"] for b in grp])
+                pdir = os.path.join(
+                    self.warehouse, vs.name, f"instance={instance}", f"part={key}"
+                )
+                tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
+                df.write.mode("overwrite").parquet(tmp)
+                if os.path.exists(pdir):
+                    shutil.rmtree(pdir)
+                os.rename(tmp, pdir)
+                manifest[key] = {
+                    "path": pdir,
+                    "begin_ns": min(b["begin_ns"] for b in grp),
+                    "end_ns": max(b["end_ns"] for b in grp),
+                    "insert_min": min(b["insert_ns"] for b in grp),
+                    "insert_max": max(b["insert_ns"] for b in grp),
+                }
+                changed = True
+            paths.append(manifest[key]["path"])
+        # RetireMatch::Overlap — inclusive-bounds insert-range intersection
+        # (tstzrange(..., '[]') && ... in the reference: half-open ranges
+        # would miss degenerate and touching shapes); partitions this run
+        # wrote or reused are protected by identity, not range shape.
+        for key in [k for k in manifest if k not in run_keys]:
+            ent = manifest[key]
+            stale = any(
+                ent["insert_min"] <= manifest[k]["insert_max"]
+                and manifest[k]["insert_min"] <= ent["insert_max"]
+                for k in run_keys
+            )
+            if stale:
+                shutil.rmtree(ent["path"], ignore_errors=True)
+                del manifest[key]
+                changed = True
         if changed:
             tmp = mpath + f".tmp{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
