@@ -246,12 +246,25 @@ class Engine:
         begin_ns: int | None,
         end_ns: int | None,
         plan_ms: float,
+        query_id: str | None = None,
+        error_class: str = "ok",
     ) -> None:
         """Append one audit record (see query_log); the prepared-statement
         paths call this with THEIR sql so every executed statement leaves
-        a record, not just direct query() calls."""
+        a record, not just direct query() calls. ``query_id`` correlates
+        the record with client-facing error messages and server logs;
+        ``error_class`` is 'ok' or the #1435 classification
+        (user/resource/unimplemented/internal) when planning failed."""
         self._query_log.append(
-            (time.time_ns(), sql.strip(), begin_ns, end_ns, round(plan_ms, 3))
+            (
+                time.time_ns(),
+                sql.strip(),
+                begin_ns,
+                end_ns,
+                round(plan_ms, 3),
+                query_id or "",
+                error_class,
+            )
         )
 
     def resolve(
@@ -260,6 +273,7 @@ class Engine:
         begin_ns: int | None = None,
         end_ns: int | None = None,
         args: dict | None = None,
+        query_id: str | None = None,
     ) -> DataFrame:
         """Atomically bind views to [begin, end) and analyze the statement.
         Every execution path (query(), the client's prepared-statement and
@@ -267,16 +281,42 @@ class Engine:
         different ranges each resolve against their OWN bounds — see
         _PLAN_LOCK. Returns the eagerly-analyzed DataFrame; execution
         stays lazy and unserialized."""
+        query_id = query_id or uuid.uuid4().hex[:16]
         with _PLAN_LOCK:
             self.prepare_views(sql, begin_ns, end_ns)
             t0 = time.time()
-            out = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+            try:
+                out = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+            except Exception as e:
+                # failed plans still leave an audit record with the #1435
+                # classification, so query_failed-style monitoring can key
+                # on error_class == 'internal' only
+                from micromegas_spark.flightsql.errors import classify_exception
+
+                self.log_query(
+                    sql, begin_ns, end_ns, (time.time() - t0) * 1000.0,
+                    query_id, classify_exception(e),
+                )
+                raise
             # self-observability: the reference's analytics service emits a
             # span per executed query into its own telemetry ("sql spans
             # on", query.rs:207-256; spans land in the lake like any
-            # process's). The facade records (time, sql, range, plan_ms) —
-            # queryable via query_log(), the engine observing itself.
-            self.log_query(sql, begin_ns, end_ns, (time.time() - t0) * 1000.0)
+            # process's). The facade records (time, sql, range, plan_ms,
+            # query_id) — queryable via query_log(), the engine observing
+            # itself.
+            self.log_query(
+                sql, begin_ns, end_ns, (time.time() - t0) * 1000.0, query_id
+            )
+            # job-group attribution for the per-query resource audit
+            # (reference #1406 QueryAuditRecord): jobs submitted by THIS
+            # thread for this DataFrame inherit the group, so
+            # query_metrics(query_id) can aggregate task metrics after
+            # execution. Thread-local, like all Spark job-group use — a
+            # caller executing on another thread opts out of attribution,
+            # never misattributes another query's jobs (each resolve gets
+            # a fresh uuid).
+            self.spark.sparkContext.setJobGroup(query_id, sql.strip()[:128])
+        out._mm_query_id = query_id
         return out
 
     def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> DataFrame:
@@ -284,6 +324,79 @@ class Engine:
         the reference's ``client.query(sql, begin, end)``
         (python/micromegas/micromegas/flightsql/client.py:312-370)."""
         return self.resolve(sql, begin_ns, end_ns)
+
+    def _metrics_by_query_id(self, query_ids: set[str]) -> dict[str, dict]:
+        """Per-query resource audit (reference #1406: QueryAuditRecord
+        gains peak-memory / spill attribution). One pass over the Spark
+        app-status KVStore: jobs are matched to queries by job group
+        (resolve() sets group = query_id), then their stages' task metrics
+        aggregate into peak execution memory, memory/disk spill and
+        shuffle-write bytes. Works headless (the AppStatusListener runs
+        with spark.ui.enabled=false); cost is O(jobs + stages) driver-side
+        reads, paid only when the audit is actually asked for."""
+        out: dict[str, dict] = {}
+        if not query_ids:
+            return out
+        try:
+            jvm = self.spark.sparkContext._jvm
+            store = self.spark.sparkContext._jsc.sc().statusStore().store()
+
+            def _view(cls):
+                return store.view(jvm.java.lang.Class.forName(cls)).closeableIterator()
+
+            stage_to_qid: dict[int, str] = {}
+            jobs = _view("org.apache.spark.status.JobDataWrapper")
+            while jobs.hasNext():
+                info = jobs.next().info()
+                jg = info.jobGroup()
+                if not (jg.isDefined() and jg.get() in query_ids):
+                    continue
+                qid = jg.get()
+                sids = info.stageIds()
+                for i in range(sids.size()):
+                    stage_to_qid[sids.apply(i)] = qid
+            stages = _view("org.apache.spark.status.StageDataWrapper")
+            while stages.hasNext():
+                info = stages.next().info()
+                qid = stage_to_qid.get(info.stageId())
+                if qid is None:
+                    continue
+                m = out.setdefault(
+                    qid,
+                    {
+                        "peak_execution_memory_bytes": 0,
+                        "memory_spill_bytes": 0,
+                        "disk_spill_bytes": 0,
+                        "shuffle_write_bytes": 0,
+                        "n_stages": 0,
+                    },
+                )
+                m["n_stages"] += 1
+                m["peak_execution_memory_bytes"] = max(
+                    m["peak_execution_memory_bytes"], info.peakExecutionMemory()
+                )
+                m["memory_spill_bytes"] += info.memoryBytesSpilled()
+                m["disk_spill_bytes"] += info.diskBytesSpilled()
+                m["shuffle_write_bytes"] += info.shuffleWriteBytes()
+        except Exception:
+            # audit is best-effort observability: a store-layout change
+            # must degrade to empty metrics, never fail the query path
+            return out
+        return out
+
+    def query_metrics(self, query_id: str) -> dict:
+        """Resource audit for one executed query (see _metrics_by_query_id);
+        zeros if nothing ran (yet) under that id."""
+        return self._metrics_by_query_id({query_id}).get(
+            query_id,
+            {
+                "peak_execution_memory_bytes": 0,
+                "memory_spill_bytes": 0,
+                "disk_spill_bytes": 0,
+                "shuffle_write_bytes": 0,
+                "n_stages": 0,
+            },
+        )
 
     def _register_query_log_view(self) -> DataFrame:
         from pyspark.sql.types import (
@@ -301,6 +414,14 @@ class Engine:
                 StructField("begin_ns", LongType()),
                 StructField("end_ns", LongType()),
                 StructField("plan_ms", DoubleType()),
+                # QueryAuditRecord parity (#1435/#1406): correlatable id,
+                # error class, and per-query resource attribution
+                StructField("query_id", StringType()),
+                StructField("error_class", StringType()),
+                StructField("peak_execution_memory_bytes", LongType()),
+                StructField("memory_spill_bytes", LongType()),
+                StructField("disk_spill_bytes", LongType()),
+                StructField("shuffle_write_bytes", LongType()),
                 # audit-log parity (query-audit-log.md): one structured
                 # JSON record per query under the reference's dedicated
                 # target, so the documented jsonb_get/jsonb_as_f64 audit
@@ -309,6 +430,15 @@ class Engine:
                 StructField("msg", StringType()),
             ]
         )
+        metrics = self._metrics_by_query_id(
+            {rec[5] for rec in self._query_log if rec[5]}
+        )
+        zero = {
+            "peak_execution_memory_bytes": 0,
+            "memory_spill_bytes": 0,
+            "disk_spill_bytes": 0,
+            "shuffle_write_bytes": 0,
+        }
         rows = [
             (
                 t,
@@ -316,6 +446,12 @@ class Engine:
                 b,
                 e,
                 ms,
+                qid,
+                ecls,
+                m["peak_execution_memory_bytes"],
+                m["memory_spill_bytes"],
+                m["disk_spill_bytes"],
+                m["shuffle_write_bytes"],
                 "flightsql_query_audit",
                 json.dumps(
                     {
@@ -323,12 +459,20 @@ class Engine:
                         "begin_ns": b,
                         "end_ns": e,
                         "total_ms": ms,
+                        "query_id": qid,
+                        "error_class": ecls,
+                        "peak_execution_memory_bytes": m[
+                            "peak_execution_memory_bytes"
+                        ],
+                        "memory_spill_bytes": m["memory_spill_bytes"],
+                        "disk_spill_bytes": m["disk_spill_bytes"],
                         "client": "micromegas_spark",
                     },
                     separators=(",", ":"),
                 ),
             )
-            for (t, sql, b, e, ms) in self._query_log
+            for (t, sql, b, e, ms, qid, ecls) in self._query_log
+            for m in (metrics.get(qid, zero),)
         ]
         df = self.spark.createDataFrame(rows, schema)
         df.createOrReplaceTempView("query_log")

@@ -1,0 +1,143 @@
+"""Query-failure classification (reference #1435,
+rust/public/src/servers/flight_sql_service_impl.rs
+classify_datafusion_error / client_error / classify_flight_error).
+
+The reference walks ``DataFusionError::find_root()`` and maps the root to a
+gRPC status: caller mistakes (typo'd column/function, syntax error,
+unsupported type in a UDF) → ``InvalidArgument``; resource-budget
+exhaustion → ``ResourceExhausted``; unimplemented features →
+``Unimplemented``; genuine bugs stay ``Internal``. pyarrow clients then see
+``ValueError``-subclass exceptions (``ArrowInvalid`` /
+``ArrowNotImplementedError``) for bad queries instead of
+``FlightInternalError`` for everything.
+
+Here the engine is Spark, so the root cause is a PySpark exception:
+
+- ``AnalysisException`` (unknown column/table/function, ambiguous
+  reference, type mismatch — Spark already embeds the line/column pointer
+  the reference added via collect_spans) and ``ParseException`` (syntax)
+  and Python ``ValueError``/``TypeError`` from argument validation →
+  ``user`` → raised to Flight clients as ``pyarrow.lib.ArrowInvalid``
+  (gRPC ``InvalidArgument``).
+- ``NotImplementedError`` / Spark ``UnsupportedOperationException`` →
+  ``unimplemented`` → ``pyarrow.lib.ArrowNotImplementedError``
+  (gRPC ``Unimplemented``).
+- ``MemoryError`` / Spark ``SparkOutOfMemoryError`` → ``resource``.
+  pyarrow's Python Flight server wrapper has no raisable class that maps
+  to gRPC ``ResourceExhausted`` (only Invalid / NotImplemented / Key have
+  dedicated mappings), so this class surfaces as a ``FlightServerError``
+  whose message carries the machine-greppable ``[error_class=resource]``
+  marker — the classification is still recorded in the audit log.
+- anything else → ``internal`` (``FlightServerError``).
+
+Every client-facing message carries ``[query_id=...]`` so the client
+error, the ``query_log`` audit record, and the server log line correlate
+by grepping the id (the reference's QueryAuditRecord.query_id).
+"""
+
+from __future__ import annotations
+
+USER = "user"
+RESOURCE = "resource"
+UNIMPLEMENTED = "unimplemented"
+INTERNAL = "internal"
+
+
+def exception_chain(e: BaseException) -> list[BaseException]:
+    """Outermost → deepest __cause__/__context__ chain (cycle-safe)."""
+    chain, seen = [], set()
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        chain.append(e)
+        e = e.__cause__ or e.__context__
+    return chain
+
+
+def find_root(e: BaseException) -> BaseException:
+    """DataFusionError::find_root() analogue: the deepest CLASSIFIABLE
+    exception in the cause chain. PySpark's captured AnalysisException
+    keeps the raw Py4JJavaError as its __context__, so the literal deepest
+    link is transport noise — classification (and the client message)
+    come from the deepest link that classifies as something other than
+    'internal', else the outermost exception."""
+    for link in reversed(exception_chain(e)):
+        if _classify_one(link) is not None:
+            return link
+    return e
+
+
+def _classify_one(e: BaseException) -> str | None:
+    """Classify ONE exception, or None when it carries no signal."""
+    try:
+        from pyspark.errors import (
+            AnalysisException,
+            IllegalArgumentException,
+            ParseException,
+            PySparkTypeError,
+            PySparkValueError,
+        )
+
+        if isinstance(
+            e,
+            (AnalysisException, ParseException, IllegalArgumentException,
+             PySparkValueError, PySparkTypeError),
+        ):
+            return USER
+    except ImportError:  # pragma: no cover - pyspark always present here
+        pass
+    if isinstance(e, NotImplementedError):
+        return UNIMPLEMENTED
+    if isinstance(e, MemoryError):
+        return RESOURCE
+    msg = f"{type(e).__name__}: {e}"
+    # Py4J-wrapped JVM exceptions arrive as strings; match the JVM classes
+    if "SparkOutOfMemoryError" in msg or "OutOfMemoryError" in msg:
+        return RESOURCE
+    if "UnsupportedOperationException" in msg or "UNSUPPORTED_FEATURE" in msg:
+        return UNIMPLEMENTED
+    if isinstance(e, (ValueError, TypeError, KeyError)):
+        return USER
+    return None
+
+
+def classify_exception(e: BaseException) -> str:
+    """Map an exception (from planning or execution) to an error class:
+    the deepest classifiable link in the cause chain wins."""
+    for link in reversed(exception_chain(e)):
+        cls = _classify_one(link)
+        if cls is not None:
+            return cls
+    return INTERNAL
+
+
+def _client_message(e: BaseException, query_id: str | None) -> str:
+    """The reference drops the old status! macro's absolute build-path
+    file:line suffix from client messages; here the message is just the
+    root cause's own text plus the correlatable query id."""
+    root = find_root(e)
+    msg = str(root).strip() or type(root).__name__
+    # Spark's AnalysisException can append a multi-page JVM stacktrace
+    # after the useful first paragraph; keep the client message bounded
+    if len(msg) > 2000:
+        msg = msg[:2000] + "..."
+    if query_id:
+        msg = f"{msg} [query_id={query_id}]"
+    return msg
+
+
+def to_flight_error(e: BaseException, query_id: str | None = None):
+    """Build the exception a Flight RPC handler should raise so the CLIENT
+    sees the right class (ArrowInvalid / ArrowNotImplementedError /
+    FlightServerError) — returns (error_class, exception_to_raise)."""
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    cls = classify_exception(e)
+    msg = _client_message(e, query_id)
+    if cls == USER:
+        return cls, pa.lib.ArrowInvalid(msg)
+    if cls == UNIMPLEMENTED:
+        return cls, pa.lib.ArrowNotImplementedError(msg)
+    if cls == RESOURCE:
+        return cls, flight.FlightServerError(f"{msg} [error_class=resource]")
+    return cls, flight.FlightServerError(msg)

@@ -276,14 +276,27 @@ class FlightSQLServer:
     # -- RPC handlers ------------------------------------------------------
 
     def _do_get(self, context, ticket):
+        import uuid
+
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from micromegas_spark.client import _stream_batches
+        from micromegas_spark.flightsql.errors import to_flight_error
 
         flight = _flight()
         sql = self._ticket_sql(ticket.ticket)
         begin_ns, end_ns, preserve = self._call_options(context)
-        df = self.engine.resolve(sql, begin_ns, end_ns)
+        # #1435: one query_id per request — it rides every client-facing
+        # error message, the query_log audit record, and the job group
+        # (so query_metrics attributes this request's task metrics)
+        query_id = uuid.uuid4().hex[:16]
+        try:
+            df = self.engine.resolve(sql, begin_ns, end_ns, query_id=query_id)
+        except Exception as e:
+            # classify: caller mistakes surface as gRPC InvalidArgument
+            # (pyarrow ArrowInvalid client-side), not Internal
+            _cls, err = to_flight_error(e, query_id)
+            raise err from None
         schema = to_arrow_schema(df.schema)
         if preserve:
             import pyarrow as pa
@@ -308,6 +321,11 @@ class FlightSQLServer:
                 raise
 
             def batches(d=df, inner=raw):
+                # see attributed(): pin the query's job group on the
+                # thread that actually pulls the stream
+                self.engine.spark.sparkContext.setJobGroup(
+                    query_id, sql.strip()[:128]
+                )
                 try:
                     yield from inner
                 finally:
@@ -319,12 +337,33 @@ class FlightSQLServer:
             return flight.RecordBatchStream(
                 pa.RecordBatchReader.from_batches(schema, batches())
             )
-        return flight.GeneratorStream(schema, _stream_batches(df, self.batch_rows))
+
+        def attributed(inner):
+            # job groups are THREAD-local and Flight pulls the generator on
+            # a gRPC serving thread, not the do_get handler thread that ran
+            # resolve() — re-pin the group on the pulling thread so the
+            # streaming jobs are attributed to this query_id (#1406 audit)
+            self.engine.spark.sparkContext.setJobGroup(query_id, sql.strip()[:128])
+            yield from inner
+
+        return flight.GeneratorStream(
+            schema, attributed(_stream_batches(df, self.batch_rows))
+        )
 
     def _get_flight_info(self, context, descriptor):
+        import uuid
+
+        from micromegas_spark.flightsql.errors import to_flight_error
+
         flight = _flight()
         sql = self._ticket_sql(descriptor.command)
-        schema = self._schema_for(sql)
+        try:
+            schema = self._schema_for(sql)
+        except Exception as e:
+            # plan-time failures (unknown column, syntax) are the caller's:
+            # InvalidArgument with the Spark line/column pointer + query_id
+            _cls, err = to_flight_error(e, uuid.uuid4().hex[:16])
+            raise err from None
         endpoint = flight.FlightEndpoint(pb.ticket_statement_query(sql), [])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
@@ -334,9 +373,17 @@ class FlightSQLServer:
         flight = _flight()
         body = action.body.to_pybytes() if action.body is not None else b""
         if action.type == "CreatePreparedStatement":
+            import uuid
+
+            from micromegas_spark.flightsql.errors import to_flight_error
+
             _, value = pb.unpack_any(body)
             sql = pb.decode_fields(value).get(1, [b""])[0].decode("utf-8")
-            schema = self._schema_for(sql)
+            try:
+                schema = self._schema_for(sql)
+            except Exception as e:
+                _cls, err = to_flight_error(e, uuid.uuid4().hex[:16])
+                raise err from None
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, schema):
                 pass  # schema message + EOS: what ipc.open_stream expects

@@ -101,6 +101,44 @@ SHOWCASE = [
         "mapInPandas parse, partial+final re-aggregation — two hash "
         "exchanges total",
     ),
+    (
+        "docs_kmv_overlap",
+        "KMV overlap sketch: per-corpus kth-minimum-value sketches built "
+        "scan-side (one agg each, KB-size state), overlap estimated from "
+        "the merged sketch — corpus×corpus overlap without any join",
+    ),
+    (
+        "events_counter_rate",
+        "counter-rate: monotonic-reset-aware delta via one per-series lag "
+        "window, then the time-bin aggregation — single series-key shuffle",
+    ),
+    (
+        "events_ohlc_downsample",
+        "OHLC bars: first/last/min/max in ONE grouped pass over (series, "
+        "bin) — no per-bar window or self-join",
+    ),
+    (
+        "events_slo_burn",
+        "SLO burn rate: bad/total ratios for two alert windows share one "
+        "bin-level pre-aggregation; window sums ride range frames over the "
+        "binned series, not the raw events",
+    ),
+    (
+        "events_span_selftime",
+        "span self-time: child-duration sums subtract from parents via one "
+        "parent-key aggregation joined back — no per-node tree walk",
+    ),
+    (
+        "events_histogram_timeseries",
+        "histogram timeseries: fixed-bin counts as a (time-bin × value-bin) "
+        "grouped pass; bin ids are map-side expressions so the only "
+        "exchange is the final group",
+    ),
+    (
+        "docs_weighted_sample",
+        "weighted sampling without replacement: Efraimidis-Spirakis keys "
+        "map-side, TakeOrdered top-k — no global sort",
+    ),
 ]
 
 

@@ -1,0 +1,175 @@
+"""#1435 error classification + #1406 per-query resource audit
+(rust/public/src/servers/flight_sql_service_impl.rs
+classify_datafusion_error/client_error; micromegas::servers::query_audit
+QueryAuditRecord.query_id/error_class + peak-memory/spill attribution).
+
+Caller mistakes surface to pyarrow Flight clients as ValueError-subclass
+exceptions (ArrowInvalid / ArrowNotImplementedError) instead of
+FlightServerError-for-everything; every client-facing message carries a
+correlatable [query_id=...]; query_log gains error_class and per-query
+peak-memory / spill columns fed by Spark's task metrics via job-group
+attribution."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+
+from micromegas_spark.engine import Engine
+from micromegas_spark.flightsql.client import FlightSQLClient
+from micromegas_spark.flightsql.errors import (
+    INTERNAL,
+    RESOURCE,
+    UNIMPLEMENTED,
+    USER,
+    classify_exception,
+    find_root,
+    to_flight_error,
+)
+from micromegas_spark.flightsql.server import FlightSQLServer
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------- classification
+
+
+def test_classify_analysis_and_parse_errors_as_user(spark):
+    from pyspark.errors import AnalysisException, ParseException
+
+    try:
+        spark.sql("SELECT nope_col FROM range(1)")
+    except AnalysisException as e:
+        assert classify_exception(e) == USER
+    else:
+        pytest.fail("expected AnalysisException")
+    try:
+        spark.sql("SELEC 1")
+    except ParseException as e:
+        assert classify_exception(e) == USER
+    else:
+        pytest.fail("expected ParseException")
+
+
+def test_classify_python_classes():
+    assert classify_exception(NotImplementedError("x")) == UNIMPLEMENTED
+    assert classify_exception(MemoryError()) == RESOURCE
+    assert classify_exception(ValueError("bad arg")) == USER
+    assert classify_exception(RuntimeError("boom")) == INTERNAL
+    # JVM OOM arrives as a stringly-typed wrapper
+    assert classify_exception(Exception("java.lang.OutOfMemoryError: heap")) == RESOURCE
+    assert (
+        classify_exception(Exception("UnsupportedOperationException: nope"))
+        == UNIMPLEMENTED
+    )
+
+
+def test_find_root_walks_causes():
+    try:
+        try:
+            raise ValueError("root cause")
+        except ValueError as inner:
+            raise RuntimeError("wrapper") from inner
+    except RuntimeError as e:
+        assert str(find_root(e)) == "root cause"
+        assert classify_exception(e) == USER  # classified by the ROOT
+
+
+def test_to_flight_error_classes_and_query_id():
+    cls, err = to_flight_error(ValueError("bad"), "qid123")
+    assert cls == USER and isinstance(err, pa.lib.ArrowInvalid)
+    assert "[query_id=qid123]" in str(err)
+    cls, err = to_flight_error(NotImplementedError("nyi"), "q")
+    assert cls == UNIMPLEMENTED and isinstance(err, pa.lib.ArrowNotImplementedError)
+    cls, err = to_flight_error(MemoryError("oom"), "q")
+    assert cls == RESOURCE and isinstance(err, flight.FlightServerError)
+    assert "[error_class=resource]" in str(err)
+    cls, err = to_flight_error(RuntimeError("bug"), "q")
+    assert cls == INTERNAL and isinstance(err, flight.FlightServerError)
+
+
+# ------------------------------------------------------------- live wire
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine.from_test_tables(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    with FlightSQLServer(engine, batch_rows=512) as srv:
+        yield srv
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    with FlightSQLClient(server.uri) as c:
+        yield c
+
+
+def test_typo_column_surfaces_as_arrow_invalid(client):
+    """The #1435 repro: a typo'd column is the CALLER's error —
+    InvalidArgument on the wire, ArrowInvalid (a ValueError) in pyarrow —
+    not FlightInternalError."""
+    with pytest.raises(pa.lib.ArrowInvalid) as ei:
+        client.query("SELECT no_such_column FROM orders")
+    msg = str(ei.value)
+    assert "[query_id=" in msg
+    assert isinstance(ei.value, ValueError)  # the documented contract
+
+
+def test_syntax_error_surfaces_as_arrow_invalid(client):
+    with pytest.raises(pa.lib.ArrowInvalid):
+        client.query("SELEC o_orderkey FRM orders")
+
+
+def test_unknown_table_surfaces_as_arrow_invalid(client):
+    with pytest.raises(pa.lib.ArrowInvalid):
+        client.query("SELECT * FROM no_such_table_xyz")
+
+
+def test_failed_plan_leaves_classified_audit_record(engine, client):
+    with pytest.raises(pa.lib.ArrowInvalid) as ei:
+        client.query("SELECT nope FROM orders")
+    qid = re.search(r"\[query_id=([0-9a-f]+)\]", str(ei.value)).group(1)
+    log = {
+        r["query_id"]: r
+        for r in engine.query("SELECT query_id, error_class FROM query_log").collect()
+    }
+    assert log[qid]["error_class"] == "user"
+
+
+def test_query_audit_reports_nonzero_peak_memory(engine, client):
+    """#1406 done-criterion: a memory-heavy query (wide hash aggregate)
+    reports nonzero peak execution memory through the server path, via
+    job-group-attributed task metrics in the query_log audit view."""
+    heavy = (
+        "SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS s "
+        "FROM orders GROUP BY o_custkey"
+    )
+    df = client.query(heavy)
+    assert len(df) > 0
+    audit = engine.query(
+        "SELECT query_id, error_class, peak_execution_memory_bytes, "
+        "memory_spill_bytes, disk_spill_bytes, shuffle_write_bytes "
+        f"FROM query_log WHERE sql = '{heavy}' ORDER BY time_ns DESC"
+    ).collect()
+    assert audit, "heavy query left no audit record"
+    rec = audit[0]
+    assert rec["error_class"] == "ok"
+    assert rec["peak_execution_memory_bytes"] > 0
+    assert rec["shuffle_write_bytes"] > 0
+
+
+def test_query_metrics_api_in_process(engine):
+    df = engine.query(
+        "SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem GROUP BY l_orderkey"
+    )
+    qid = df._mm_query_id
+    df.collect()  # same thread: jobs inherit the group set by resolve()
+    m = engine.query_metrics(qid)
+    assert m["n_stages"] >= 2  # agg = exchange + final
+    assert m["peak_execution_memory_bytes"] > 0

