@@ -261,6 +261,111 @@ def events_thread_spans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_stats(spans)
 
 
+_JIT_THREAD_SPANS_ORACLE = _THREAD_SPANS_ORACLE.replace(
+    "FROM events\n",
+    "FROM events WHERE user_id IN "
+    "(SELECT user_id FROM events GROUP BY user_id ORDER BY user_id LIMIT 4)\n",
+    1,
+)
+
+
+@query(
+    "events_jit_thread_spans",
+    oracle=_JIT_THREAD_SPANS_ORACLE,
+)
+def events_jit_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread spans built THROUGH the event-time JIT path (reference #1429,
+    jit_partitions.rs group_blocks_into_partitions): the same synthesized
+    nested streams as events_thread_spans, but each stream's events are
+    split into 3 event-time blocks REGISTERED IN REVERSE insert order, fed
+    through Engine.view_instance's block-aware grouping (event-time sort,
+    insert-safe cuts, manifest-cached parquet partitions), and read back.
+
+    The oracle is the SAME balanced-parentheses SQL as the direct batch
+    query (restricted to the 4 streams materialized) — passing proves JIT
+    materialization is semantically invisible: spans whose begin and end
+    live in DIFFERENT blocks still assemble, because event-time grouping
+    puts out-of-insert-order blocks into one event-contiguous partition
+    where the stack machine sees a time-sorted whole. Insert-order
+    bucketing (the pre-#1429 behavior) would fragment these call trees."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from micromegas_spark.engine import Engine, JitViewSet
+    from micromegas_spark.operators.spans import build_thread_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = [
+        r[0]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(4).collect()
+    ]
+    events = _synth_nested_events(ev.where(F.col("user_id").isin(ids)))
+    w = Window.partitionBy("stream_id").orderBy("time_ns", "event_id")
+    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    try:
+        meta = evb.groupBy("stream_id", "blk").agg(
+            F.min("time_ns").alias("lo"),
+            F.max("time_ns").alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()  # bounded: 4 streams x 3 blocks
+        blocks: dict[str, list[dict]] = {}
+        for r in meta:
+            blocks.setdefault(r["stream_id"], []).append(
+                {
+                    "block_id": f"{r['stream_id']}/{r['blk']}",
+                    "begin_ns": r["lo"],
+                    "end_ns": r["hi"] + 1,
+                    # REVERSED: the latest event-time block inserts first —
+                    # the exact out-of-order registration #1429 fixes
+                    "insert_ns": 4 - r["blk"],
+                    "nb_objects": r["n"],
+                }
+            )
+
+        def list_blocks(instance, b, e):
+            return [
+                m
+                for m in blocks.get(instance, [])
+                if m["begin_ns"] < e and m["end_ns"] > b
+            ]
+
+        def build_blocks(instance, block_ids):
+            blks = [int(bid.split("/")[-1]) for bid in block_ids]
+            src = evb.where(
+                (F.col("stream_id") == instance) & F.col("blk").isin(blks)
+            )
+            return build_thread_spans(src, 0, 2**62)
+
+        eng = Engine(
+            spark, warehouse=tempfile.mkdtemp(prefix="jit_thread_spans_")
+        )
+        eng.register_jit_view_set(
+            JitViewSet(
+                "jit_thread_spans",
+                source_count=lambda *_: 0,
+                build=lambda *_: None,
+                time_column="begin_ns",
+                list_blocks=list_blocks,
+                build_blocks=build_blocks,
+            )
+        )
+        parts = [
+            eng.view_instance("jit_thread_spans", sid, 0, 2**62)
+            for sid in sorted(blocks)
+        ]
+        if not parts:
+            return _span_stats(
+                build_thread_spans(events, 0, 2**62)
+            )  # degenerate tiny-SF fallback: no balanced streams at all
+        spans = parts[0]
+        for p in parts[1:]:
+            spans = spans.unionByName(p)
+        return _span_stats(spans)
+    finally:
+        evb.unpersist(blocking=False)
+
+
 def _kmeans_oracle_parts(k: int = 8, n_iter: int = 2) -> list[str]:
     """CTE chain for fully-unrolled Lloyd's k-means: farthest-point init
     (k-1 argmax sweeps) + n_iter assignment/update rounds + final
