@@ -97,6 +97,11 @@ def _query_parser() -> argparse.ArgumentParser:
                    help="Local parquet dir for the in-process engine "
                         "(default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)")
     p.add_argument("--cpus", default=None, help="local[N] parallelism for in-process mode")
+    p.add_argument("--show-audit", action="store_true",
+                   help="After the result, print the query's audit record "
+                        "(query_id, error class, peak execution memory, "
+                        "spill, shuffle bytes) to stderr — reference "
+                        "QueryAuditRecord parity (#1406)")
     return p
 
 
@@ -188,16 +193,49 @@ def main(argv: list[str] | None = None) -> int:
     if begin is not None and end is None:
         end = datetime.datetime.now(datetime.timezone.utc)
 
+    _AUDIT_COLS = (
+        "SELECT query_id, error_class, peak_execution_memory_bytes, "
+        "memory_spill_bytes, disk_spill_bytes, shuffle_write_bytes "
+        "FROM query_log WHERE sql = {} ORDER BY time_ns DESC LIMIT 1"
+    )
+
+    def _print_audit(audit_df) -> None:
+        if len(audit_df) == 0:
+            print("audit: no record found", file=sys.stderr)
+            return
+        rec = audit_df.iloc[0]
+        print(
+            f"audit: query_id={rec['query_id']} error_class={rec['error_class']} "
+            f"peak_execution_memory_bytes={rec['peak_execution_memory_bytes']} "
+            f"memory_spill_bytes={rec['memory_spill_bytes']} "
+            f"disk_spill_bytes={rec['disk_spill_bytes']} "
+            f"shuffle_write_bytes={rec['shuffle_write_bytes']}",
+            file=sys.stderr,
+        )
+
     if args.uri:
         from micromegas_spark.flightsql.client import FlightSQLClient
 
         with FlightSQLClient(args.uri) as client:
             df = client.query(sql, begin, end)
+            if args.show_audit:
+                # the audit lives server-side; fetch this statement's most
+                # recent record over the same wire (the wire surface has
+                # no parameter binding — handles are SQL text — so the
+                # statement text is matched as an escaped literal)
+                esc = sql.strip().replace("'", "''")
+                _print_audit(client.query(_AUDIT_COLS.format(f"'{esc}'")))
     else:
         from micromegas_spark.timeutils import to_epoch_ns
 
         client = _in_process_client(_default_sf_dir(args.sf_dir), args.cpus)
         df = client.query(sql, to_epoch_ns(begin), to_epoch_ns(end))
+        if args.show_audit:
+            _print_audit(
+                client.engine.resolve(
+                    _AUDIT_COLS.format(":sql"), args={"sql": sql.strip()}
+                ).toPandas()
+            )
 
     if df.empty:
         print("no data")

@@ -102,3 +102,43 @@ def test_query_over_flightsql_uri(spark, capsys):
             "--all", "--uri", srv.uri, "--format", "csv",
         )
     assert rc == 0 and out.splitlines()[1].isdigit()
+
+
+def test_show_audit_in_process(spark, capsys):
+    """#1406 through the CLI: --show-audit prints the query's audit record
+    (query_id, error class, peak memory) to stderr; a grouped aggregate
+    reports nonzero peak execution memory."""
+    rc = cli.main([
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY n DESC LIMIT 3",
+        "--all", "--sf-dir", SF_SMOKE, "--show-audit",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    audit = [l for l in captured.err.splitlines() if l.startswith("audit:")]
+    assert len(audit) == 1
+    assert "error_class=ok" in audit[0] and "query_id=" in audit[0]
+    peak = int(audit[0].split("peak_execution_memory_bytes=")[1].split()[0])
+    assert peak > 0
+
+
+def test_show_audit_over_uri(spark, capsys):
+    """The same audit surface over a live FlightSQL connection: the record
+    is fetched from the SERVER's query_log by statement text."""
+    pytest.importorskip("pyarrow.flight")
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    eng = Engine.from_test_tables(spark, SF_SMOKE)
+    sql = (
+        "SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS q "
+        "FROM lineitem GROUP BY l_orderkey ORDER BY q DESC LIMIT 2"
+    )
+    with FlightSQLServer(eng) as srv:
+        rc = cli.main([sql, "--all", "--uri", srv.uri, "--show-audit"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    audit = [l for l in captured.err.splitlines() if l.startswith("audit:")]
+    assert len(audit) == 1 and "error_class=ok" in audit[0]
+    peak = int(audit[0].split("peak_execution_memory_bytes=")[1].split()[0])
+    assert peak > 0
