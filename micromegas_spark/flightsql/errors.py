@@ -90,12 +90,28 @@ def _classify_one(e: BaseException) -> str | None:
     if isinstance(e, MemoryError):
         return RESOURCE
     msg = f"{type(e).__name__}: {e}"
-    # Py4J-wrapped JVM exceptions arrive as strings; match the JVM classes
+    # Py4J-wrapped JVM exceptions and executor-side Python-UDF failures
+    # (PythonException) arrive as strings — match the embedded classes,
+    # mirroring the reference's internal_err!→exec_err! reclassification
+    # of UDF argument/type checks (#1435)
     if "SparkOutOfMemoryError" in msg or "OutOfMemoryError" in msg:
         return RESOURCE
-    if "UnsupportedOperationException" in msg or "UNSUPPORTED_FEATURE" in msg:
+    if (
+        "UnsupportedOperationException" in msg
+        or "UNSUPPORTED_FEATURE" in msg
+        or "NotImplementedError" in msg
+    ):
         return UNIMPLEMENTED
     if isinstance(e, (ValueError, TypeError, KeyError)):
+        return USER
+    # executor-side Python failures surface either as a captured
+    # PythonException or (through toLocalIterator's socket server) as a
+    # bare Py4JJavaError whose message embeds the worker traceback
+    if ("PythonException" in msg or type(e).__name__ == "PythonException") and (
+        "ValueError" in msg or "TypeError" in msg or "KeyError" in msg
+    ):
+        return USER
+    if "IllegalArgumentException" in msg or "CAST_INVALID_INPUT" in msg:
         return USER
     return None
 
@@ -114,8 +130,17 @@ def _client_message(e: BaseException, query_id: str | None) -> str:
     """The reference drops the old status! macro's absolute build-path
     file:line suffix from client messages; here the message is just the
     root cause's own text plus the correlatable query id."""
+    import re
+
     root = find_root(e)
     msg = str(root).strip() or type(root).__name__
+    # executor-side Python failures embed the worker traceback in a JVM
+    # stack blob; surface the actual raising line (the reference likewise
+    # sends the root error text, not the transport wrapping)
+    if "Traceback (most recent call last)" in msg:
+        hits = re.findall(r"(?m)^\s*(\w+(?:Error|Exception)): (.+)$", msg)
+        if hits:
+            msg = f"{hits[-1][0]}: {hits[-1][1]}"
     # Spark's AnalysisException can append a multi-page JVM stacktrace
     # after the useful first paragraph; keep the client message bounded
     if len(msg) > 2000:

@@ -344,7 +344,15 @@ class FlightSQLServer:
             # resolve() — re-pin the group on the pulling thread so the
             # streaming jobs are attributed to this query_id (#1406 audit)
             self.engine.spark.sparkContext.setJobGroup(query_id, sql.strip()[:128])
-            yield from inner
+            try:
+                yield from inner
+            except Exception as e:
+                # EXECUTION-time failures classify too (#1435: the
+                # reference reclassified UDF arity/type exec errors) — a
+                # Python-UDF ValueError mid-stream surfaces as
+                # InvalidArgument, not Internal
+                _cls, err = to_flight_error(e, query_id)
+                raise err from None
 
         return flight.GeneratorStream(
             schema, attributed(_stream_batches(df, self.batch_rows))

@@ -173,3 +173,43 @@ def test_query_metrics_api_in_process(engine):
     m = engine.query_metrics(qid)
     assert m["n_stages"] >= 2  # agg = exchange + final
     assert m["peak_execution_memory_bytes"] > 0
+
+
+def test_exec_time_udf_error_classifies_user(engine, client):
+    """#1435 exec_err parity: a Python-UDF ValueError raised DURING
+    execution (not planning) still reaches the client as ArrowInvalid with
+    the query id — the reference reclassified exactly these from Internal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def boom(x):
+        raise ValueError("bad input value")
+
+    engine.register_table(
+        "boom_tbl", engine.spark.range(8).select(boom("id").alias("v"))
+    )
+    try:
+        with pytest.raises(pa.lib.ArrowInvalid) as ei:
+            client.query("SELECT v FROM boom_tbl")
+        assert "[query_id=" in str(ei.value)
+    finally:
+        del engine._views["boom_tbl"]
+
+
+def test_exec_time_not_implemented_classifies_unimplemented(engine, client):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def nyi(x):
+        raise NotImplementedError("feature pending")
+
+    engine.register_table(
+        "nyi_tbl", engine.spark.range(8).select(nyi("id").alias("v"))
+    )
+    try:
+        with pytest.raises(pa.lib.ArrowNotImplementedError):
+            client.query("SELECT v FROM nyi_tbl")
+    finally:
+        del engine._views["nyi_tbl"]
