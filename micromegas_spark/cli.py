@@ -75,6 +75,21 @@ def read_sql_source(args) -> str:
     return args.sql
 
 
+def _version_string() -> str:
+    """Package + interpreter version and path (reference unreleased
+    changelog: --version on micromegas-query reports 'micromegas-query
+    0.29.0 (Python 3.11.9 at /usr/bin/python3.11)') so it's easy to tell
+    which install and interpreter back the console script."""
+    import platform
+
+    from micromegas_spark import __version__
+
+    return (
+        f"micromegas-spark {__version__} "
+        f"(Python {platform.python_version()} at {sys.executable})"
+    )
+
+
 def _query_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="micromegas-spark",
@@ -97,6 +112,8 @@ def _query_parser() -> argparse.ArgumentParser:
                    help="Local parquet dir for the in-process engine "
                         "(default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)")
     p.add_argument("--cpus", default=None, help="local[N] parallelism for in-process mode")
+    p.add_argument("--version", action="version", version=_version_string(),
+                   help="Report package + interpreter version and exit")
     p.add_argument("--show-audit", action="store_true",
                    help="After the result, print the query's audit record "
                         "(query_id, error class, peak execution memory, "

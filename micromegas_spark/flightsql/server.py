@@ -44,8 +44,9 @@ def _flight():
 
 def _make_middleware(flight):
     class _Factory(flight.ServerMiddlewareFactory):
-        def __init__(self, auth_token: str | None):
+        def __init__(self, auth_token: str | None, key_store=None):
             self.auth_token = auth_token
+            self.key_store = key_store
 
         def start_call(self, info, headers):
             low = {k.lower(): v for k, v in headers.items()}
@@ -53,6 +54,27 @@ def _make_middleware(flight):
                 got = low.get("authorization", [])
                 if f"Bearer {self.auth_token}" not in got:
                     raise flight.FlightUnauthenticatedError("invalid or missing bearer token")
+            if self.key_store is not None:
+                from micromegas_spark.flightsql.apikeys import StoreUnavailable
+
+                keys = [
+                    v[len("Bearer "):]
+                    for v in low.get("authorization", [])
+                    if v.startswith("Bearer ")
+                ]
+                try:
+                    ok = bool(keys) and self.key_store.validate(keys[0])
+                except StoreUnavailable as e:
+                    # #1383: a key-store OUTAGE is a retryable failure
+                    # (UNAVAILABLE), never a rejected credential — a DB
+                    # blip must not tell clients their key was revoked
+                    raise flight.FlightUnavailableError(
+                        f"api key store unavailable: {e}"
+                    )
+                if not ok:
+                    raise flight.FlightUnauthenticatedError(
+                        "invalid, revoked, or missing api key"
+                    )
             return _Middleware(low)
 
     class _Middleware(flight.ServerMiddleware):
@@ -153,6 +175,7 @@ class FlightSQLServer:
         batch_rows: int = 10_000,
         auth_token: str | None = None,
         max_dictionary_values: int = 4096,
+        key_store=None,
     ):
         flight = _flight()
         self.engine = engine
@@ -184,7 +207,7 @@ class FlightSQLServer:
                     ("RetirePartitionByMetadata", "admin: retire one partition by ids"),
                 ]
 
-        factory = _make_middleware(flight)(auth_token)
+        factory = _make_middleware(flight)(auth_token, key_store)
         # remember the bound host so .uri reports the real endpoint
         # (the port may have been 0 = ephemeral; the host is as given)
         self._host = location.split("://", 1)[-1].rsplit(":", 1)[0] or "127.0.0.1"
