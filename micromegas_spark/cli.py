@@ -75,6 +75,50 @@ def read_sql_source(args) -> str:
     return args.sql
 
 
+def _load_profile(explicit: str | None) -> dict:
+    """AWS-CLI-style named connection profiles (reference unreleased
+    changelog: --profile / MICROMEGAS_PROFILE / default_profile in
+    ~/.micromegas/config.json selecting one of several named connections).
+
+    Config file (override path with $MICROMEGAS_SPARK_CONFIG; default
+    ~/.micromegas_spark/config.json):
+
+        {"default_profile": "local",
+         "profiles": {"local": {"sf_dir": "...", "cpus": "8"},
+                      "prod":  {"uri": "grpc://host:50051"}}}
+
+    Precedence for which profile applies: --profile >
+    $MICROMEGAS_SPARK_PROFILE > config's default_profile > none. Explicit
+    CLI flags always beat profile values. A profile named but missing is
+    an error; an absent config file is only an error when a profile was
+    explicitly requested."""
+    import json
+    import os
+
+    path = os.environ.get(
+        "MICROMEGAS_SPARK_CONFIG",
+        os.path.join(os.path.expanduser("~"), ".micromegas_spark", "config.json"),
+    )
+    name = explicit or os.environ.get("MICROMEGAS_SPARK_PROFILE")
+    if not os.path.exists(path):
+        if name:
+            raise FileNotFoundError(
+                f"profile {name!r} requested but no config at {path}"
+            )
+        return {}
+    with open(path, encoding="utf-8") as f:
+        cfg = json.load(f)
+    name = name or cfg.get("default_profile")
+    if not name:
+        return {}
+    profiles = cfg.get("profiles", {})
+    if name not in profiles:
+        raise KeyError(
+            f"unknown profile {name!r} in {path} (known: {sorted(profiles)})"
+        )
+    return profiles[name]
+
+
 def _version_string() -> str:
     """Package + interpreter version and path (reference unreleased
     changelog: --version on micromegas-query reports 'micromegas-query
@@ -114,6 +158,11 @@ def _query_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", default=None, help="local[N] parallelism for in-process mode")
     p.add_argument("--version", action="version", version=_version_string(),
                    help="Report package + interpreter version and exit")
+    p.add_argument("--profile", default=None,
+                   help="Named connection profile from "
+                        "~/.micromegas_spark/config.json (or "
+                        "$MICROMEGAS_SPARK_CONFIG); supplies uri/sf_dir/"
+                        "cpus defaults — explicit flags win")
     p.add_argument("--show-audit", action="store_true",
                    help="After the result, print the query's audit record "
                         "(query_id, error class, peak execution memory, "
@@ -182,6 +231,17 @@ def main(argv: list[str] | None = None) -> int:
         argv = argv[1:]
     parser = _query_parser()
     args = parser.parse_args(argv)
+
+    try:
+        profile = _load_profile(args.profile)
+    except (OSError, KeyError, ValueError) as e:
+        parser.error(str(e))
+    if args.uri is None:
+        args.uri = profile.get("uri")
+    if args.sf_dir is None and "sf_dir" in profile:
+        args.sf_dir = profile["sf_dir"]
+    if args.cpus is None and "cpus" in profile:
+        args.cpus = str(profile["cpus"])
 
     if args.file and args.sql:
         parser.error("cannot use both positional SQL and --file")
