@@ -1053,3 +1053,70 @@ def bigram_logprob(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(-F.avg("_lp"), 6).alias("cross_entropy"),
     )
+
+
+def sequence_pack_bins(
+    docs,
+    window_tokens: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Training-sequence packing accounting (concat-and-chunk): documents
+    are concatenated in a deterministic order within each group and the
+    token stream is cut into fixed ``window_tokens`` windows — the standard
+    way LLM pipelines pack variable-length documents into fixed context
+    windows. Returns per-(group, seq_id) packing stats: how many documents
+    the window touches, how many of those straddle a window boundary, the
+    exact token count, and the fill ratio (1.0 for every window but each
+    group's last).
+
+    Scale shape: ONE window shuffle per group key for the running token
+    sum, a map-side ``sequence`` explode bounded by each doc's own window
+    span (a doc of n tokens lands in at most n/W + 1 windows, so total
+    exploded rows ≈ total_tokens / W + n_docs), and one final aggregation.
+    No pair space, no driver state — linear at any corpus size; group
+    skew is bounded by the per-source token mass, and the running sum is
+    the only order-sensitive step."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    W = int(window_tokens)
+    d = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col),
+            F.col(order_col),
+            token_count(F.col(text_col)).cast("bigint").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    c = d.withColumn("cum_end", F.sum("n").over(w)).withColumn(
+        "cum_before", F.col("cum_end") - F.col("n")
+    )
+    b = c.withColumn("b0", (F.col("cum_before") / W).cast("bigint")).withColumn(
+        "b1", ((F.col("cum_end") - 1) / W).cast("bigint")
+    )
+    e = b.select(
+        group_col,
+        "cum_before",
+        "cum_end",
+        "b0",
+        "b1",
+        F.explode(F.sequence("b0", "b1")).alias("seq_id"),
+    )
+    lo = F.col("seq_id") * W
+    hi = (F.col("seq_id") + 1) * W
+    tokens_in = F.least(F.col("cum_end"), hi) - F.greatest(F.col("cum_before"), lo)
+    return (
+        e.withColumn("_tok", tokens_in)
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("b1") > F.col("b0")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_split_docs"),
+            F.sum("_tok").cast("bigint").alias("n_tokens"),
+            (F.sum("_tok") / F.lit(float(W))).alias("fill_ratio"),
+        )
+    )

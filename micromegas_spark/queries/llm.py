@@ -2497,3 +2497,51 @@ def docs_kmv_overlap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 256).alias("ks"))
     )
     return kmv_merge_estimates(sketches, k=256)
+
+
+@query(
+    "docs_sequence_pack",
+    oracle=r"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+        SELECT source, doc_id, n,
+               SUM(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+        FROM d WHERE n > 0
+    ),
+    b AS (
+        SELECT source,
+               CAST(cum_end - n AS BIGINT) AS cum_before,
+               CAST(cum_end AS BIGINT) AS cum_end,
+               CAST((cum_end - n) // 1024 AS BIGINT) AS b0,
+               CAST((cum_end - 1) // 1024 AS BIGINT) AS b1
+        FROM c
+    ),
+    e AS (
+        SELECT source, cum_before, cum_end, b0, b1,
+               UNNEST(range(b0, b1 + 1)) AS seq_id
+        FROM b
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b1 > b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           CAST(SUM(LEAST(cum_end, (seq_id + 1) * 1024)
+                    - GREATEST(cum_before, seq_id * 1024)) AS BIGINT) AS n_tokens,
+           SUM(LEAST(cum_end, (seq_id + 1) * 1024)
+               - GREATEST(cum_before, seq_id * 1024))::DOUBLE / 1024 AS fill_ratio
+    FROM e
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk into 1024-token
+    windows): per-(source, window) document counts, boundary-straddling
+    docs, exact token fill — the accounting every LLM pipeline needs to
+    size epochs and measure padding waste (operators/text.sequence_pack_
+    bins; one window shuffle + bounded explode + one aggregation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.sequence_pack_bins(d, 1024).orderBy("source", "seq_id")
