@@ -93,7 +93,15 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        # cpus*8, not cpus: at scale, per-partition sort/aggregate state
+        # must fit a task's execution-memory share — 32 partitions at sf10
+        # put the containment verify's multi-GB sorts on single tasks
+        # (measured SparkOutOfMemoryError; 512 partitions completes) —
+        # while at bench scale AQE's coalesce trims the excess (measured
+        # A/B at sf0.01: 8→64 partitions is ~15% FASTER, not slower).
+        # "Set shuffle.partitions high, let AQE trim" is the
+        # cluster-correct default.
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 8))
         # local-bench profile: the synthetic tables are single small parquet
         # files; the default 128MB split would run every CPU-heavy scan
         # stage on one core. A cluster profile keeps the default (at 100 TB
@@ -110,6 +118,14 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # zstd for shuffle/spill: ~2-3x better ratio than the lz4 default
+        # on the narrow-row streams our set-similarity verifies shuffle
+        # (measured at sf10: docs_containment_dups' pair shuffle exhausts
+        # the sandbox's ~60 GB free volume under lz4 mid-aggregate, and
+        # completes the same stages under zstd at a 57 GB peak), at a
+        # negligible CPU cost at bench scale. At 100 TB this is the
+        # difference between a shuffle fitting executor disks or not.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
