@@ -495,13 +495,29 @@ def one_shot_stream_table(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    # Stateful streaming instantiates ONE state-store partition per
+    # spark.sql.shuffle.partitions, each with per-micro-batch checkpoint
+    # file I/O — the session's scale default (cpus*8, right for big batch
+    # sorts) made every micro-batch pay ~256 tiny state commits (measured:
+    # the *_stream oracle queries regressed 1.4-3x). Pin the streaming
+    # query's partitioning to the actual parallelism; the conf is read at
+    # start() and baked into the query's checkpoint, then restored.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
