@@ -139,6 +139,12 @@ SHOWCASE = [
         "weighted sampling without replacement: Efraimidis-Spirakis keys "
         "map-side, TakeOrdered top-k — no global sort",
     ),
+    (
+        "docs_sequence_pack",
+        "sequence packing: one per-source window pass for the running "
+        "token sum, bounded map-side sequence explode (~tokens/window + "
+        "n_docs rows), one final aggregation — no pair space",
+    ),
 ]
 
 
