@@ -535,8 +535,9 @@ def blocked_jaccard_pairs(
     The verify step is index-native counting (see containment_pairs /
     _pair_counts): |A∩B| is a groupBy COUNT over the (blk, hash)-bucketed
     capped index's co-occurrence pairs, J = ∩/(|A|+|B|−∩) from per-doc
-    capped-universe sizes — two ints per pair through the final join, no
-    shingle array ever shipped per pair (the array-verify formulation was
+    capped-universe sizes that ride inside the bucket structs — the pair
+    stream is never joined or sorted after the aggregate, and no shingle
+    array is ever shipped per pair (the array-verify formulation was
     the sf10 ~400 GB sort spill, SCALE.md). Jaccard is evaluated over the
     DF-CAPPED universe: a shingle shared by more than ``max_doc_freq``
     same-block docs is corpus furniture and is excluded from both the
@@ -559,19 +560,18 @@ def blocked_jaccard_pairs(
     )
     posting = sh.select(F.col(id_col), "blk", F.explode("sh").alias("h"))
     capped = _df_capped(posting, ("blk", "h"), max_doc_freq)
-    buckets = capped.groupBy("blk", "h").agg(F.collect_list(id_col).alias("ids"))
+    # a doc lives in exactly one block, so the per-doc capped-universe
+    # size keys on id alone; _sized_buckets rides it into the bucket
+    # structs so _pair_counts emits na/nb inline — zero joins against
+    # the pair stream (the old sizes-join double-sorted the ~1e9-row
+    # pair stream at sf10 and ENOSPC'd the sandbox volume, SCALE.md)
+    buckets = _sized_buckets(capped, id_col, ("blk", "h"))
     inter = _pair_counts(buckets)
-    # a doc lives in exactly one block, so per-doc sizes key on id alone
-    sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
-    na = sizes.select(F.col(id_col).alias("_ia"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("_ib"), F.col("_n").alias("_nb"))
     j = F.round(
         F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
     )
     return (
-        inter.join(na, "_ia")
-        .join(nb, "_ib")
-        .select(
+        inter.select(
             F.col("_ia").alias("id_a"),
             F.col("_ib").alias("id_b"),
             j.alias("jaccard"),
@@ -604,8 +604,20 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     mega-cluster signature lands on a single task — bounded at
     buckets × C(max_doc_freq, 2) emissions by the df cap upstream.
 
-    ids are deduped + sorted before pair generation, so _ia < _ib holds
-    and an in-doc 32-bit hash collision can't double-count a bucket.
+    Per-doc set sizes ride INSIDE the bucket structs ({i, n} from
+    _sized_buckets), so the aggregate emits (_ia, _na, _ib, _nb, _inter)
+    directly and the similarity ratio is a map-side projection — the
+    verify performs ZERO joins against the pair stream. (The previous
+    shape joined a per-doc sizes table onto the aggregated pairs, which
+    sort-merge-sorted the ~1e9-row sf10 pair stream twice and ENOSPC'd
+    the sandbox volume; carrying n costs 8 bytes per posting row through
+    shuffles that already existed.) n is functionally determined by i,
+    so grouping by the (i, n) field pairs collapses identically to
+    grouping by ids alone.
+
+    ids are deduped + sorted before pair generation (struct order is
+    field order, i first), so _ia < _ib holds and an in-doc 32-bit hash
+    collision can't double-count a bucket.
 
     Pair generation is a TWO-step explode (posexplode the left element,
     then explode the array tail after it), not one flattened
@@ -618,18 +630,47 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     b = buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids")).repartition(
         p * 4, F.hash("ids")
     )
-    left = b.select(F.posexplode("ids").alias("_i", "_ia"), F.col("ids"))
+    left = b.select(F.posexplode("ids").alias("_i", "_a"), F.col("ids"))
     return (
         left.select(
-            "_ia",
-            # 0-based pos → partners strictly after _ia; slice tolerates
+            "_a",
+            # 0-based pos → partners strictly after _a; slice tolerates
             # length past the end and yields [] at the last element
             F.explode(
                 F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
-            ).alias("_ib"),
+            ).alias("_b"),
         )
-        .groupBy("_ia", "_ib")
+        .groupBy(
+            F.col("_a.i").alias("_ia"),
+            F.col("_a.n").alias("_na"),
+            F.col("_b.i").alias("_ib"),
+            F.col("_b.n").alias("_nb"),
+        )
         .agg(F.count("*").alias("_inter"))
+    )
+
+
+def _sized_buckets(capped: DataFrame, id_col: str, keys: tuple) -> DataFrame:
+    """Capped posting (id, *keys) → per-key buckets of {i, n} structs,
+    where n is the doc's TOTAL capped-universe posting count (its set
+    size for the similarity denominator).
+
+    The window over id replaces the separate sizes groupBy the old shape
+    ran on the same key — one pass instead of two — and riding n inside
+    the struct is what lets _pair_counts emit denominators inline. Cost
+    accounting at 100 TB: one extra posting-stream shuffle+sort (by id,
+    16-byte rows) buys the removal of TWO sort-merge sorts of the pair
+    stream, which is the larger intermediate on any clone-heavy corpus
+    (measured sf10: the pair stream is ~1e9 rows and was the ENOSPC)."""
+    from pyspark.sql import Window
+
+    withn = capped.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(id_col))
+    )
+    return withn.groupBy(*keys).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col("_n").alias("n"))
+        ).alias("ids")
     )
 
 
@@ -673,10 +714,12 @@ def containment_pairs(
     Scale shape — index-native counting (Vernica/Carey/Li's MapReduce
     set-similarity verify, turned into two hash aggregates): the capped
     inverted index's buckets already encode every co-occurrence, so
-    |A∩B| is a groupBy COUNT over bucket pairs (_pair_counts) and the
-    verify "join" ships two ints per pair instead of two full shingle
-    arrays — the array-shipping formulation was the sf10 ~400 GB sort
-    spill (SCALE.md). Containment is evaluated over the DF-CAPPED shingle
+    |A∩B| is a groupBy COUNT over bucket pairs (_pair_counts), and the
+    per-doc denominators ride inside the bucket structs so the pair
+    stream is never joined or sorted after the aggregate — the
+    array-shipping formulation was the sf10 ~400 GB sort spill, and the
+    later sizes-join shape still double-sorted the ~1e9-row pair stream
+    (SCALE.md). Containment is evaluated over the DF-CAPPED shingle
     universe: shingles shared by more than ``max_doc_freq`` docs are
     corpus furniture (license headers, chrome) and are excluded from both
     |A∩B| and |Sh(a)| — identical to the exact full-universe answer
@@ -706,20 +749,17 @@ def containment_pairs(
     # _df_capped's count pass, the bucket collect, and the size aggregate)
     posting = sh.select(F.col(id_col), F.explode("sh").alias("h"))
     capped = _df_capped(posting, ("h",), max_doc_freq)
-    buckets = capped.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
-    inter = _pair_counts(buckets)
     # per-doc set size over the same capped universe as the numerator
     # (count(*), not countDistinct: an in-doc 32-bit hash collision is
-    # counted in size(sh) by the uncapped formulation and the oracle too)
-    sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
-    na = sizes.select(F.col(id_col).alias("_ia"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("_ib"), F.col("_n").alias("_nb"))
+    # counted in size(sh) by the uncapped formulation and the oracle
+    # too) — carried inside the bucket structs so the verify never joins
+    # the pair stream (the old sizes-join was the sf10 ENOSPC, SCALE.md)
+    buckets = _sized_buckets(capped, id_col, ("h",))
+    inter = _pair_counts(buckets)
     # containment is directional: evaluate the symmetric intersection
     # count against both denominators and emit each passing direction
     return (
-        inter.join(na, "_ia")
-        .join(nb, "_ib")
-        .select(
+        inter.select(
             F.explode(
                 F.array(
                     F.struct(
