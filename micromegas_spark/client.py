@@ -81,11 +81,22 @@ class Client:
 
     def query(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> "pd.DataFrame":
         """SQL → pandas (the reference's default: Arrow table → pandas)."""
-        return self.engine.query(sql, begin_ns, end_ns).toPandas()
+        from micromegas_spark.engine import job_group
+
+        df = self.engine.query(sql, begin_ns, end_ns)
+        # execution-scoped attribution (#1406): the collect runs under
+        # THIS query's job group and the thread is cleared afterwards, so
+        # same-thread interleaved queries each audit their own jobs
+        with job_group(df):
+            return df.toPandas()
 
     def query_arrow(self, sql: str, begin_ns: int | None = None, end_ns: int | None = None) -> "pa.Table":
         """SQL → Arrow table (preserve_dictionary-style callers)."""
-        return self.engine.query(sql, begin_ns, end_ns).toArrow()
+        from micromegas_spark.engine import job_group
+
+        df = self.engine.query(sql, begin_ns, end_ns)
+        with job_group(df):
+            return df.toArrow()
 
     def query_stream(
         self,
@@ -97,7 +108,15 @@ class Client:
         """SQL → stream of Arrow record batches (FlightSQL DoGet analogue).
 
         Incremental: see _stream_batches."""
-        yield from _stream_batches(self.engine.query(sql, begin_ns, end_ns), batch_rows)
+        from micromegas_spark.engine import attributed_iter
+
+        df = self.engine.query(sql, begin_ns, end_ns)
+        yield from attributed_iter(
+            df.sparkSession.sparkContext,
+            df._mm_query_id,
+            sql,
+            _stream_batches(df, batch_rows),
+        )
 
     def view_instance(self, view_set: str, instance: str, begin_ns: int, end_ns: int) -> "pd.DataFrame":
         """JIT per-instance view (client.py:351-352 'view_instance speedup')."""
@@ -124,8 +143,15 @@ class Client:
         # the STATEMENT's sql drives view registration (lazy query_log /
         # catalog views key on the text) and the audit record; resolve()
         # makes register+analyze atomic under concurrency
+        from micromegas_spark.engine import attributed_iter
+
         df = self.engine.resolve(statement.sql, begin_ns, end_ns, args=params or {})
-        yield from _stream_batches(df, batch_rows)
+        yield from attributed_iter(
+            df.sparkSession.sparkContext,
+            df._mm_query_id,
+            statement.sql,
+            _stream_batches(df, batch_rows),
+        )
 
     # -- convenience lookups (client.py:782-976) ---------------------------
     # begin/end accept epoch-ns ints, tz-aware datetimes, pandas Timestamps
@@ -138,7 +164,11 @@ class Client:
         b, e = to_epoch_ns(begin), to_epoch_ns(end)
         # convenience lookups are executed statements too: audit-logged
         # like query() and the prepared paths (resolve() logs)
-        return self.engine.resolve(sql, b, e, args=args or {}).toPandas()
+        from micromegas_spark.engine import job_group
+
+        df = self.engine.resolve(sql, b, e, args=args or {})
+        with job_group(df):
+            return df.toPandas()
 
     def find_process(self, process_id: str) -> "pd.DataFrame":
         """Process metadata by id (client.py:782-820); empty frame if
@@ -280,9 +310,11 @@ class PreparedStatement:
     ) -> "pd.DataFrame":
         # re-register range-bounded views (keyed on THIS statement's sql),
         # then run with bound parameters; audit-logged like query()
-        return self.client.engine.resolve(
-            self.sql, begin_ns, end_ns, args=params or {}
-        ).toPandas()
+        from micromegas_spark.engine import job_group
+
+        df = self.client.engine.resolve(self.sql, begin_ns, end_ns, args=params or {})
+        with job_group(df):
+            return df.toPandas()
 
     def schema(self) -> "pa.Schema":
         """Result schema without executing (the schema-discovery purpose

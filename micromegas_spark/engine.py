@@ -17,12 +17,15 @@ event count — stale or missing buckets are rebuilt by the view's builder
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 import json
 import os
 import threading
 import time
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +48,47 @@ ViewBuilder = Callable[[int | None, int | None], DataFrame]
 # (the reference gets the same isolation from a fresh SessionContext
 # per query, rust/analytics/src/lakehouse/query.rs:207-256).
 _PLAN_LOCK = threading.RLock()
+
+
+@contextmanager
+def job_group(sc_or_df, query_id: str | None = None, description: str = ""):
+    """Scope Spark job-group attribution (#1406 audit) to a block: set on
+    entry, CLEARED on exit — a group left ambient on the thread would
+    attribute the NEXT query's jobs to this query_id. Pass a DataFrame
+    returned by resolve() to key off its ``_mm_query_id`` (no-op when the
+    DataFrame wasn't produced by the engine), or an explicit
+    (SparkContext, query_id)."""
+    if isinstance(sc_or_df, DataFrame):
+        sc = sc_or_df.sparkSession.sparkContext
+        query_id = getattr(sc_or_df, "_mm_query_id", None)
+        if not query_id:
+            yield
+            return
+    else:
+        sc = sc_or_df
+    sc.setJobGroup(query_id, description.strip()[:128])
+    try:
+        yield
+    finally:
+        # setLocalProperty(None) removes the property JVM-side — the
+        # thread returns to unattributed, never to a stale group
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+
+
+def attributed_iter(sc, query_id: str, description: str, inner):
+    """Re-pin the job group around EVERY pull of ``inner``: Flight resumes
+    result generators on gRPC serving threads where OTHER queries may run
+    between pulls, so a set-once group would attribute this stream's late
+    batches to whichever query ran last on the thread (and vice versa)."""
+    it = iter(inner)
+    while True:
+        with job_group(sc, query_id, description):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+        yield item
 
 
 @dataclass
@@ -121,24 +165,30 @@ def group_blocks_into_partitions(
         last_safe = -1  # most recent safe cut index within this partition
         cut = None
         for i in range(start, n):
+            nb = bs[i]["nb_objects"]
+            # cut BEFORE accumulating the block that would overflow
+            # (reference partition.rs: full = nb_objects + block > max &&
+            # i > start), so partitions stay <= max_nb_objects whenever a
+            # safe cut exists; last_safe < i, so >= start implies i > start
+            if count + nb > max_nb_objects and last_safe >= start:
+                cut = last_safe
+                break
             prefix_max = (
                 bs[i]["insert_ns"]
                 if prefix_max is None
                 else max(prefix_max, bs[i]["insert_ns"])
             )
-            count += bs[i]["nb_objects"]
+            count += nb
             safe = i == n - 1 or prefix_max <= suffix_min[i + 1]
             if safe:
                 last_safe = i
-            if count >= max_nb_objects:
-                if safe:
+                if count >= max_nb_objects:
+                    # at/over the limit with no earlier safe point (one
+                    # oversized block, or growth across an unsafe stretch
+                    # — reference logs debug! there): cut at the first
+                    # safe index once the limit is reached
                     cut = i
                     break
-                if last_safe >= start:
-                    cut = last_safe
-                    break
-                # no safe point yet: grow past the soft limit (reference
-                # logs debug! here) until the next safe index
         if cut is None:
             cut = last_safe if last_safe >= start else n - 1
         parts.append(bs[start : cut + 1])
@@ -180,7 +230,7 @@ class Engine:
     enables the per-view time filter (P5: point views get
     ``time BETWEEN``; the builder itself may prune partitions)."""
         if name.lower() == "query_log":
-            raise ValueError(
+            raise InvalidArgument(
                 "'query_log' is the engine's self-observability view and "
                 "cannot be shadowed by a registered view"
             )
@@ -282,7 +332,15 @@ class Engine:
         _PLAN_LOCK. Returns the eagerly-analyzed DataFrame; execution
         stays lazy and unserialized."""
         query_id = query_id or uuid.uuid4().hex[:16]
-        with _PLAN_LOCK:
+        # job-group attribution for the per-query resource audit
+        # (reference #1406 QueryAuditRecord): the group opens BEFORE
+        # prepare_views so JIT materialization / query_log-view jobs the
+        # planning itself triggers attribute to the query that caused
+        # them, and it is CLEARED on exit so later jobs on this thread
+        # never inherit a stale id. Execution-time jobs re-attribute at
+        # the call sites that actually collect (job_group(df) in
+        # Client/server/CLI paths, keyed off df._mm_query_id).
+        with _PLAN_LOCK, job_group(self.spark.sparkContext, query_id, sql):
             self.prepare_views(sql, begin_ns, end_ns)
             t0 = time.time()
             try:
@@ -307,15 +365,6 @@ class Engine:
             self.log_query(
                 sql, begin_ns, end_ns, (time.time() - t0) * 1000.0, query_id
             )
-            # job-group attribution for the per-query resource audit
-            # (reference #1406 QueryAuditRecord): jobs submitted by THIS
-            # thread for this DataFrame inherit the group, so
-            # query_metrics(query_id) can aggregate task metrics after
-            # execution. Thread-local, like all Spark job-group use — a
-            # caller executing on another thread opts out of attribution,
-            # never misattributes another query's jobs (each resolve gets
-            # a fresh uuid).
-            self.spark.sparkContext.setJobGroup(query_id, sql.strip()[:128])
         out._mm_query_id = query_id
         return out
 
@@ -537,6 +586,10 @@ class Engine:
     def batch_view(self, name: str):
         specs = getattr(self, "_batch_views", {})
         if name not in specs:
+            # deliberately a KeyError (LookupError): the server's admin
+            # boundary maps LookupError to the reference's "not found"
+            # surface (query.rs:150-175 non-admin parity), not to #1435
+            # classification
             raise KeyError(
                 f"unknown batch view {name!r}; register_batch_view() it first "
                 f"(known: {sorted(specs)})"

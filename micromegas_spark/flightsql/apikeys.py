@@ -26,6 +26,8 @@ This rebuild keeps the same contract over a JSON file + advisory flock
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 import fcntl
 import hashlib
 import json
@@ -101,7 +103,7 @@ class ApiKeyStore:
         with self._locked():
             data = self._load()
             if name in data["keys"]:
-                raise ValueError(f"api key {name!r} already exists")
+                raise InvalidArgument(f"api key {name!r} already exists")
             data["keys"][name] = {
                 "hash": _hash(plaintext),
                 "created_at": time.time(),
@@ -117,7 +119,7 @@ class ApiKeyStore:
         with self._locked():
             data = self._load()
             if name not in data["keys"]:
-                raise KeyError(f"unknown api key {name!r}")
+                raise InvalidArgument(f"unknown api key {name!r}")
             data["keys"][name]["revoked_at"] = time.time()
             data["keys"][name]["revoked_by"] = revoked_by
             self._save(data)

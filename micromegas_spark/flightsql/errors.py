@@ -16,13 +16,22 @@ Here the engine is Spark, so the root cause is a PySpark exception:
 - ``AnalysisException`` (unknown column/table/function, ambiguous
   reference, type mismatch — Spark already embeds the line/column pointer
   the reference added via collect_spans) and ``ParseException`` (syntax)
-  and Python ``ValueError``/``TypeError`` from argument validation →
-  ``user`` → raised to Flight clients as ``pyarrow.lib.ArrowInvalid``
-  (gRPC ``InvalidArgument``).
+  and ``InvalidArgument`` (the explicit marker the package's own
+  argument-validation paths raise) → ``user`` → raised to Flight clients
+  as ``pyarrow.lib.ArrowInvalid`` (gRPC ``InvalidArgument``). Bare
+  ``ValueError``/``TypeError``/``KeyError`` deliberately do NOT classify
+  as user: the reference reclassifies only specific validated roots, and
+  a genuine server-side bug (a KeyError in engine code) must stay
+  ``internal`` so query_failed monitoring sees it — builtins raised
+  INSIDE executor-side UDFs still classify user via the PythonException
+  message match (that path runs only user-supplied expressions).
 - ``NotImplementedError`` / Spark ``UnsupportedOperationException`` →
   ``unimplemented`` → ``pyarrow.lib.ArrowNotImplementedError``
   (gRPC ``Unimplemented``).
-- ``MemoryError`` / Spark ``SparkOutOfMemoryError`` → ``resource``.
+- ``MemoryError`` / Spark ``SparkOutOfMemoryError`` / disk exhaustion
+  (ENOSPC, "No space left on device" from shuffle/spill writes — the
+  budget the reference caps with MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB)
+  → ``resource``.
   pyarrow's Python Flight server wrapper has no raisable class that maps
   to gRPC ``ResourceExhausted`` (only Invalid / NotImplemented / Key have
   dedicated mappings), so this class surfaces as a ``FlightServerError``
@@ -37,10 +46,23 @@ by grepping the id (the reference's QueryAuditRecord.query_id).
 
 from __future__ import annotations
 
+import errno
+
 USER = "user"
 RESOURCE = "resource"
 UNIMPLEMENTED = "unimplemented"
 INTERNAL = "internal"
+
+
+class InvalidArgument(ValueError):
+    """Argument-validation failure the CALLER can fix — the explicit
+    marker the package's validation paths raise (engine view lookups,
+    time-range parsing, wire-protobuf decoding, function argument
+    checks). A ValueError subclass, so existing ``except ValueError``
+    callers keep working; classification keys on this type so it never
+    has to guess whether a bare builtin came from the user or from a
+    server-side bug (reference #1435 reclassifies specific validated
+    roots, not every builtin)."""
 
 
 def exception_chain(e: BaseException) -> list[BaseException]:
@@ -85,9 +107,13 @@ def _classify_one(e: BaseException) -> str | None:
             return USER
     except ImportError:  # pragma: no cover - pyspark always present here
         pass
+    if isinstance(e, InvalidArgument):
+        return USER
     if isinstance(e, NotImplementedError):
         return UNIMPLEMENTED
     if isinstance(e, MemoryError):
+        return RESOURCE
+    if isinstance(e, OSError) and e.errno == errno.ENOSPC:
         return RESOURCE
     msg = f"{type(e).__name__}: {e}"
     # Py4J-wrapped JVM exceptions and executor-side Python-UDF failures
@@ -96,19 +122,29 @@ def _classify_one(e: BaseException) -> str | None:
     # of UDF argument/type checks (#1435)
     if "SparkOutOfMemoryError" in msg or "OutOfMemoryError" in msg:
         return RESOURCE
+    # disk exhaustion during shuffle/spill writes is a resource-budget
+    # failure exactly like OOM (the reference caps it with
+    # MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB) — the JVM surfaces it
+    # as an IOException whose message carries the errno text
+    if "No space left on device" in msg or "ENOSPC" in msg or "DiskBlockObjectWriter" in msg:
+        return RESOURCE
     if (
         "UnsupportedOperationException" in msg
         or "UNSUPPORTED_FEATURE" in msg
         or "NotImplementedError" in msg
     ):
         return UNIMPLEMENTED
-    if isinstance(e, (ValueError, TypeError, KeyError)):
-        return USER
     # executor-side Python failures surface either as a captured
     # PythonException or (through toLocalIterator's socket server) as a
-    # bare Py4JJavaError whose message embeds the worker traceback
+    # bare Py4JJavaError whose message embeds the worker traceback; the
+    # UDF body ran user-supplied expressions, so its builtins ARE
+    # argument errors (reference #1435's exec_err reclassification) —
+    # unlike driver-side bare builtins, which stay internal
     if ("PythonException" in msg or type(e).__name__ == "PythonException") and (
-        "ValueError" in msg or "TypeError" in msg or "KeyError" in msg
+        "ValueError" in msg
+        or "TypeError" in msg
+        or "KeyError" in msg
+        or "InvalidArgument" in msg
     ):
         return USER
     if "IllegalArgumentException" in msg or "CAST_INVALID_INPUT" in msg:

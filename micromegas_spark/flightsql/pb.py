@@ -15,6 +15,8 @@ byte-for-byte (tests/test_flightsql.py pins the framing).
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 _VARINT = 0
 _LEN = 2
 
@@ -58,9 +60,9 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         # 10 continuation bytes (shift 63) is the uint64 maximum, anything
         # longer is adversarial
         if pos >= len(data):
-            raise ValueError("truncated varint")
+            raise InvalidArgument("truncated varint")
         if shift > 63:
-            raise ValueError("varint exceeds 64 bits")
+            raise InvalidArgument("varint exceeds 64 bits")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -81,17 +83,17 @@ def decode_fields(data: bytes) -> dict[int, list]:
         key, pos = _read_varint(data, pos)
         field, wire_type = key >> 3, key & 0x7
         if field == 0:
-            raise ValueError("field number 0 is invalid")
+            raise InvalidArgument("field number 0 is invalid")
         if wire_type == _VARINT:
             val, pos = _read_varint(data, pos)
         elif wire_type == _LEN:
             ln, pos = _read_varint(data, pos)
             if pos + ln > len(data):
-                raise ValueError("length-delimited field overruns buffer")
+                raise InvalidArgument("length-delimited field overruns buffer")
             val = data[pos : pos + ln]
             pos += ln
         else:
-            raise ValueError(f"unsupported wire type {wire_type}")
+            raise InvalidArgument(f"unsupported wire type {wire_type}")
         fields.setdefault(field, []).append(val)
     return fields
 
@@ -115,7 +117,7 @@ def unpack_any(data: bytes) -> tuple[str, bytes]:
     fields = decode_fields(data)
     url_raw = _first(fields, 1)
     if not url_raw:
-        raise ValueError("not a google.protobuf.Any: no type_url")
+        raise InvalidArgument("not a google.protobuf.Any: no type_url")
     url = url_raw.decode("utf-8")
     return url.rsplit(".", 1)[-1], _first(fields, 2)
 

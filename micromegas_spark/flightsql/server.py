@@ -178,6 +178,15 @@ class FlightSQLServer:
         key_store=None,
     ):
         flight = _flight()
+        if auth_token is not None and key_store is not None:
+            # the middleware ANDs its checks, so one Bearer value would
+            # have to equal the static token AND be a valid stored key —
+            # a dead combination no client can satisfy with a single
+            # credential; refuse it loudly instead of rejecting every call
+            raise ValueError(
+                "configure either auth_token (static bearer) or key_store "
+                "(hashed API keys), not both"
+            )
         self.engine = engine
         self.batch_rows = batch_rows
         self.max_dictionary_values = max_dictionary_values
@@ -344,13 +353,15 @@ class FlightSQLServer:
                 raise
 
             def batches(d=df, inner=raw):
-                # see attributed(): pin the query's job group on the
-                # thread that actually pulls the stream
-                self.engine.spark.sparkContext.setJobGroup(
-                    query_id, sql.strip()[:128]
-                )
+                # see attributed(): pin the query's job group around each
+                # pull, cleared between pulls (other queries may run on
+                # this gRPC thread mid-stream)
+                from micromegas_spark.engine import attributed_iter
+
                 try:
-                    yield from inner
+                    yield from attributed_iter(
+                        self.engine.spark.sparkContext, query_id, sql, inner
+                    )
                 finally:
                     d.unpersist()
 
@@ -364,11 +375,15 @@ class FlightSQLServer:
         def attributed(inner):
             # job groups are THREAD-local and Flight pulls the generator on
             # a gRPC serving thread, not the do_get handler thread that ran
-            # resolve() — re-pin the group on the pulling thread so the
-            # streaming jobs are attributed to this query_id (#1406 audit)
-            self.engine.spark.sparkContext.setJobGroup(query_id, sql.strip()[:128])
+            # resolve() — re-pin the group around EACH pull (and clear it
+            # between pulls) so the streaming jobs are attributed to this
+            # query_id and nothing else's (#1406 audit)
+            from micromegas_spark.engine import attributed_iter
+
             try:
-                yield from inner
+                yield from attributed_iter(
+                    self.engine.spark.sparkContext, query_id, sql, inner
+                )
             except Exception as e:
                 # EXECUTION-time failures classify too (#1435: the
                 # reference reclassified UDF arity/type exec errors) — a

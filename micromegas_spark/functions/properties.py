@@ -20,6 +20,8 @@ higher-order filter — no Python UDFs).
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, StringType
@@ -50,7 +52,7 @@ def property_get(
     if fmt == "json":
         k = key if isinstance(key, str) else None
         if k is None:
-            raise ValueError("JSON property access requires a literal key")
+            raise InvalidArgument("JSON property access requires a literal key")
         return F.get_json_object(props, f"$.{k}")
     kcol = F.lit(key) if isinstance(key, str) else key
     if fmt == "array":
@@ -58,7 +60,7 @@ def property_get(
         # must return NULL, not an ANSI index error
         return F.try_element_at(F.filter(props, lambda e: e["key"] == kcol), F.lit(1))["value"]
     if fmt != "map":
-        raise ValueError(f"unknown property format {fmt!r} (map|json|array)")
+        raise InvalidArgument(f"unknown property format {fmt!r} (map|json|array)")
     return F.element_at(props, kcol)
 
 

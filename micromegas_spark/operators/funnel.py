@@ -15,6 +15,8 @@ contract and mirrored exactly by the DuckDB oracle.
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,7 +39,7 @@ def funnel_counts(
     and the final counts are single-row aggregates. No window functions,
     no per-user event collection — memory is O(1) per user per step."""
     if not steps:
-        raise ValueError("funnel needs at least one step")
+        raise InvalidArgument("funnel needs at least one step")
     cur = (
         df.where(F.col(type_col) == steps[0])
         .groupBy(user_col)

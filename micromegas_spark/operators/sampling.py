@@ -25,6 +25,8 @@ named by the project brief.
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,7 +40,7 @@ def _check_key_type(df: DataFrame, key_col: str) -> None:
 
     dt = df.schema[key_col].dataType
     if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType, StringType)):
-        raise TypeError(
+        raise InvalidArgument(
             f"sampling key {key_col!r} has type {dt}; only integer/string keys "
             "stringify identically across engines (float/timestamp formats "
             "differ, which would silently break oracle reproducibility)"

@@ -18,6 +18,8 @@ and oracle-comparable.
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -525,7 +527,7 @@ def rrf_fuse(
     one shuffle regardless of N, and the inputs are typically already
     tiny (top-k lists)."""
     if not rankings:
-        raise ValueError("rrf_fuse: rankings must be a non-empty list")
+        raise InvalidArgument("rrf_fuse: rankings must be a non-empty list")
     parts = [
         r.select(
             F.col(id_col),

@@ -18,6 +18,8 @@ already does map-side partial aggregation. What remains at 100 TB:
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,7 +70,7 @@ def salted_join(
     Only left-preserving joins are salt-safe: under right/full outer an
     unmatched right row would survive once per salt replica."""
     if how.lower() not in _SALT_SAFE_JOINS:
-        raise ValueError(
+        raise InvalidArgument(
             f"salted_join supports left-preserving joins only, got {how!r} "
             "(an unmatched right row would be duplicated per salt bucket)"
         )

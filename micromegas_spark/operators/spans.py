@@ -33,6 +33,8 @@ shuffled equi-join.
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 from typing import Iterator
 
 import pandas as pd
@@ -305,7 +307,7 @@ def trace_chunks(
     try:
         if n > 1:
             if not isinstance(spans.schema[first].dataType, NumericType):
-                raise TypeError(
+                raise InvalidArgument(
                     f"trace_chunks needs a numeric first order column for range "
                     f"bucketing; {first!r} is {spans.schema[first].dataType}. "
                     "Pass num_partitions=1 to disable bucketing."
@@ -410,7 +412,7 @@ def process_spans(
             )
         )
     if not parts:
-        raise ValueError("no span sources for the requested types")
+        raise InvalidArgument("no span sources for the requested types")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -14,6 +14,8 @@ queries/llm.py, so both engines produce byte-identical results:
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -327,7 +329,7 @@ def chunk_spans(
     (a per-row Generate). chunk count = ceil((n - overlap) / stride),
     min 1, with stride = chunk_tokens - overlap."""
     if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+        raise InvalidArgument("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     n = token_count(F.col(text_col)).cast("bigint")
     n_chunks = F.greatest(
@@ -1094,8 +1096,11 @@ def sequence_pack_bins(
     c = d.withColumn("cum_end", F.sum("n").over(w)).withColumn(
         "cum_before", F.col("cum_end") - F.col("n")
     )
-    b = c.withColumn("b0", (F.col("cum_before") / W).cast("bigint")).withColumn(
-        "b1", ((F.col("cum_end") - 1) / W).cast("bigint")
+    # integer `div`, not float `/`: double rounding near 2^53 cumulative
+    # tokens (or a non-power-of-two W) can land a boundary token in the
+    # wrong window; the oracle's `//` is exact at any scale
+    b = c.withColumn("b0", F.expr(f"cum_before div {W}")).withColumn(
+        "b1", F.expr(f"(cum_end - 1) div {W}")
     )
     e = b.select(
         group_col,

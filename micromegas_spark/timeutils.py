@@ -11,6 +11,8 @@ can take reference-style ``(begin, end)`` datetimes directly.
 
 from __future__ import annotations
 
+from micromegas_spark.flightsql.errors import InvalidArgument
+
 import datetime
 import re
 
@@ -37,11 +39,11 @@ def format_datetime(value) -> str | None:
         return value.isoformat()
     if isinstance(value, datetime.datetime):
         if value.tzinfo is None:
-            raise ValueError("datetime needs a time zone (use timezone.utc)")
+            raise InvalidArgument("datetime needs a time zone (use timezone.utc)")
         return value.isoformat()
     if isinstance(value, str):
         return format_datetime(parse_datetime(value))
-    raise TypeError(f"unsupported type for format_datetime: {type(value).__name__}")
+    raise InvalidArgument(f"unsupported type for format_datetime: {type(value).__name__}")
 
 
 _DELTA_RE = re.compile(r"^(\d+)([smhd])$")
@@ -53,7 +55,7 @@ def parse_time_delta(user_string: str) -> datetime.timedelta:
     matching the daemon's 1-second tick, maintenance.rs:140-212)."""
     m = _DELTA_RE.match(user_string)
     if not m:
-        raise ValueError(
+        raise InvalidArgument(
             f"invalid time delta {user_string!r}: expected <number><s|m|h|d>"
         )
     n, unit = int(m.group(1)), m.group(2)
@@ -74,12 +76,12 @@ def to_epoch_ns(value) -> int | None:
         return value
     if isinstance(value, pd.Timestamp):
         if value.tzinfo is None:
-            raise ValueError("Timestamp needs a time zone")
+            raise InvalidArgument("Timestamp needs a time zone")
         return int(value.value)
     if isinstance(value, datetime.datetime):
         if value.tzinfo is None:
-            raise ValueError("datetime needs a time zone (use timezone.utc)")
+            raise InvalidArgument("datetime needs a time zone (use timezone.utc)")
         return int(value.timestamp() * 1_000_000) * 1_000
     if isinstance(value, str):
         return to_epoch_ns(parse_datetime(value))
-    raise TypeError(f"unsupported type for to_epoch_ns: {type(value).__name__}")
+    raise InvalidArgument(f"unsupported type for to_epoch_ns: {type(value).__name__}")

@@ -117,3 +117,17 @@ def test_key_store_gate_over_wire(spark, tmp_path):
         ) as outage:
             with pytest.raises(flight.FlightUnavailableError):
                 outage.query("SELECT 1 AS one")
+
+
+def test_server_rejects_auth_token_plus_key_store(tmp_path, spark):
+    """The middleware ANDs its checks, so auth_token + key_store is a dead
+    combination (one Bearer value can't satisfy both); the constructor
+    must refuse it instead of rejecting every call at runtime."""
+    import pytest
+
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    store = ApiKeyStore(str(tmp_path / "keys.json"))
+    with pytest.raises(ValueError, match="not both"):
+        FlightSQLServer(Engine(spark), auth_token="tok", key_store=store)

@@ -25,6 +25,7 @@ from micromegas_spark.flightsql.errors import (
     RESOURCE,
     UNIMPLEMENTED,
     USER,
+    InvalidArgument,
     classify_exception,
     find_root,
     to_flight_error,
@@ -56,8 +57,20 @@ def test_classify_analysis_and_parse_errors_as_user(spark):
 def test_classify_python_classes():
     assert classify_exception(NotImplementedError("x")) == UNIMPLEMENTED
     assert classify_exception(MemoryError()) == RESOURCE
-    assert classify_exception(ValueError("bad arg")) == USER
+    assert classify_exception(InvalidArgument("bad arg")) == USER
+    # bare builtins are NOT user errors: a KeyError in engine code is a
+    # server bug and must reach error_class=='internal' monitoring —
+    # only the explicit InvalidArgument marker (and executor-side UDF
+    # builtins, below) classify as the caller's mistake
+    assert classify_exception(ValueError("unattributed")) == INTERNAL
+    assert classify_exception(KeyError("engine bug")) == INTERNAL
     assert classify_exception(RuntimeError("boom")) == INTERNAL
+    # disk exhaustion classifies as resource like OOM (the budget the
+    # reference caps with MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB)
+    assert classify_exception(Exception(
+        "java.io.IOException: No space left on device")) == RESOURCE
+    import errno as _errno
+    assert classify_exception(OSError(_errno.ENOSPC, "No space left on device")) == RESOURCE
     # JVM OOM arrives as a stringly-typed wrapper
     assert classify_exception(Exception("java.lang.OutOfMemoryError: heap")) == RESOURCE
     assert (
@@ -69,7 +82,7 @@ def test_classify_python_classes():
 def test_find_root_walks_causes():
     try:
         try:
-            raise ValueError("root cause")
+            raise InvalidArgument("root cause")
         except ValueError as inner:
             raise RuntimeError("wrapper") from inner
     except RuntimeError as e:
@@ -78,7 +91,7 @@ def test_find_root_walks_causes():
 
 
 def test_to_flight_error_classes_and_query_id():
-    cls, err = to_flight_error(ValueError("bad"), "qid123")
+    cls, err = to_flight_error(InvalidArgument("bad"), "qid123")
     assert cls == USER and isinstance(err, pa.lib.ArrowInvalid)
     assert "[query_id=qid123]" in str(err)
     cls, err = to_flight_error(NotImplementedError("nyi"), "q")
@@ -165,14 +178,48 @@ def test_query_audit_reports_nonzero_peak_memory(engine, client):
 
 
 def test_query_metrics_api_in_process(engine):
+    from micromegas_spark.engine import job_group
+
     df = engine.query(
         "SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem GROUP BY l_orderkey"
     )
     qid = df._mm_query_id
-    df.collect()  # same thread: jobs inherit the group set by resolve()
+    # execution-scoped attribution: resolve() no longer leaves the group
+    # ambient on the thread — collect under job_group(df)
+    with job_group(df):
+        df.collect()
     m = engine.query_metrics(qid)
     assert m["n_stages"] >= 2  # agg = exchange + final
     assert m["peak_execution_memory_bytes"] > 0
+
+
+def test_interleaved_same_thread_queries_attribute_to_own_id(engine):
+    """resolve A, resolve B, THEN execute A, then B — all on one thread.
+    The old ambient job group (set at resolve exit, never cleared) would
+    attribute A's execution jobs to B's id; execution-scoped job_group()
+    keys each collect off its own DataFrame's query id."""
+    from micromegas_spark.engine import job_group
+
+    a = engine.query(
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey"
+    )
+    b = engine.query("SELECT r_regionkey FROM region ORDER BY r_regionkey")
+    with job_group(a):
+        a.collect()
+    with job_group(b):
+        b.collect()
+    ma = engine.query_metrics(a._mm_query_id)
+    mb = engine.query_metrics(b._mm_query_id)
+    # A's aggregate ran AFTER B resolved, yet audits under A's own id
+    assert ma["n_stages"] >= 2 and ma["peak_execution_memory_bytes"] > 0
+    # B saw only its own tiny scan-sort, not A's aggregate stages
+    assert 1 <= mb["n_stages"] < ma["n_stages"] + 2
+    # and an UNscoped collect afterwards attributes to nobody: the thread
+    # was cleared, so a stale group can't absorb later jobs
+    c = engine.query("SELECT COUNT(*) AS n FROM nation")
+    c.collect()
+    mc = engine.query_metrics(c._mm_query_id)
+    assert mc["n_stages"] == 0
 
 
 def test_exec_time_udf_error_classifies_user(engine, client):

@@ -242,3 +242,14 @@ def test_jit_blocks_time_filter_prunes(spark, tmp_path):
     eng.register_jit_view_set(_block_view_set(spark.createDataFrame(events), blocks))
     got = eng.view_instance("thread_spans_bt", sid, 0, 100).collect()
     assert [r["name"] for r in got] == ["early"]
+
+
+def test_group_never_overshoots_soft_limit_when_safe():
+    # every cut is safe and max=25 is NOT a multiple of the block size:
+    # the overflowing block must start the NEXT partition (reference
+    # cuts before adding — partitions stay <= max_nb_objects), not be
+    # absorbed into a 30-object overshoot
+    blocks = [blk(f"b{i}", i * 10, i * 10 + 10, i, n=10) for i in range(5)]
+    parts = group_blocks_into_partitions(blocks, 25)
+    assert [len(p) for p in parts] == [2, 2, 1]
+    assert all(sum(b["nb_objects"] for b in p) <= 25 for p in parts)

@@ -329,7 +329,9 @@ def test_trace_chunks_rejects_non_numeric_order_col(spark):
         "concat('k', lpad(cast(id as string), 3, '0')) as skey",
         "id as span_id",
     )
-    with _pytest.raises(TypeError, match="numeric first order column"):
+    from micromegas_spark.flightsql.errors import InvalidArgument
+
+    with _pytest.raises(InvalidArgument, match="numeric first order column"):
         trace_chunks(spans, order_cols=("skey", "span_id"), serializer="mmsb-json")
     out = sorted(
         trace_chunks(
