@@ -76,13 +76,18 @@ def job_group(sc_or_df, query_id: str | None = None, description: str = ""):
         sc.setLocalProperty("spark.job.description", None)
 
 
-def attributed_iter(sc, query_id: str, description: str, inner):
+def attributed_iter(sc, query_id: str, description: str, inner, check=None):
     """Re-pin the job group around EVERY pull of ``inner``: Flight resumes
     result generators on gRPC serving threads where OTHER queries may run
     between pulls, so a set-once group would attribute this stream's late
-    batches to whichever query ran last on the thread (and vice versa)."""
+    batches to whichever query ran last on the thread (and vice versa).
+    ``check`` (optional) runs before each pull — the server passes the
+    engine's spill-budget guard so an over-budget query aborts between
+    batches instead of exhausting the scratch volume."""
     it = iter(inner)
     while True:
+        if check is not None:
+            check()
         with job_group(sc, query_id, description):
             try:
                 item = next(it)
@@ -200,11 +205,25 @@ class Engine:
     QUERY_LOG_MAX = 1000  # rotation cap for the self-observability log
 
     def __init__(
-        self, spark: SparkSession, warehouse: str | None = None, admin: bool = True
+        self,
+        spark: SparkSession,
+        warehouse: str | None = None,
+        admin: bool = True,
+        max_spill_mb: float | None = None,
     ):
         self.spark = configure(spark)
         register_all(spark)
         self.warehouse = warehouse or os.path.join(os.getcwd(), ".warehouse")
+        # spill budget (reference MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB,
+        # CHANGELOG.md:11): cap a query's disk spill so one runaway sort
+        # can't exhaust the shared scratch volume. None = unlimited.
+        # Enforced between result-batch pulls via the #1406 job-group task
+        # metrics (check_spill_budget) — the Spark analogue of the
+        # reference's disk-manager allocation check.
+        if max_spill_mb is None:
+            env = os.environ.get("MICROMEGAS_SPARK_MAX_SPILL_MB")
+            max_spill_mb = float(env) if env else None
+        self.max_spill_mb = max_spill_mb
         # admin gating parity (reference query.rs:150-175: admin UDTFs are
         # simply NOT REGISTERED for non-admin sessions, so calling one
         # reports "not found" — functions-reference.md:5). Non-admin
@@ -446,6 +465,29 @@ class Engine:
                 "n_stages": 0,
             },
         )
+
+    def check_spill_budget(self, query_id: str) -> None:
+        """Abort a query whose attributed disk spill exceeds the engine's
+        budget (reference MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB):
+        cancels the query's running jobs and raises a resource-classified
+        error, so clients see ``[error_class=resource]`` — the same class
+        as OOM — instead of waiting for the volume to ENOSPC. Called
+        between result-batch pulls by the server stream (cheap: one
+        driver-side KVStore walk); a no-op when no budget is set."""
+        if self.max_spill_mb is None:
+            return
+        from micromegas_spark.flightsql.errors import SpillBudgetExceeded
+
+        spill = self.query_metrics(query_id)["disk_spill_bytes"]
+        if spill > self.max_spill_mb * 1024 * 1024:
+            try:
+                self.spark.sparkContext.cancelJobGroup(query_id)
+            except Exception:
+                pass  # cancellation is best-effort; the raise is the abort
+            raise SpillBudgetExceeded(
+                f"query spilled {spill} bytes to disk, over the "
+                f"{self.max_spill_mb} MB budget"
+            )
 
     def _register_query_log_view(self) -> DataFrame:
         from pyspark.sql.types import (

@@ -54,6 +54,13 @@ UNIMPLEMENTED = "unimplemented"
 INTERNAL = "internal"
 
 
+class SpillBudgetExceeded(RuntimeError):
+    """A query's attributed disk spill crossed the engine's budget
+    (Engine(max_spill_mb=...) / MICROMEGAS_SPARK_MAX_SPILL_MB — the
+    rebuild's MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB). Classifies
+    as ``resource``, like OOM and ENOSPC."""
+
+
 class InvalidArgument(ValueError):
     """Argument-validation failure the CALLER can fix — the explicit
     marker the package's validation paths raise (engine view lookups,
@@ -112,6 +119,8 @@ def _classify_one(e: BaseException) -> str | None:
     if isinstance(e, NotImplementedError):
         return UNIMPLEMENTED
     if isinstance(e, MemoryError):
+        return RESOURCE
+    if isinstance(e, SpillBudgetExceeded):
         return RESOURCE
     if isinstance(e, OSError) and e.errno == errno.ENOSPC:
         return RESOURCE

@@ -360,7 +360,8 @@ class FlightSQLServer:
 
                 try:
                     yield from attributed_iter(
-                        self.engine.spark.sparkContext, query_id, sql, inner
+                        self.engine.spark.sparkContext, query_id, sql, inner,
+                        check=lambda: self.engine.check_spill_budget(query_id),
                     )
                 finally:
                     d.unpersist()
@@ -382,7 +383,8 @@ class FlightSQLServer:
 
             try:
                 yield from attributed_iter(
-                    self.engine.spark.sparkContext, query_id, sql, inner
+                    self.engine.spark.sparkContext, query_id, sql, inner,
+                    check=lambda: self.engine.check_spill_budget(query_id),
                 )
             except Exception as e:
                 # EXECUTION-time failures classify too (#1435: the

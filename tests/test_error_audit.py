@@ -260,3 +260,88 @@ def test_exec_time_not_implemented_classifies_unimplemented(engine, client):
             client.query("SELECT v FROM nyi_tbl")
     finally:
         del engine._views["nyi_tbl"]
+
+
+def test_enospc_chain_classifies_resource_over_wire(engine, client):
+    """Disk exhaustion is a resource-budget failure exactly like OOM
+    (the reference caps it with MICROMEGAS_DATAFUSION_MAX_TEMP_DIRECTORY_MB):
+    an ENOSPC raised during execution must surface with
+    [error_class=resource], not pollute error_class=='internal'."""
+    import errno as _errno
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def diskfull(x):
+        raise OSError(_errno.ENOSPC, "No space left on device")
+
+    engine.register_table(
+        "enospc_tbl", engine.spark.range(8).select(diskfull("id").alias("v"))
+    )
+    try:
+        with pytest.raises(flight.FlightServerError) as ei:
+            client.query("SELECT v FROM enospc_tbl")
+        assert "[error_class=resource]" in str(ei.value)
+        assert "[query_id=" in str(ei.value)
+    finally:
+        del engine._views["enospc_tbl"]
+
+
+def test_spill_budget_guard_classifies_resource(engine, monkeypatch):
+    """Engine(max_spill_mb=...): a query whose attributed disk spill
+    crosses the budget aborts with a resource-classified error."""
+    from micromegas_spark.flightsql.errors import (
+        RESOURCE,
+        SpillBudgetExceeded,
+        classify_exception,
+    )
+
+    monkeypatch.setattr(engine, "max_spill_mb", 1.0)
+    monkeypatch.setattr(
+        engine,
+        "_metrics_by_query_id",
+        lambda ids: {
+            qid: {
+                "peak_execution_memory_bytes": 0,
+                "memory_spill_bytes": 0,
+                "disk_spill_bytes": 2 * 1024 * 1024,  # 2 MB > 1 MB budget
+                "shuffle_write_bytes": 0,
+                "n_stages": 1,
+            }
+            for qid in ids
+        },
+    )
+    with pytest.raises(SpillBudgetExceeded) as ei:
+        engine.check_spill_budget("qtest")
+    assert classify_exception(ei.value) == RESOURCE
+    # no budget → no-op regardless of spill
+    monkeypatch.setattr(engine, "max_spill_mb", None)
+    engine.check_spill_budget("qtest")
+
+
+def test_spill_budget_aborts_stream_over_wire(spark, tmp_path):
+    """Over-budget queries abort BETWEEN result batches on the live
+    server and surface [error_class=resource] (the guard runs before
+    each pull via attributed_iter's check hook)."""
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.client import FlightSQLClient
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    eng = Engine.from_test_tables(spark, SF_SMOKE)
+    # 0-MB budget with a forced nonzero "spill": any pull trips the guard
+    eng.max_spill_mb = 0.0
+    eng._metrics_by_query_id = lambda ids: {
+        qid: {
+            "peak_execution_memory_bytes": 0,
+            "memory_spill_bytes": 0,
+            "disk_spill_bytes": 1,
+            "shuffle_write_bytes": 0,
+            "n_stages": 1,
+        }
+        for qid in ids
+    }
+    with FlightSQLServer(eng, batch_rows=4) as srv, FlightSQLClient(srv.uri) as c:
+        with pytest.raises(flight.FlightServerError) as ei:
+            c.query("SELECT o_orderkey FROM orders")
+        assert "[error_class=resource]" in str(ei.value)
