@@ -76,6 +76,41 @@ def job_group(sc_or_df, query_id: str | None = None, description: str = ""):
         sc.setLocalProperty("spark.job.description", None)
 
 
+def ensure_begin_non_decreasing(df: DataFrame, col: str, context: str) -> None:
+    """Write-time batch-order check (reference #1429: thread_spans gained
+    ``ensure_begin_non_decreasing`` on the produced batch; net_spans
+    certifies the same order): validate that ``col`` never DECREASES in
+    the builder's own row order. The builders sort each group by begin
+    before emitting, and the JIT read path (like the reference's
+    ScanOrdering::Concatenated) relies on that — an out-of-order batch is
+    a builder bug worth failing loudly at write, not a corrupt partition
+    discovered at query time.
+
+    Row order is taken per Spark partition (monotonically_increasing_id
+    is partition-prefixed, so ordering by it inside spark_partition_id
+    reconstructs physical row order); a JIT partition is bounded by
+    max_nb_objects, so this is one cheap bounded job per build."""
+    from pyspark.sql import Window
+
+    tagged = df.select(
+        F.col(col).alias("_b"),
+        F.spark_partition_id().alias("_p"),
+        F.monotonically_increasing_id().alias("_i"),
+    )
+    w = Window.partitionBy("_p").orderBy("_i")
+    n_bad = (
+        tagged.withColumn("_prev", F.lag("_b").over(w))
+        .where(F.col("_prev") > F.col("_b"))
+        .count()
+    )
+    if n_bad:
+        raise RuntimeError(
+            f"JIT partition {context}: {n_bad} row(s) with decreasing "
+            f"{col!r} in builder output — the begin-sorted batch contract "
+            "(#1429 ensure_begin_non_decreasing) is violated"
+        )
+
+
 def attributed_iter(sc, query_id: str, description: str, inner, check=None):
     """Re-pin the job group around EVERY pull of ``inner``: Flight resumes
     result generators on gRPC serving threads where OTHER queries may run
@@ -127,6 +162,13 @@ class JitViewSet:
     list_blocks: Callable[[str, int, int], list] | None = None
     build_blocks: Callable[[str, list], DataFrame] | None = None
     max_nb_objects: int = 100_000
+    # write-time ensure_begin_non_decreasing (reference #1429: both
+    # thread_spans and net_spans certify their produced batches are
+    # begin-sorted): when True, a newly built JIT partition is validated
+    # non-decreasing on time_column in its builder row order before the
+    # parquet write, catching builder regressions that would corrupt the
+    # certified scan order
+    ensure_begin_non_decreasing: bool = False
 
 
 def group_blocks_into_partitions(
@@ -744,11 +786,23 @@ class Engine:
             ent = manifest.get(key)
             if ent is None:
                 df = vs.build_blocks(instance, [b["block_id"] for b in grp])
+                if vs.ensure_begin_non_decreasing:
+                    # bounded by max_nb_objects per partition, so the
+                    # validation pass is cheap by design; persist so the
+                    # builder lineage isn't re-executed by the write
+                    from pyspark import StorageLevel
+
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                    ensure_begin_non_decreasing(
+                        df, vs.time_column, f"{vs.name}/{instance}/{key}"
+                    )
                 pdir = os.path.join(
                     self.warehouse, vs.name, f"instance={instance}", f"part={key}"
                 )
                 tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
                 df.write.mode("overwrite").parquet(tmp)
+                if vs.ensure_begin_non_decreasing:
+                    df.unpersist(blocking=False)
                 if os.path.exists(pdir):
                     shutil.rmtree(pdir)
                 os.rename(tmp, pdir)

@@ -1068,3 +1068,162 @@ def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream_id", "depth")
     )
+
+
+_JIT_NET_SPANS_ORACLE = """
+    WITH numbered AS (
+        SELECT CAST(user_id AS VARCHAR) AS conn, event_id,
+               epoch_us(ts) AS off,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+        WHERE user_id IN
+          (SELECT user_id FROM events GROUP BY user_id ORDER BY user_id LIMIT 4)
+    ),
+    marked AS (
+        SELECT conn, event_id, off, rn,
+               CASE WHEN (rn - 1) % 8 IN (0, 1, 3, 6) THEN 1 ELSE -1 END AS delta
+        FROM numbered WHERE rn <= 8 * (cnt // 8)
+    ),
+    depths AS (
+        SELECT *, CAST(SUM(delta) OVER (PARTITION BY conn ORDER BY rn) AS BIGINT) AS c
+        FROM marked
+    ),
+    begins AS (
+        SELECT conn, event_id, off AS b_off, c AS d,
+               ROW_NUMBER() OVER (PARTITION BY conn, c ORDER BY rn) AS k
+        FROM depths WHERE delta = 1
+    ),
+    ends AS (
+        SELECT conn, off AS e_off, c + 1 AS d,
+               ROW_NUMBER() OVER (PARTITION BY conn, c ORDER BY rn) AS k
+        FROM depths WHERE delta = -1
+    ),
+    spans AS (
+        SELECT b.conn, b.d - 1 AS depth, b.event_id % 2 = 0 AS is_outgoing,
+               e.e_off - b.b_off AS bits
+        FROM begins b JOIN ends e USING (conn, d, k)
+    )
+    SELECT conn AS connection_name,
+           CASE WHEN depth = 0 THEN 'connection' WHEN depth = 1 THEN 'object'
+                WHEN depth = 2 THEN 'property' ELSE 'rpc' END AS kind,
+           is_outgoing,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(bits) AS BIGINT) AS total_bits
+    FROM spans GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+@query(
+    "events_jit_net_spans",
+    oracle=_JIT_NET_SPANS_ORACLE,
+)
+def events_jit_net_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """net_spans bit-offset trees built THROUGH the event-time JIT path —
+    the second view the reference's #1429 fix covers (CHANGELOG.md:8 names
+    BOTH thread_spans and net_spans; net_span_tree.rs:19-50 is the tree
+    builder): the thread-span synthesis re-labeled onto the bit axis
+    (offset_bits = the synthesized cumulative offsets; the stack machine
+    only needs a non-decreasing axis), each connection's events split into
+    3 event-time blocks REGISTERED IN REVERSE insert order and fed through
+    Engine.view_instance's block-aware grouping with the NEW write-time
+    ensure_begin_non_decreasing check enabled.
+
+    Reversed insert order makes every interior cut insert-UNSAFE, so all
+    3 blocks land in ONE JIT partition and spans whose begin and end live
+    in different blocks still assemble — insert-order bucketing (the
+    pre-#1429 behavior) would fragment these trees. The result is the
+    bandwidth_rollup view (connection x kind x direction), proving both
+    the tree shape (depth -> kind) and the bit accounting survive the JIT
+    round-trip against the balanced-parentheses SQL oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from micromegas_spark.engine import Engine, JitViewSet
+    from micromegas_spark.views.netspans import bandwidth_rollup, build_net_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = [
+        r[0]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(4).collect()
+    ]
+    events = _synth_nested_events(ev.where(F.col("user_id").isin(ids))).select(
+        F.col("stream_id").alias("connection_name"),
+        "event_id",
+        "event_type",
+        F.col("time_ns").alias("offset_bits"),
+        (F.col("event_id") % 2 == 0).alias("is_outgoing"),
+        "name",
+    )
+    w = Window.partitionBy("connection_name").orderBy("offset_bits", "event_id")
+    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    try:
+        meta = evb.groupBy("connection_name", "blk").agg(
+            F.min("offset_bits").alias("lo"),
+            F.max("offset_bits").alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()  # bounded: 4 connections x 3 blocks
+        blocks: dict[str, list[dict]] = {}
+        for r in meta:
+            blocks.setdefault(r["connection_name"], []).append(
+                {
+                    "block_id": f"{r['connection_name']}/{r['blk']}",
+                    "begin_ns": r["lo"],
+                    "end_ns": r["hi"] + 1,
+                    # REVERSED: latest bit-offset block inserts first
+                    "insert_ns": 4 - r["blk"],
+                    "nb_objects": r["n"],
+                }
+            )
+
+        def list_blocks(instance, b, e):
+            return [
+                m
+                for m in blocks.get(instance, [])
+                if m["begin_ns"] < e and m["end_ns"] > b
+            ]
+
+        def build_blocks(instance, block_ids):
+            blks = [int(bid.split("/")[-1]) for bid in block_ids]
+            src = evb.where(
+                (F.col("connection_name") == instance) & F.col("blk").isin(blks)
+            )
+            return build_net_spans(src)
+
+        # content-keyed warehouse: repeat runs hit the manifest cache
+        # (see events_jit_thread_spans for the reuse-safety argument)
+        wh = os.path.join(
+            tempfile.gettempdir(),
+            f"jit_net_spans_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+        )
+        eng = Engine(spark, warehouse=wh)
+        eng.register_jit_view_set(
+            JitViewSet(
+                "jit_net_spans",
+                source_count=lambda *_: 0,
+                build=lambda *_: None,
+                time_column="begin_bits",
+                list_blocks=list_blocks,
+                build_blocks=build_blocks,
+                ensure_begin_non_decreasing=True,
+            )
+        )
+        parts = [
+            eng.view_instance("jit_net_spans", cid, 0, 2**62)
+            for cid in sorted(blocks)
+        ]
+        if not parts:  # degenerate tiny-SF fallback: no balanced streams
+            return bandwidth_rollup(build_net_spans(events)).orderBy(
+                "connection_name", "kind", "is_outgoing"
+            )
+        spans = parts[0]
+        for p in parts[1:]:
+            spans = spans.unionByName(p)
+        return bandwidth_rollup(spans).orderBy(
+            "connection_name", "kind", "is_outgoing"
+        )
+    finally:
+        evb.unpersist(blocking=False)

@@ -253,3 +253,85 @@ def test_group_never_overshoots_soft_limit_when_safe():
     parts = group_blocks_into_partitions(blocks, 25)
     assert [len(p) for p in parts] == [2, 2, 1]
     assert all(sum(b["nb_objects"] for b in p) <= 25 for p in parts)
+
+
+# ------------------------------------------- write-time order check (#1429)
+
+
+def _mini_jit_engine(spark, tmp_path, build_blocks):
+    from micromegas_spark.engine import Engine, JitViewSet
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.register_jit_view_set(
+        JitViewSet(
+            "ordered_view",
+            source_count=lambda *_: 0,
+            build=lambda *_: None,
+            time_column="begin_ns",
+            list_blocks=lambda inst, b, e: [blk("b0", 0, 100, 0, n=3)],
+            build_blocks=build_blocks,
+            ensure_begin_non_decreasing=True,
+        )
+    )
+    return eng
+
+
+def test_write_time_begin_non_decreasing_accepts_sorted(spark, tmp_path):
+    def build(instance, block_ids):
+        return spark.createDataFrame(
+            [(10,), (20,), (20,), (30,)], ["begin_ns"]
+        ).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    assert eng.view_instance("ordered_view", "s1", 0, 100).count() == 4
+
+
+def test_write_time_begin_non_decreasing_rejects_out_of_order(spark, tmp_path):
+    import pytest
+
+    def build(instance, block_ids):
+        # 30 before 20: a builder regression the reference's #1429
+        # ensure_begin_non_decreasing catches at write time
+        return spark.createDataFrame(
+            [(10,), (30,), (20,)], ["begin_ns"]
+        ).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    with pytest.raises(RuntimeError, match="ensure_begin_non_decreasing"):
+        eng.view_instance("ordered_view", "s1", 0, 100)
+    # the rejected partition must NOT have been written or cached
+    import os
+
+    assert not os.path.exists(str(tmp_path / "wh" / "ordered_view"))
+
+
+# ------------------------------------------------- net-spans tree builder
+
+
+def test_build_net_spans_tree_shape(spark):
+    from micromegas_spark.views.netspans import build_net_spans, tree_violations
+
+    # conn(0..1000) > objA(0..600) > p1(0..300); objB(600..1000)
+    rows = [
+        ("c1", 1, "begin", 0, True, "conn"),
+        ("c1", 2, "begin", 0, True, "objA"),
+        ("c1", 3, "begin", 0, True, "p1"),
+        ("c1", 4, "end", 300, True, "p1"),
+        ("c1", 5, "end", 600, True, "objA"),
+        ("c1", 6, "begin", 600, True, "objB"),
+        ("c1", 7, "end", 1000, True, "objB"),
+        ("c1", 8, "end", 1000, True, "conn"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        ["connection_name", "event_id", "event_type", "offset_bits", "is_outgoing", "name"],
+    )
+    spans = {r.name: r for r in build_net_spans(ev).collect()}
+    assert spans["conn"].kind == "connection" and spans["conn"].parent_span_id == -1
+    assert spans["conn"].depth == 0 and spans["conn"].bit_size == 1000
+    assert spans["objA"].kind == "object" and spans["objA"].parent_span_id == 1
+    assert spans["objB"].begin_bits == 600 and spans["objB"].end_bits == 1000
+    assert spans["p1"].kind == "property" and spans["p1"].parent_span_id == 2
+    assert spans["p1"].depth == 2
+    # FIXTURES §11 structural invariants hold on the built tree
+    assert tree_violations(build_net_spans(ev)).count() == 0
