@@ -1227,3 +1227,122 @@ def events_jit_net_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         evb.unpersist(blocking=False)
+
+
+_OTEL_HIERARCHY_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id % 29 = 0
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn,
+               FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS root_eid
+        FROM ev
+    ),
+    spans AS (
+        SELECT lower(printf('%016x', user_id)) AS trace_id,
+               lower(printf('%016x', event_id)) AS span_id,
+               CASE WHEN rn = 1 THEN NULL
+                    ELSE lower(printf('%016x', root_eid)) END AS parent_span_id,
+               'span_' || CAST(event_id % 10 AS VARCHAR) AS name,
+               (event_id % 1000) + 1 AS dur,
+               event_id % 5 AS code,
+               event_id % 3 AS retries
+        FROM numbered
+    )
+    SELECT c.trace_id, c.span_id,
+           p.name AS parent_name,
+           CAST(c.code AS BIGINT) AS code,
+           CASE WHEN c.code >= 3 THEN '[' || CAST(c.retries AS VARCHAR) || ']'
+                ELSE '[]' END AS hot_retries,
+           ROUND(CAST(c.dur AS DOUBLE) / p.dur, 6) AS parent_share
+    FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+    ORDER BY c.trace_id, c.span_id
+    """
+
+
+@query(
+    "events_otel_hierarchy",
+    oracle=_OTEL_HIERARCHY_ORACLE,
+)
+def events_otel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """otel_spans driver-oracle coverage (reference
+    rust/analytics/src/lakehouse/otel/spans_table.rs:1-77,
+    schema-reference.md:527-540): synthesizes OTel-shaped spans from the
+    events table (each sampled user = a trace; the first event is the
+    SERVER root, later events are INTERNAL children; events_json carries
+    an attributes object derived from event_id so the oracle can recompute
+    the JSON extraction arithmetically), then runs the REAL view pipeline:
+    otel_spans_view normalization -> span_children hierarchy join ->
+    jsonb_path_query/jsonb_path_query_first over the span's OTel event
+    attributes, including the documented [*] ? (@.f >= lit) filter form.
+
+    Scale shape: the hierarchy join is a self equi-join on span ids (one
+    shuffle, no pair blowup — every child has exactly one parent); the
+    JSONB hops are the function surface's single Arrow-batched UDF."""
+    from pyspark.sql import Window
+
+    from micromegas_spark.functions.jsonb import (
+        jsonb_path_query,
+        jsonb_path_query_first,
+    )
+    from micromegas_spark.views.otel import otel_spans_view, span_children
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 29 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    n = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.row_number().over(w).alias("rn"),
+        F.first("event_id").over(w).alias("root_eid"),
+    )
+    raw = n.select(
+        F.format_string("%016x", F.col("user_id")).alias("trace_id"),
+        F.format_string("%016x", F.col("event_id")).alias("span_id"),
+        F.when(F.col("rn") == 1, F.lit(None).cast("string"))
+        .otherwise(F.format_string("%016x", F.col("root_eid")))
+        .alias("parent_span_id"),
+        F.concat(F.lit("span_"), (F.col("event_id") % 10).cast("string")).alias("name"),
+        F.when(F.col("rn") == 1, F.lit("SERVER"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("kind"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("ERROR"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("status"),
+        F.col("ts_us").alias("start_time_ns"),
+        (F.col("ts_us") + F.col("event_id") % 1000 + 1).alias("end_time_ns"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("evt").alias("name"),
+                    F.struct(
+                        (F.col("event_id") % 5).alias("code"),
+                        (F.col("event_id") % 3).alias("retries"),
+                    ).alias("attributes"),
+                )
+            )
+        ).alias("events_json"),
+        F.lit("[]").alias("links_json"),
+    )
+    spans = otel_spans_view(raw)
+    kids = span_children(spans)
+    ej = spans.select(F.col("span_id").alias("c_span_id"), "events_json")
+    return (
+        kids.join(ej, kids.span_id == ej.c_span_id)
+        .select(
+            "trace_id",
+            "span_id",
+            "parent_name",
+            jsonb_path_query_first(F.col("events_json"), "$[0].attributes.code")
+            .cast("bigint")
+            .alias("code"),
+            jsonb_path_query(
+                F.col("events_json"),
+                "$[*] ? (@.attributes.code >= 3).attributes.retries",
+            ).alias("hot_retries"),
+            F.round("parent_share", 6).alias("parent_share"),
+        )
+        .orderBy("trace_id", "span_id")
+    )
