@@ -104,12 +104,17 @@ PROC_STATS = BatchViewSpec(
     extract_query="""
         SELECT time_ns - time_ns % 3600000000000 AS time_bin_ns,
                level,
-               hll_sketch_agg(process_id) AS proc_sketch,
+               hll_sketch_agg(process_id, 16) AS proc_sketch,
                COUNT(*) AS count
         FROM log_entries
         WHERE insert_time_ns >= {begin} AND insert_time_ns < {end}
         GROUP BY 1, 2
     """,
+    # lgK=16 on the partials (not the default 12): hll_union_agg adopts
+    # the partials' lgConfigK, so the MATERIALIZED precision is the merged
+    # precision — RSE 0.41% at 64 KB worst-case dense sketch size per
+    # parquet row (lgK=20's 0.10% costs 1 MB dense/row, the wrong trade
+    # for a stats table written once per hour x level at 100 TB)
     merge_query="""
         SELECT time_bin_ns, level,
                hll_union_agg(proc_sketch) AS proc_sketch,

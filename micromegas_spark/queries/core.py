@@ -1243,7 +1243,11 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .groupBy("hour_epoch", "_b15")
-        .agg(F.hll_sketch_agg("user_id").alias("_sk"))
+        # explicit lgK=20 (RSE ~0.10%): the union adopts the partials'
+        # lgConfigK (pinned by test_hll_union_preserves_lgk), so partial
+        # precision IS merged precision — the default lgK=12 (RSE 1.6%)
+        # was the entire error source of the old sf1 measurement
+        .agg(F.hll_sketch_agg("user_id", F.lit(20)).alias("_sk"))
     )
     return (
         part.groupBy("hour_epoch")

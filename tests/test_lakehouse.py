@@ -617,3 +617,38 @@ def test_retire_partition_by_metadata(spark, tmp_path):
     left = lake.list_partitions("rm_view")
     assert {p.begin_insert_ns for p in left} == {0, 2 * HOUR}
     assert not os.path.exists(victim.path)
+
+
+def test_hll_union_preserves_lgk(spark):
+    """The merge path must not downgrade sketch precision. Round 6's
+    SCALE.md claimed Spark's hll_union_agg caps merges at lgMaxK=12;
+    measured here to be FALSE on this Spark — the union ADOPTS the
+    partials' lgConfigK, so a union of lgK-20 partials is
+    estimate-identical to one direct lgK-20 sketch over the same rows.
+    Pinned so a regression (a future union cap, or someone dropping the
+    explicit lgK from the extract side) fails loudly; cardinality is
+    chosen far past the sparse-exact regime so the estimator is actually
+    exercised. The merged estimate is not BIT-identical to direct
+    insertion (a direct sketch keeps its HIP estimator; a union falls
+    back to the composite estimator), so the pin is a tolerance sized to
+    lgK-20 (RSE 0.10%) that a lgK-12 downgrade (RSE 1.6%) cannot pass."""
+    N = 200_000
+    df = spark.range(N).select((F.col("id") % 64).alias("g"), "id")
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(20)))
+        .cast("bigint")
+        .alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("id", F.lit(20)).alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("e")
+        )
+        .collect()[0]["e"]
+    )
+    # extract≡merge≡direct at lgK-20 precision: a union capped at
+    # lgK=12 would sit ~1.6% RSE from the direct estimate
+    assert abs(merged - direct) / N < 0.003
+    assert abs(direct - N) / N < 0.005  # lgK-20 RSE ~0.10%; 5x headroom
+    assert abs(merged - N) / N < 0.005
