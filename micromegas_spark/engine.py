@@ -378,6 +378,59 @@ class Engine:
             )
         )
 
+    def _rewrite_view_instance(
+        self, sql: str, begin_ns: int | None, end_ns: int | None
+    ) -> str:
+        """SQL spelling of the JIT path — ``FROM view_instance('set',
+        'instance')`` inside arbitrary statements (the reference's primary
+        documented UX; view_instance_table_function.rs:49-70 evaluates the
+        two args at plan time from literals exactly like this). Each
+        distinct literal call materializes through the existing Python
+        view_instance() (manifest-cached parquet, block-aware when the
+        view set declares blocks), registers a deterministic temp view,
+        and the call text is substituted with the view name — the scan
+        never routes through a Python UDTF (udtfs.py:11 documents why
+        that spelling is the scale anti-pattern).
+
+        Non-literal arguments are the CALLER's error (the reference
+        rejects them at plan time too): any view_instance( call not in
+        two-string-literal form raises InvalidArgument (#1435 'user').
+        Runs under _PLAN_LOCK like all planning; the temp-view name is
+        keyed on (set, instance) so repeat queries reuse one registration
+        slot (register+analyze is atomic under the lock, so a later
+        re-register cannot retarget an already-analyzed plan)."""
+        import re as _re
+
+        if "view_instance" not in sql.lower():
+            return sql
+        lit = _re.compile(
+            r"view_instance\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)", _re.I
+        )
+        n_calls = len(_re.findall(r"view_instance\s*\(", sql, _re.I))
+        matches = list(lit.finditer(sql))
+        if n_calls != len(matches):
+            raise InvalidArgument(
+                "view_instance() requires two string-literal arguments "
+                "(view_set, instance_id) — they are evaluated at plan time"
+            )
+        made: dict[tuple, str] = {}
+
+        def repl(m):
+            key = (m.group(1), m.group(2))
+            if key not in made:
+                df = self.view_instance(
+                    key[0],
+                    key[1],
+                    begin_ns if begin_ns is not None else 0,
+                    end_ns if end_ns is not None else 2**62,
+                )
+                name = "_vi_" + _re.sub(r"[^A-Za-z0-9_]", "_", f"{key[0]}__{key[1]}")
+                df.createOrReplaceTempView(name)
+                made[key] = name
+            return made[key]
+
+        return lit.sub(repl, sql)
+
     def resolve(
         self,
         sql: str,
@@ -402,10 +455,20 @@ class Engine:
         # the call sites that actually collect (job_group(df) in
         # Client/server/CLI paths, keyed off df._mm_query_id).
         with _PLAN_LOCK, job_group(self.spark.sparkContext, query_id, sql):
-            self.prepare_views(sql, begin_ns, end_ns)
             t0 = time.time()
             try:
-                out = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+                # the reference's primary documented UX is SQL-spelled
+                # view_instance (view_instance_table_function.rs:49-70,
+                # args evaluated at PLAN time) — rewrite literal calls to
+                # pre-materialized temp views so reference queries run
+                # verbatim with zero data through Python
+                exec_sql = self._rewrite_view_instance(sql, begin_ns, end_ns)
+                self.prepare_views(exec_sql, begin_ns, end_ns)
+                out = (
+                    self.spark.sql(exec_sql, args=args)
+                    if args
+                    else self.spark.sql(exec_sql)
+                )
             except Exception as e:
                 # failed plans still leave an audit record with the #1435
                 # classification, so query_failed-style monitoring can key
@@ -702,6 +765,11 @@ class Engine:
         Block-aware view sets (``JitViewSet.list_blocks`` set) instead cut
         partitions from the event-time-ordered block list with insert-safe
         cuts (reference #1429) — see _view_instance_blocks."""
+        if view_set not in self._jit:
+            raise InvalidArgument(
+                f"unknown JIT view set {view_set!r} "
+                f"(known: {sorted(self._jit)})"
+            )
         vs = self._jit[view_set]
         if vs.list_blocks is not None:
             return self._view_instance_blocks(vs, instance, begin_ns, end_ns)

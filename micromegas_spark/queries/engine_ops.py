@@ -269,6 +269,88 @@ _JIT_THREAD_SPANS_ORACLE = _THREAD_SPANS_ORACLE.replace(
 )
 
 
+def _jit_thread_spans_setup(spark: SparkSession, sf_dir: str):
+    """Shared JIT fixture for the thread-span JIT queries (Python-API and
+    SQL-spelled variants must exercise the SAME engine state): synthesizes
+    4 nested streams, splits each into 3 event-time blocks registered in
+    reverse insert order, and registers the block-aware JitViewSet on an
+    Engine with a content-keyed warehouse. Returns (engine, sorted stream
+    ids, the persisted block table to unpersist, the synthesized events
+    for the degenerate fallback)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from micromegas_spark.engine import Engine, JitViewSet
+    from micromegas_spark.operators.spans import build_thread_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = [
+        r[0]
+        for r in ev.select("user_id").distinct().orderBy("user_id").limit(4).collect()
+    ]
+    events = _synth_nested_events(ev.where(F.col("user_id").isin(ids)))
+    w = Window.partitionBy("stream_id").orderBy("time_ns", "event_id")
+    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    meta = evb.groupBy("stream_id", "blk").agg(
+        F.min("time_ns").alias("lo"),
+        F.max("time_ns").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()  # bounded: 4 streams x 3 blocks
+    blocks: dict[str, list[dict]] = {}
+    for r in meta:
+        blocks.setdefault(r["stream_id"], []).append(
+            {
+                "block_id": f"{r['stream_id']}/{r['blk']}",
+                "begin_ns": r["lo"],
+                "end_ns": r["hi"] + 1,
+                # REVERSED: the latest event-time block inserts first -
+                # the exact out-of-order registration #1429 fixes
+                "insert_ns": 4 - r["blk"],
+                "nb_objects": r["n"],
+            }
+        )
+
+    def list_blocks(instance, b, e):
+        return [
+            m
+            for m in blocks.get(instance, [])
+            if m["begin_ns"] < e and m["end_ns"] > b
+        ]
+
+    def build_blocks(instance, block_ids):
+        blks = [int(bid.split("/")[-1]) for bid in block_ids]
+        src = evb.where(
+            (F.col("stream_id") == instance) & F.col("blk").isin(blks)
+        )
+        return build_thread_spans(src, 0, 2**62)
+
+    # deterministic per-corpus warehouse: repeat runs (bench repeats,
+    # driver + oracle passes) hit the manifest cache instead of
+    # rebuilding - the warm-JIT behavior the reference has - and /tmp
+    # doesn't accumulate one orphan dir per call. Reuse is safe:
+    # partition identity is content-based (block ids + counts) and
+    # writes are tmp-dir + atomic rename.
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"jit_thread_spans_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    eng = Engine(spark, warehouse=wh)
+    eng.register_jit_view_set(
+        JitViewSet(
+            "jit_thread_spans",
+            source_count=lambda *_: 0,
+            build=lambda *_: None,
+            time_column="begin_ns",
+            list_blocks=list_blocks,
+            build_blocks=build_blocks,
+        )
+    )
+    return eng, sorted(blocks), evb, events
+
+
 @query(
     "events_jit_thread_spans",
     oracle=_JIT_THREAD_SPANS_ORACLE,
@@ -288,81 +370,12 @@ def events_jit_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts out-of-insert-order blocks into one event-contiguous partition
     where the stack machine sees a time-sorted whole. Insert-order
     bucketing (the pre-#1429 behavior) would fragment these call trees."""
-    import hashlib
-    import os
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from micromegas_spark.engine import Engine, JitViewSet
     from micromegas_spark.operators.spans import build_thread_spans
 
-    ev = load_table(spark, sf_dir, "events")
-    ids = [
-        r[0]
-        for r in ev.select("user_id").distinct().orderBy("user_id").limit(4).collect()
-    ]
-    events = _synth_nested_events(ev.where(F.col("user_id").isin(ids)))
-    w = Window.partitionBy("stream_id").orderBy("time_ns", "event_id")
-    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    eng, ids, evb, events = _jit_thread_spans_setup(spark, sf_dir)
     try:
-        meta = evb.groupBy("stream_id", "blk").agg(
-            F.min("time_ns").alias("lo"),
-            F.max("time_ns").alias("hi"),
-            F.count("*").alias("n"),
-        ).collect()  # bounded: 4 streams x 3 blocks
-        blocks: dict[str, list[dict]] = {}
-        for r in meta:
-            blocks.setdefault(r["stream_id"], []).append(
-                {
-                    "block_id": f"{r['stream_id']}/{r['blk']}",
-                    "begin_ns": r["lo"],
-                    "end_ns": r["hi"] + 1,
-                    # REVERSED: the latest event-time block inserts first —
-                    # the exact out-of-order registration #1429 fixes
-                    "insert_ns": 4 - r["blk"],
-                    "nb_objects": r["n"],
-                }
-            )
-
-        def list_blocks(instance, b, e):
-            return [
-                m
-                for m in blocks.get(instance, [])
-                if m["begin_ns"] < e and m["end_ns"] > b
-            ]
-
-        def build_blocks(instance, block_ids):
-            blks = [int(bid.split("/")[-1]) for bid in block_ids]
-            src = evb.where(
-                (F.col("stream_id") == instance) & F.col("blk").isin(blks)
-            )
-            return build_thread_spans(src, 0, 2**62)
-
-        # deterministic per-corpus warehouse: repeat runs (bench repeats,
-        # driver + oracle passes) hit the manifest cache instead of
-        # rebuilding — the warm-JIT behavior the reference has — and /tmp
-        # doesn't accumulate one orphan dir per call. Reuse is safe:
-        # partition identity is content-based (block ids + counts) and
-        # writes are tmp-dir + atomic rename.
-        wh = os.path.join(
-            tempfile.gettempdir(),
-            f"jit_thread_spans_{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}",
-        )
-        eng = Engine(spark, warehouse=wh)
-        eng.register_jit_view_set(
-            JitViewSet(
-                "jit_thread_spans",
-                source_count=lambda *_: 0,
-                build=lambda *_: None,
-                time_column="begin_ns",
-                list_blocks=list_blocks,
-                build_blocks=build_blocks,
-            )
-        )
         parts = [
-            eng.view_instance("jit_thread_spans", sid, 0, 2**62)
-            for sid in sorted(blocks)
+            eng.view_instance("jit_thread_spans", sid, 0, 2**62) for sid in ids
         ]
         if not parts:
             return _span_stats(
@@ -371,6 +384,40 @@ def events_jit_thread_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans = parts[0]
         for p in parts[1:]:
             spans = spans.unionByName(p)
+        return _span_stats(spans)
+    finally:
+        evb.unpersist(blocking=False)
+
+
+@query(
+    "events_jit_sql_view_instance",
+    oracle=_JIT_THREAD_SPANS_ORACLE,
+)
+def events_jit_sql_view_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY documented JIT UX — ``SELECT ... FROM
+    view_instance('thread_spans', id)`` as SQL TEXT
+    (view_instance_table_function.rs:49-70; python-api.md's query_spans
+    examples) — through Engine.resolve's plan-time rewrite: literal
+    view_instance() calls materialize via the existing Python JIT path
+    (block-aware grouping, manifest cache) and substitute as temp views,
+    so a reference user's query runs VERBATIM with zero data through
+    Python. Exercises multiple instances in one statement via UNION ALL
+    and proves the result identical to the Python-API variant's oracle
+    (the same balanced-parentheses SQL)."""
+    from micromegas_spark.operators.spans import build_thread_spans
+
+    eng, ids, evb, events = _jit_thread_spans_setup(spark, sf_dir)
+    try:
+        if not ids:
+            return _span_stats(build_thread_spans(events, 0, 2**62))
+        union = "\nUNION ALL\n".join(
+            f"SELECT * FROM view_instance('jit_thread_spans', '{sid}')"
+            for sid in ids
+        )
+        spans = eng.query(
+            "SELECT stream_id, begin_ns, duration, depth"
+            f" FROM ({union})"
+        )
         return _span_stats(spans)
     finally:
         evb.unpersist(blocking=False)

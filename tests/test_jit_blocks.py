@@ -335,3 +335,48 @@ def test_build_net_spans_tree_shape(spark):
     assert spans["p1"].depth == 2
     # FIXTURES §11 structural invariants hold on the built tree
     assert tree_violations(build_net_spans(ev)).count() == 0
+
+
+# ------------------------------------------- SQL spelling of view_instance
+
+
+def test_view_instance_sql_rewrite_literal(spark, tmp_path):
+    """Reference UX parity: SELECT ... FROM view_instance('set', 'id') as
+    SQL text resolves through the plan-time rewrite — the scan reads the
+    JIT parquet, zero data through Python UDTFs."""
+
+    def build(instance, block_ids):
+        return spark.createDataFrame([(5,), (7,)], ["begin_ns"]).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    out = eng.query(
+        "SELECT COUNT(*) AS n FROM view_instance('ordered_view', 's1')"
+    ).collect()
+    assert out[0]["n"] == 2
+    # repeat query reuses the manifest-cached partition and the same
+    # temp-view slot (no unbounded _vi_* growth)
+    out2 = eng.query(
+        "SELECT SUM(begin_ns) AS s FROM view_instance('ordered_view', 's1')"
+    ).collect()
+    assert out2[0]["s"] == 12
+
+
+def test_view_instance_sql_rewrite_non_literal_is_user_error(spark, tmp_path):
+    """Non-literal args are the CALLER's error (the reference evaluates
+    them at plan time; #1435 class 'user'), as is an unknown view set."""
+    import pytest
+
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.errors import (
+        USER,
+        InvalidArgument,
+        classify_exception,
+    )
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with pytest.raises(InvalidArgument) as ei:
+        eng.query("SELECT * FROM view_instance(some_col, 'x')")
+    assert classify_exception(ei.value) == USER
+    with pytest.raises(InvalidArgument) as ei2:
+        eng.query("SELECT * FROM view_instance('no_such_set', 'x')")
+    assert classify_exception(ei2.value) == USER
