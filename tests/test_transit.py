@@ -1,0 +1,207 @@
+"""Native transit binary decode (reference rust/transit/src/parser.rs,
+rust/tracing/src/parsing.rs, rust/telemetry/src/compression.rs): fixtures
+are constructed BYTE-BY-BYTE from the wire layouts in the reference
+sources, so these tests pin the format itself, not a self-referential
+encoder."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from micromegas_spark.sources import cbor
+from micromegas_spark.sources.transit import (
+    Member,
+    UserDefinedType,
+    decode_block_payload,
+    encode_block_payload,
+    lz4_block_decompress,
+    lz4_frame_decompress,
+    lz4_frame_store,
+    parse_object_buffer,
+    read_dependencies,
+    udts_from_cbor,
+    udts_to_cbor,
+)
+
+# ---------------------------------------------------------------- lz4
+
+
+def test_lz4_block_handcrafted_match():
+    # token: 4 literals, matchlen 8 (4 + low nibble 4); offset 4 back →
+    # overlapping copy: "abcd" * 3
+    block = bytes([0x44]) + b"abcd" + struct.pack("<H", 4)
+    assert lz4_block_decompress(block) == b"abcdabcdabcd"
+
+
+def test_lz4_block_literal_extension():
+    data = bytes(range(256)) * 2  # 512 literals → 15 + ext(255, 242)
+    block = bytes([0xF0, 255, 242]) + data
+    assert lz4_block_decompress(block) == data
+
+
+def test_lz4_frame_store_roundtrip():
+    data = b"transit payload bytes" * 100
+    assert lz4_frame_decompress(lz4_frame_store(data)) == data
+
+
+def test_lz4_frame_with_compressed_block():
+    # frame wrapping the handcrafted compressed block (bit 31 clear)
+    block = bytes([0x44]) + b"abcd" + struct.pack("<H", 4)
+    frame = (
+        struct.pack("<IBB", 0x184D2204, 0b01 << 6, 0x70)
+        + b"\x00"
+        + struct.pack("<I", len(block))
+        + block
+        + struct.pack("<I", 0)
+    )
+    assert lz4_frame_decompress(frame) == b"abcdabcdabcd"
+
+
+def test_lz4_frame_rejects_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00\x40\x70\x00")
+
+
+# ------------------------------------------------------------- fixtures
+#
+# UDT table (indices matter: the wire prefixes each object with its index):
+#  0 StaticString           dynamic dep: [id u64][utf8 bytes]
+#  1 StaticStringDependency dynamic dep: [id u64][codec u8][len u32][bytes]
+#  2 LogDesc                pod dep, size 20: id u64 @0, fmt ref @8, line u32 @16
+#  3 LogStaticStrEvent      pod event, size 16: desc ref @0, time i64 @8
+#  4 Property               pod, size 16: name ref @0, value ref @8
+#  5 PropertySetDependency  dynamic dep: [id u64][nb u32][Property * nb]
+#  6 TaggedLogString        dynamic event: [desc u64][props u64][time i64][dyn msg]
+#  7 LogStringEventV2       dynamic event: [desc u64][time i64][dyn msg]
+
+UDTS = [
+    UserDefinedType("StaticString", 0),
+    UserDefinedType("StaticStringDependency", 0),
+    UserDefinedType(
+        "LogDesc",
+        20,
+        [
+            Member("id", "u64", 0, 8, False),
+            Member("fmt", "ref", 8, 8, True),
+            Member("line", "u32", 16, 4, False),
+        ],
+    ),
+    UserDefinedType(
+        "LogStaticStrEvent",
+        16,
+        [
+            Member("desc", "ref", 0, 8, True),
+            Member("time", "i64", 8, 8, False),
+        ],
+    ),
+    UserDefinedType(
+        "Property",
+        16,
+        [
+            Member("name", "ref", 0, 8, True),
+            Member("value", "ref", 8, 8, True),
+        ],
+    ),
+    UserDefinedType("PropertySetDependency", 0),
+    UserDefinedType("TaggedLogString", 0),
+    UserDefinedType("LogStringEventV2", 0),
+]
+
+
+def _dyn(idx: int, body: bytes) -> bytes:
+    return bytes([idx]) + struct.pack("<I", len(body)) + body
+
+
+def _static_string(sid: int, s: str) -> bytes:
+    return _dyn(0, struct.pack("<Q", sid) + s.encode("utf-8"))
+
+
+def _utf8(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return bytes([2]) + struct.pack("<I", len(b)) + b
+
+
+def _deps_buffer() -> bytes:
+    buf = b""
+    buf += _static_string(42, "src/hello.rs")
+    # StaticStringDependency with UTF-16 codec (codec 1)
+    w = "wide ♞".encode("utf-16-le")
+    buf += _dyn(1, struct.pack("<Q", 43) + bytes([1]) + struct.pack("<I", len(w)) + w)
+    # LogDesc pod dep: id=7, fmt → 42, line=33
+    buf += bytes([2]) + struct.pack("<QQI", 7, 42, 33)
+    # property strings + a property set {env: prod}
+    buf += _static_string(100, "env")
+    buf += _static_string(101, "prod")
+    prop = struct.pack("<QQ", 100, 101)
+    buf += _dyn(5, struct.pack("<QI", 9, 1) + prop)
+    return buf
+
+
+def test_read_dependencies():
+    deps = read_dependencies(UDTS, _deps_buffer())
+    assert deps[42] == "src/hello.rs"
+    assert deps[43] == "wide ♞"
+    assert deps[7]["__type"] == "LogDesc"
+    assert deps[7]["fmt"] == "src/hello.rs" and deps[7]["line"] == 33
+    assert deps[9] == {"__type": "property_set", "env": "prod"}
+
+
+def test_duplicate_dependency_id_rejected():
+    buf = _static_string(1, "a") + _static_string(1, "b")
+    with pytest.raises(ValueError, match="duplicate"):
+        read_dependencies(UDTS, buf)
+
+
+def test_parse_pod_events_with_references():
+    deps = read_dependencies(UDTS, _deps_buffer())
+    objs = b""
+    objs += bytes([3]) + struct.pack("<Qq", 7, 1111)
+    objs += bytes([3]) + struct.pack("<Qq", 7, 2222)
+    out = list(parse_object_buffer(UDTS, deps, objs))
+    assert [o["time"] for o in out] == [1111, 2222]
+    assert out[0]["desc"]["fmt"] == "src/hello.rs"
+
+
+def test_custom_event_readers():
+    deps = read_dependencies(UDTS, _deps_buffer())
+    objs = b""
+    # LogStringEventV2: desc=7, time, dyn msg
+    objs += _dyn(7, struct.pack("<Qq", 7, 5) + _utf8("hello world"))
+    # TaggedLogString: desc=7, props=9, time, dyn msg
+    objs += _dyn(6, struct.pack("<QQq", 7, 9, 6) + _utf8("tagged"))
+    v2, tagged = parse_object_buffer(UDTS, deps, objs)
+    assert v2["msg"] == "hello world" and v2["desc"]["line"] == 33
+    assert tagged["properties"] == {"__type": "property_set", "env": "prod"}
+    assert tagged["msg"] == "tagged" and tagged["time"] == 6
+
+
+def test_unknown_custom_object_warns_not_raises():
+    udts = UDTS + [UserDefinedType("FutureEvent", 0)]
+    objs = _dyn(len(udts) - 1, b"\x01\x02\x03")
+    (out,) = parse_object_buffer(udts, {}, objs)
+    assert out == {"__type": "FutureEvent"}  # parser.rs:136-152 behavior
+
+
+def test_block_payload_end_to_end():
+    objs = bytes([3]) + struct.pack("<Qq", 7, 1234)
+    payload = encode_block_payload(_deps_buffer(), objs)
+    (event,) = decode_block_payload(payload, UDTS, UDTS)
+    assert event["time"] == 1234
+    assert event["desc"]["fmt"] == "src/hello.rs"
+
+
+def test_udt_metadata_cbor_roundtrip():
+    assert udts_from_cbor(udts_to_cbor(UDTS)) == UDTS
+
+
+def test_corrupt_buffers_raise():
+    with pytest.raises(ValueError, match="type index"):
+        list(parse_object_buffer(UDTS[:1], {}, bytes([9, 0, 0, 0, 0])))
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        list(parse_object_buffer(UDTS, {}, bytes([3]) + b"\x00" * 4))
+    # reference member pointing at a missing dependency
+    objs = bytes([3]) + struct.pack("<Qq", 999, 0)
+    with pytest.raises(ValueError, match="dependency 999"):
+        list(parse_object_buffer(UDTS, {}, objs))
