@@ -57,6 +57,55 @@ log = logging.getLogger(__name__)
 
 LZ4_MAGIC = 0x184D2204
 
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (the checksum the LZ4 frame format uses for its header,
+    block, and content checksums). Pure python, verified against the
+    published test vectors — having it means frames WRITTEN here carry a
+    real header checksum, so the reference's lz4 crate (which verifies
+    it) accepts them, and frames READ here are integrity-checked instead
+    of checksum-skipped."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _XXP1 + _XXP2) & _M32
+        v2 = (seed + _XXP2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXP1) & _M32
+        while i <= n - 16:
+            (l1, l2, l3, l4) = struct.unpack_from("<IIII", data, i)
+            v1 = (_rotl32((v1 + l1 * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v2 = (_rotl32((v2 + l2 * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v3 = (_rotl32((v3 + l3 * _XXP2) & _M32, 13) * _XXP1) & _M32
+            v4 = (_rotl32((v4 + l4 * _XXP2) & _M32, 13) * _XXP1) & _M32
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXP5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        (l,) = struct.unpack_from("<I", data, i)
+        h = (_rotl32((h + l * _XXP3) & _M32, 17) * _XXP4) & _M32
+        i += 4
+    while i < n:
+        h = (_rotl32((h + data[i] * _XXP5) & _M32, 11) * _XXP1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXP2) & _M32
+    h ^= h >> 13
+    h = (h * _XXP3) & _M32
+    h ^= h >> 16
+    return h
+
 
 def lz4_block_decompress(src: bytes, out: bytearray | None = None) -> bytes:
     """Raw LZ4 block: sequences of [token][literals][offset u16 LE]
@@ -106,9 +155,9 @@ def lz4_block_decompress(src: bytes, out: bytearray | None = None) -> bytes:
 def lz4_frame_decompress(buf: bytes) -> bytes:
     """LZ4 frame (spec v1.6.x): magic, FLG/BD descriptor (+ optional
     content size), header checksum byte, then data blocks — u32 size with
-    bit 31 flagging an UNCOMPRESSED block — until the 0 end mark.
-    Checksums are skipped, not verified (corruption surfaces as a parse
-    error downstream, same contract as the CBOR/MMSB paths)."""
+    bit 31 flagging an UNCOMPRESSED block — until the 0 end mark. Header,
+    block, and content checksums (xxh32) are VERIFIED when present, the
+    same contract as the reference's lz4 crate decoder."""
     if len(buf) < 7:
         raise ValueError("lz4: truncated frame header")
     (magic,) = struct.unpack_from("<I", buf, 0)
@@ -123,7 +172,12 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
     pos = 6  # magic + FLG + BD
     if content_size_flag:
         pos += 8
-    pos += 1  # header checksum byte (unverified)
+    # header checksum: second byte of xxh32 over the descriptor (FLG..BD
+    # + optional content size), per the frame spec
+    want_hc = (xxh32(buf[4:pos]) >> 8) & 0xFF
+    if buf[pos] != want_hc:
+        raise ValueError("lz4: header checksum mismatch")
+    pos += 1
     out = bytearray()
     while True:
         if pos + 4 > len(buf):
@@ -139,31 +193,36 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
         block = buf[pos : pos + bsize]
         pos += bsize
         if block_checksum:
+            (want_bc,) = struct.unpack_from("<I", buf, pos)
+            if xxh32(block) != want_bc:
+                raise ValueError("lz4: block checksum mismatch")
             pos += 4
         if uncompressed:
             out += block
         else:
             lz4_block_decompress(block, out)
     if content_checksum:
+        (want_cc,) = struct.unpack_from("<I", buf, pos)
+        if xxh32(bytes(out)) != want_cc:
+            raise ValueError("lz4: content checksum mismatch")
         pos += 4
     return bytes(out)
 
 
 def lz4_frame_store(data: bytes) -> bytes:
     """Spec-valid LZ4 frame holding ``data`` as ONE uncompressed block
-    (bit 31 of the block size set) — the writer side of the round-trip
-    tests and of make_transit_block(). Any conformant decoder (including
-    the reference's lz4 crate) reads it; compression here would buy
-    nothing for synthetic test payloads."""
-    flg = 0b01 << 6  # version 01, no checksums, no content size
+    (bit 31 of the block size set), with real xxh32 header AND content
+    checksums — the writer side of encode_block_payload. Any conformant
+    decoder — including the reference's lz4 crate, which verifies both —
+    reads it; compression here would buy nothing for synthetic
+    payloads (the block format carries stored blocks first-class)."""
+    flg = (0b01 << 6) | (1 << 2)  # version 01 + content checksum
     bd = 0x70  # max block size 4 MB (informational)
-    header = struct.pack("<IBB", LZ4_MAGIC, flg, bd)
-    # header checksum: (xxh32(desc) >> 8) & 0xff — unverified by this
-    # decoder; emit 0 (the reference's decoder DOES verify, so frames
-    # destined for it would need the real xxh32; test frames stay local)
-    header += b"\x00"
+    desc = struct.pack("<BB", flg, bd)
+    header = struct.pack("<I", LZ4_MAGIC) + desc
+    header += bytes([(xxh32(desc) >> 8) & 0xFF])
     body = struct.pack("<I", len(data) | 0x80000000) + data
-    return header + body + struct.pack("<I", 0)
+    return header + body + struct.pack("<I", 0) + struct.pack("<I", xxh32(data))
 
 
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from micromegas_spark.sources.transit import (
     lz4_frame_decompress,
     lz4_frame_store,
     parse_object_buffer,
+    xxh32,
     read_dependencies,
     udts_from_cbor,
     udts_to_cbor,
@@ -46,17 +47,39 @@ def test_lz4_frame_store_roundtrip():
     assert lz4_frame_decompress(lz4_frame_store(data)) == data
 
 
+def test_xxh32_published_vectors():
+    # xxHash reference test vectors (seed 0)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
 def test_lz4_frame_with_compressed_block():
-    # frame wrapping the handcrafted compressed block (bit 31 clear)
+    # frame wrapping the handcrafted compressed block (bit 31 clear),
+    # with a REAL header checksum (second byte of xxh32 over FLG+BD)
     block = bytes([0x44]) + b"abcd" + struct.pack("<H", 4)
+    desc = struct.pack("<BB", 0b01 << 6, 0x70)
     frame = (
-        struct.pack("<IBB", 0x184D2204, 0b01 << 6, 0x70)
-        + b"\x00"
+        struct.pack("<I", 0x184D2204)
+        + desc
+        + bytes([(xxh32(desc) >> 8) & 0xFF])
         + struct.pack("<I", len(block))
         + block
         + struct.pack("<I", 0)
     )
     assert lz4_frame_decompress(frame) == b"abcdabcdabcd"
+
+
+def test_lz4_frame_checksums_verified():
+    frame = bytearray(lz4_frame_store(b"payload bytes"))
+    frame[11] ^= 0xFF  # corrupt one data byte inside the stored block
+    with pytest.raises(ValueError, match="checksum"):
+        lz4_frame_decompress(bytes(frame))
+    good = lz4_frame_store(b"payload bytes")
+    bad_header = good[:6] + bytes([good[6] ^ 0xFF]) + good[7:]
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bad_header)
 
 
 def test_lz4_frame_rejects_bad_magic():
