@@ -631,3 +631,50 @@ def parse_transit_blocks(payloads):
 
     cols = ["block_id", "payload", "dependencies_metadata", "objects_metadata"]
     return payloads.select(*cols).mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def stream_transit_blobs(spark, source_dir: str, streams_meta, out_dir: str, checkpoint_dir: str):
+    """Continuous native-transit ingestion — the Structured Streaming
+    mirror of the reference's ingestion loop over its blob layout:
+    readStream(binaryFile) over a landing tree shaped like the
+    reference's blob storage (``blobs/{process_id}/{stream_id}/
+    {block_id}``, rust/analytics/src/payload.rs:25-27), a stream-static
+    join to the streams table for each stream's CBOR UDT metadata
+    columns (metadata.rs:131-147), the parse_transit_blocks decode, and
+    an append parquet sink with checkpointed exactly-once file tracking.
+
+    ``streams_meta`` must carry (stream_id, dependencies_metadata,
+    objects_metadata). trigger(availableNow) drains the backlog and
+    stops — one maintenance tick; swap for processingTime for a resident
+    ingester. All transforms are stream-safe (stateless projection +
+    stream-static join + mapInPandas): ingest parallelism IS the
+    file-scan parallelism, no state store."""
+    from pyspark.sql import functions as F
+
+    # binaryFile's schema is fixed, but streaming sources require it
+    # declared up front (no inference pass over a stream)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length BIGINT, content BINARY"
+        )
+        # the blob tree nests process/stream dirs without key=value names,
+        # so they are not partition dirs — walk them explicitly
+        .option("recursiveFileLookup", "true")
+        .load(source_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("block_id"),
+            F.element_at(F.split("path", "/"), -2).alias("stream_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    joined = raw.join(streams_meta, "stream_id")
+    parsed = parse_transit_blocks(joined)
+    return (
+        parsed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

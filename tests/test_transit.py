@@ -228,3 +228,48 @@ def test_corrupt_buffers_raise():
     objs = bytes([3]) + struct.pack("<Qq", 999, 0)
     with pytest.raises(ValueError, match="dependency 999"):
         list(parse_object_buffer(UDTS, {}, objs))
+
+
+# ------------------------------------------------------- streaming ingest
+
+
+def test_stream_transit_blobs_exactly_once(spark, tmp_path):
+    """readStream(binaryFile) over a reference-shaped blob tree decodes
+    through the same transit path, exactly-once across restarts."""
+    import json
+    import os
+
+    from micromegas_spark.sources.transit import stream_transit_blobs
+
+    objs1 = bytes([3]) + struct.pack("<Qq", 7, 111)
+    objs2 = (
+        bytes([3]) + struct.pack("<Qq", 7, 222)
+        + bytes([3]) + struct.pack("<Qq", 7, 333)
+    )
+    blobdir = tmp_path / "blobs" / "procA" / "streamX"
+    os.makedirs(blobdir)
+    (blobdir / "blk1").write_bytes(encode_block_payload(_deps_buffer(), objs1))
+    (blobdir / "blk2").write_bytes(encode_block_payload(_deps_buffer(), objs2))
+
+    meta = udts_to_cbor(UDTS)
+    streams_meta = spark.createDataFrame(
+        [("streamX", bytearray(meta), bytearray(meta))],
+        "stream_id STRING, dependencies_metadata BINARY, objects_metadata BINARY",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_transit_blobs(spark, str(tmp_path / "blobs"), streams_meta, out, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    times = sorted(json.loads(r["value"])["time"] for r in rows)
+    assert times == [111, 222, 333]
+    assert {r["block_id"] for r in rows} == {"blk1", "blk2"}
+
+    # restart with one NEW blob: only the new file is processed
+    (blobdir / "blk3").write_bytes(
+        encode_block_payload(_deps_buffer(), bytes([3]) + struct.pack("<Qq", 7, 444))
+    )
+    q2 = stream_transit_blobs(spark, str(tmp_path / "blobs"), streams_meta, out, ckpt)
+    q2.awaitTermination(120)
+    rows2 = spark.read.parquet(out).collect()
+    times2 = sorted(json.loads(r["value"])["time"] for r in rows2)
+    assert times2 == [111, 222, 333, 444]  # no duplicates: exactly-once
