@@ -395,28 +395,54 @@ class Engine:
         Non-literal arguments are the CALLER's error (the reference
         rejects them at plan time too): any view_instance( call not in
         two-string-literal form raises InvalidArgument (#1435 'user').
-        Runs under _PLAN_LOCK like all planning; the temp-view name is
-        keyed on (set, instance) so repeat queries reuse one registration
-        slot (register+analyze is atomic under the lock, so a later
-        re-register cannot retarget an already-analyzed plan)."""
+        Occurrences INSIDE SQL string literals are data, not calls — the
+        rewrite lexes quote spans ('' escaping per the SQL grammar) and
+        touches only unquoted text. Runs under _PLAN_LOCK like all
+        planning; the temp-view name is keyed on (set, instance) so
+        repeat queries reuse one registration slot (register+analyze is
+        atomic under the lock, so a later re-register cannot retarget an
+        already-analyzed plan)."""
         import re as _re
 
         if "view_instance" not in sql.lower():
             return sql
+        # single-quote spans with '' escaping: text inside them is data
+        in_string = [False] * len(sql)
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                for k in range(i, min(j + 1, n)):
+                    in_string[k] = True
+                i = j + 1
+            else:
+                i += 1
         lit = _re.compile(
             r"view_instance\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)", _re.I
         )
-        n_calls = len(_re.findall(r"view_instance\s*\(", sql, _re.I))
-        matches = list(lit.finditer(sql))
-        if n_calls != len(matches):
+        calls = [
+            m
+            for m in _re.finditer(r"view_instance\s*\(", sql, _re.I)
+            if not in_string[m.start()]
+        ]
+        matches = [m for m in lit.finditer(sql) if not in_string[m.start()]]
+        if len(calls) != len(matches):
             raise InvalidArgument(
                 "view_instance() requires two string-literal arguments "
                 "(view_set, instance_id) — they are evaluated at plan time"
             )
+        if not matches:
+            return sql
         made: dict[tuple, str] = {}
 
-        def repl(m):
-            key = (m.group(1), m.group(2))
+        def name_for(key: tuple) -> str:
             if key not in made:
                 df = self.view_instance(
                     key[0],
@@ -429,7 +455,13 @@ class Engine:
                 made[key] = name
             return made[key]
 
-        return lit.sub(repl, sql)
+        out, last = [], 0
+        for m in matches:
+            out.append(sql[last : m.start()])
+            out.append(name_for((m.group(1), m.group(2))))
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
 
     def resolve(
         self,

@@ -380,3 +380,22 @@ def test_view_instance_sql_rewrite_non_literal_is_user_error(spark, tmp_path):
     with pytest.raises(InvalidArgument) as ei2:
         eng.query("SELECT * FROM view_instance('no_such_set', 'x')")
     assert classify_exception(ei2.value) == USER
+
+
+def test_view_instance_text_inside_string_literal_is_data(spark, tmp_path):
+    """'view_instance(...)' INSIDE a SQL string literal is data, not a
+    call — the rewrite lexes quote spans (with '' escaping) and must
+    neither substitute nor reject it."""
+    def build(instance, block_ids):
+        return spark.createDataFrame([(5,), (7,)], ["begin_ns"]).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    row = eng.query(
+        "SELECT 'see view_instance(''a'', ''b'') docs' AS note, "
+        "COUNT(*) AS n FROM view_instance('ordered_view', 's1')"
+    ).collect()[0]
+    assert row["note"] == "see view_instance('a', 'b') docs"
+    assert row["n"] == 2
+    # a pure-data occurrence with no real call also passes through
+    out = eng.query("SELECT 'view_instance(x)' AS s").collect()
+    assert out[0]["s"] == "view_instance(x)"
