@@ -131,6 +131,58 @@ def attributed_iter(sc, query_id: str, description: str, inner, check=None):
         yield item
 
 
+def _sql_data_spans(sql: str) -> list[bool]:
+    """Mark every character of ``sql`` that is DATA rather than live
+    statement text, per the Spark SQL grammar: single-quoted strings ('')
+    escaping), double-quoted strings (Spark's default non-ANSI mode reads
+    "..." as a string literal; under ANSI it's an identifier — either way
+    not a function call, with "" escaping), backtick-quoted identifiers
+    (`` escaping), `--` line comments, and bracketed comments (nested,
+    as Spark has allowed since 3.0). The view_instance rewrite consults
+    this so occurrences inside any of those spans are never counted as
+    calls (SPARK grammar: SqlBaseLexer.g4 STRING/BRACKETED_COMMENT)."""
+    n = len(sql)
+    data = [False] * n
+    i = 0
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:  # doubled = escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i, min(j + 1, n)):
+                data[k] = True
+            i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = i
+            while j < n and sql[j] != "\n":
+                data[j] = True
+                j += 1
+            i = j
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql[j] == "/" and j + 1 < n and sql[j + 1] == "*":
+                    depth += 1
+                    j += 2
+                elif sql[j] == "*" and j + 1 < n and sql[j + 1] == "/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            for k in range(i, min(j, n)):
+                data[k] = True
+            i = j
+        else:
+            i += 1
+    return data
+
+
 @dataclass
 class JitViewSet:
     """Per-instance lazily-materialized view set (thread_spans-style).
@@ -395,44 +447,39 @@ class Engine:
         Non-literal arguments are the CALLER's error (the reference
         rejects them at plan time too): any view_instance( call not in
         two-string-literal form raises InvalidArgument (#1435 'user').
-        Occurrences INSIDE SQL string literals are data, not calls — the
-        rewrite lexes quote spans ('' escaping per the SQL grammar) and
-        touches only unquoted text. Runs under _PLAN_LOCK like all
-        planning; the temp-view name is keyed on (set, instance) so
-        repeat queries reuse one registration slot (register+analyze is
+        Occurrences inside SQL string literals ('' / "" escaping per the
+        Spark grammar, which treats double-quoted text as strings in its
+        default non-ANSI mode), backtick-quoted identifiers, `--` line
+        comments and (nested) bracketed comments are DATA, not calls —
+        the rewrite lexes those spans first and touches only live text.
+        Call detection is identifier-anchored so e.g.
+        my_view_instance(...) is someone else's function, never rewritten
+        mid-identifier. Runs under _PLAN_LOCK like all planning; the
+        temp-view name is keyed on (set, instance) — sanitized + a short
+        stable hash so distinct keys can never alias one slot — and
+        repeat queries reuse one registration (register+analyze is
         atomic under the lock, so a later re-register cannot retarget an
         already-analyzed plan)."""
+        import hashlib as _hashlib
         import re as _re
 
         if "view_instance" not in sql.lower():
             return sql
-        # single-quote spans with '' escaping: text inside them is data
-        in_string = [False] * len(sql)
-        i, n = 0, len(sql)
-        while i < n:
-            if sql[i] == "'":
-                j = i + 1
-                while j < n:
-                    if sql[j] == "'":
-                        if j + 1 < n and sql[j + 1] == "'":
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                for k in range(i, min(j + 1, n)):
-                    in_string[k] = True
-                i = j + 1
-            else:
-                i += 1
+        in_data = _sql_data_spans(sql)
+        # one arg literal = single-quoted with '' escaping (Spark grammar)
+        _arg = r"'((?:[^']|'')*)'"
         lit = _re.compile(
-            r"view_instance\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)", _re.I
+            r"(?<![A-Za-z0-9_])view_instance\s*\(\s*%s\s*,\s*%s\s*\)" % (_arg, _arg),
+            _re.I,
         )
         calls = [
             m
-            for m in _re.finditer(r"view_instance\s*\(", sql, _re.I)
-            if not in_string[m.start()]
+            for m in _re.finditer(
+                r"(?<![A-Za-z0-9_])view_instance\s*\(", sql, _re.I
+            )
+            if not in_data[m.start()]
         ]
-        matches = [m for m in lit.finditer(sql) if not in_string[m.start()]]
+        matches = [m for m in lit.finditer(sql) if not in_data[m.start()]]
         if len(calls) != len(matches):
             raise InvalidArgument(
                 "view_instance() requires two string-literal arguments "
@@ -450,7 +497,17 @@ class Engine:
                     begin_ns if begin_ns is not None else 0,
                     end_ns if end_ns is not None else 2**62,
                 )
-                name = "_vi_" + _re.sub(r"[^A-Za-z0-9_]", "_", f"{key[0]}__{key[1]}")
+                # sanitized-for-readability + stable hash-for-uniqueness:
+                # the [^w]→_ sanitizer alone maps distinct keys (e.g.
+                # ('a','b-c') vs ('a','b_c')) to one name, which would let
+                # a later createOrReplaceTempView retarget the earlier
+                # substitution in the same statement
+                tag = _hashlib.sha1(
+                    ("\x00".join(key)).encode("utf-8")
+                ).hexdigest()[:8]
+                name = "_vi_" + _re.sub(
+                    r"[^A-Za-z0-9_]", "_", f"{key[0]}__{key[1]}"
+                ) + "_" + tag
                 df.createOrReplaceTempView(name)
                 made[key] = name
             return made[key]
@@ -458,7 +515,16 @@ class Engine:
         out, last = [], 0
         for m in matches:
             out.append(sql[last : m.start()])
-            out.append(name_for((m.group(1), m.group(2))))
+            # undo the SQL grammar's '' escaping — the literal's VALUE is
+            # the instance key, not its source spelling
+            out.append(
+                name_for(
+                    (
+                        m.group(1).replace("''", "'"),
+                        m.group(2).replace("''", "'"),
+                    )
+                )
+            )
             last = m.end()
         out.append(sql[last:])
         return "".join(out)
@@ -886,23 +952,35 @@ class Engine:
             ent = manifest.get(key)
             if ent is None:
                 df = vs.build_blocks(instance, [b["block_id"] for b in grp])
-                if vs.ensure_begin_non_decreasing:
-                    # bounded by max_nb_objects per partition, so the
-                    # validation pass is cheap by design; persist so the
-                    # builder lineage isn't re-executed by the write
-                    from pyspark import StorageLevel
-
-                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-                    ensure_begin_non_decreasing(
-                        df, vs.time_column, f"{vs.name}/{instance}/{key}"
-                    )
                 pdir = os.path.join(
                     self.warehouse, vs.name, f"instance={instance}", f"part={key}"
                 )
                 tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
-                df.write.mode("overwrite").parquet(tmp)
                 if vs.ensure_begin_non_decreasing:
-                    df.unpersist(blocking=False)
+                    # bounded by max_nb_objects per partition, so the
+                    # validation pass is cheap by design; persist so the
+                    # builder lineage isn't re-executed by the write.
+                    # unpersist in finally: a failed order check or write
+                    # must not leak the cached partition for the session's
+                    # lifetime. The check certifies within-partition order
+                    # only — the builder contract (JitViewSet docstring)
+                    # is one begin-sorted output partition per block
+                    # group, matching the reference where each written
+                    # batch is independently validated (#1429); readers
+                    # re-sort across partitions when they need a total
+                    # order.
+                    from pyspark import StorageLevel
+
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                    try:
+                        ensure_begin_non_decreasing(
+                            df, vs.time_column, f"{vs.name}/{instance}/{key}"
+                        )
+                        df.write.mode("overwrite").parquet(tmp)
+                    finally:
+                        df.unpersist(blocking=False)
+                else:
+                    df.write.mode("overwrite").parquet(tmp)
                 if os.path.exists(pdir):
                     shutil.rmtree(pdir)
                 os.rename(tmp, pdir)

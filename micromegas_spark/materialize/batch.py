@@ -115,9 +115,14 @@ PROC_STATS = BatchViewSpec(
     # precision — RSE 0.41% at 64 KB worst-case dense sketch size per
     # parquet row (lgK=20's 0.10% costs 1 MB dense/row, the wrong trade
     # for a stats table written once per hour x level at 100 TB)
+    # allowDifferentLgConfigK=true: a warehouse materialized before the
+    # lgK=16 upgrade holds lgK=12 partials; the union must keep merging
+    # them (it downgrades to the smallest lgConfigK among inputs) instead
+    # of failing the first post-upgrade merge. New partitions converge to
+    # 16 as old ones retire.
     merge_query="""
         SELECT time_bin_ns, level,
-               hll_union_agg(proc_sketch) AS proc_sketch,
+               hll_union_agg(proc_sketch, true) AS proc_sketch,
                SUM(count) AS count
         FROM source
         GROUP BY time_bin_ns, level

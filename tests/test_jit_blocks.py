@@ -399,3 +399,126 @@ def test_view_instance_text_inside_string_literal_is_data(spark, tmp_path):
     # a pure-data occurrence with no real call also passes through
     out = eng.query("SELECT 'view_instance(x)' AS s").collect()
     assert out[0]["s"] == "view_instance(x)"
+
+
+def test_view_instance_rewrite_comment_and_boundary_awareness(spark, tmp_path):
+    """Round-8 lexer hardening: (a) a view_instance( occurrence inside a
+    `--` line comment or a /* */ block comment is DATA — neither rejected
+    (non-literal form) nor needlessly materialized (literal form); (b) an
+    identifier that merely ENDS in 'view_instance' is someone else's
+    function and must not be rewritten mid-identifier."""
+    import pytest
+
+    from micromegas_spark.flightsql.errors import InvalidArgument
+
+    def build(instance, block_ids):
+        return spark.createDataFrame([(5,), (7,)], ["begin_ns"]).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    # commented-out NON-literal call: previously raised InvalidArgument
+    row = eng.query(
+        "SELECT COUNT(*) AS n -- view_instance(some_col, 'x') ignore me\n"
+        "FROM view_instance('ordered_view', 's1')"
+    ).collect()[0]
+    assert row["n"] == 2
+    # block comment (nested, Spark 3.0+ grammar) around a literal call:
+    # must NOT materialize a second temp view
+    before = {t.name for t in spark.catalog.listTables() if t.name.startswith("_vi_")}
+    row2 = eng.query(
+        "SELECT /* view_instance('no_such_set', 'x') /* nested */ still "
+        "comment */ SUM(begin_ns) AS s FROM view_instance('ordered_view', 's1')"
+    ).collect()[0]
+    assert row2["s"] == 12
+    after = {t.name for t in spark.catalog.listTables() if t.name.startswith("_vi_")}
+    assert after == before  # reused the one slot; the commented set never built
+    # identifier boundary: my_view_instance is not our function — the
+    # rewrite must leave it alone (Spark then fails resolution, a user
+    # error, but NOT an InvalidArgument from the rewrite and NOT '_vi_'
+    # garbage mid-identifier)
+    with pytest.raises(Exception) as ei:
+        eng.query("SELECT * FROM my_view_instance('a', 'b')")
+    assert not isinstance(ei.value, InvalidArgument)
+    assert "my_view_instance" in str(ei.value)
+
+
+def test_view_instance_rewrite_double_quote_and_escapes(spark, tmp_path):
+    """(a) Spark's default non-ANSI mode reads "..." as a string literal —
+    a view_instance occurrence inside one is data; (b) '' escapes inside
+    the two argument literals are legal SQL and must resolve to the
+    UNESCAPED instance key."""
+
+    def build(instance, block_ids):
+        # the builder sees the unescaped key
+        assert instance == "s'1"
+        return spark.createDataFrame([(5,), (7,)], ["begin_ns"]).coalesce(1)
+
+    from micromegas_spark.engine import Engine, JitViewSet
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.register_jit_view_set(
+        JitViewSet(
+            "ordered_view",
+            source_count=lambda *_: 0,
+            build=lambda *_: None,
+            time_column="begin_ns",
+            list_blocks=lambda inst, b, e: [blk("b0", 0, 100, 0, n=3)],
+            build_blocks=build,
+            ensure_begin_non_decreasing=True,
+        )
+    )
+    row = eng.query(
+        'SELECT "view_instance(a, b)" AS note, COUNT(*) AS n '
+        "FROM view_instance('ordered_view', 's''1')"
+    ).collect()[0]
+    assert row["note"] == "view_instance(a, b)"
+    assert row["n"] == 2
+
+
+def test_view_instance_temp_view_names_never_collide(spark, tmp_path):
+    """Distinct (set, instance) keys that sanitize to the same identifier
+    (('ordered_view','b-c') vs ('ordered_view','b_c')) must get distinct
+    temp views — a shared name would silently retarget the earlier
+    substitution in the same statement."""
+
+    def build(instance, block_ids):
+        # one row whose value identifies the instance
+        v = 1 if instance == "b-c" else 2
+        return spark.createDataFrame([(v,)], ["begin_ns"]).coalesce(1)
+
+    from micromegas_spark.engine import Engine, JitViewSet
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.register_jit_view_set(
+        JitViewSet(
+            "ordered_view",
+            source_count=lambda *_: 0,
+            build=lambda *_: None,
+            time_column="begin_ns",
+            list_blocks=lambda inst, b, e: [blk("b0", 0, 100, 0, n=1)],
+            build_blocks=build,
+            ensure_begin_non_decreasing=True,
+        )
+    )
+    row = eng.query(
+        "SELECT a.begin_ns AS x, b.begin_ns AS y "
+        "FROM view_instance('ordered_view', 'b-c') a "
+        "CROSS JOIN view_instance('ordered_view', 'b_c') b"
+    ).collect()[0]
+    assert (row["x"], row["y"]) == (1, 2)
+
+
+def test_rejected_jit_build_does_not_leak_cached_partition(spark, tmp_path):
+    """The persist taken for the #1429 order check must be released even
+    when the check rejects the builder output — a leaked MEMORY_AND_DISK
+    partition would otherwise pin memory for the session's lifetime."""
+    import pytest
+
+    def build(instance, block_ids):
+        return spark.createDataFrame([(10,), (30,), (20,)], ["begin_ns"]).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="ensure_begin_non_decreasing"):
+        eng.view_instance("ordered_view", "s1", 0, 100)
+    assert jsc.getPersistentRDDs().size() == before

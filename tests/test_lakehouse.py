@@ -652,3 +652,43 @@ def test_hll_union_preserves_lgk(spark):
     assert abs(merged - direct) / N < 0.003
     assert abs(direct - N) / N < 0.005  # lgK-20 RSE ~0.10%; 5x headroom
     assert abs(merged - N) / N < 0.005
+
+
+def test_hll_merge_tolerates_legacy_lgk_partials(spark, telemetry, tmp_path):
+    """Upgrade path: a warehouse materialized BEFORE the lgK=16 bump holds
+    lgK=12 partials; the merge query must keep unioning the mixed set
+    (allowDifferentLgConfigK downgrades to the smallest lgK among inputs)
+    instead of failing the first post-upgrade merge."""
+    import dataclasses
+
+    from micromegas_spark.materialize import PROC_STATS
+
+    data, dfs = telemetry
+    _register(spark, dfs)
+    lake = Lakehouse(spark, str(tmp_path / "wh_hll_mixed"))
+    lo, hi = _window(data)
+    mid = lo + ((hi - lo) // (2 * HOUR)) * HOUR or (lo + HOUR)
+    # first half with the legacy default lgK=12 extract, second half with
+    # the current lgK=16 spec — exactly what an in-place upgrade leaves
+    legacy = dataclasses.replace(
+        PROC_STATS,
+        extract_query=PROC_STATS.extract_query.replace(
+            "hll_sketch_agg(process_id, 16)", "hll_sketch_agg(process_id, 12)"
+        ),
+    )
+    lake.materialize_range(legacy, lo, mid, HOUR)
+    lake.materialize_range(PROC_STATS, mid, hi, HOUR)
+    assert len(lake.list_partitions("proc_stats")) > 1
+    lake.merge_partitions(PROC_STATS, lo, hi)  # must not raise
+    assert len(lake.list_partitions("proc_stats")) == 1
+    got = (
+        lake.read("proc_stats")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("proc_sketch", True))
+            .cast("bigint")
+            .alias("n")
+        )
+        .collect()[0]["n"]
+    )
+    want = dfs["log_entries"].select("process_id").distinct().count()
+    assert got == want  # sparse regime at test cardinality: exact
