@@ -273,3 +273,55 @@ def test_stream_transit_blobs_exactly_once(spark, tmp_path):
     rows2 = spark.read.parquet(out).collect()
     times2 = sorted(json.loads(r["value"])["time"] for r in rows2)
     assert times2 == [111, 222, 333, 444]  # no duplicates: exactly-once
+
+
+# ------------------------------------------- native fast path (r8 #1)
+
+
+def test_pure_and_native_paths_equal_on_same_vectors():
+    """The dispatching xxh32/lz4_frame_decompress and the pure-python
+    spec implementations must agree byte-for-byte on the same inputs.
+    In a wheel-less container both dispatch to the pure path (trivially
+    equal); where lz4/xxhash ARE installed this pins native==pure on the
+    published vectors and a stored-frame roundtrip."""
+    from micromegas_spark.sources.transit import (
+        lz4_frame_decompress_py,
+        xxh32_py,
+    )
+
+    for v, want in [
+        (b"", 0x02CC5D05),
+        (b"a", 0x550D7456),
+        (b"abc", 0x32D153FF),
+        (b"Nobody inspects the spammish repetition", 0xE2293B2F),
+        (b"x" * 1000, xxh32_py(b"x" * 1000)),
+    ]:
+        assert xxh32_py(v) == want
+        assert xxh32(v) == want  # dispatcher (native when installed)
+    data = b"the quick brown fox " * 64
+    frame = lz4_frame_store(data)
+    assert lz4_frame_decompress_py(frame) == data
+    assert lz4_frame_decompress(frame) == data
+
+
+def test_native_wheels_when_present_decode_reference_style_frames():
+    """Gate: only runs where lz4/xxhash wheels exist (not this container,
+    any real deployment). A frame COMPRESSED by native lz4.frame must
+    decode identically through the pure-python spec decoder — the
+    cross-implementation compatibility the reference's lz4 crate relies
+    on."""
+    import pytest
+
+    lz4f = pytest.importorskip("lz4.frame")
+    xxh = pytest.importorskip("xxhash")
+    from micromegas_spark.sources.transit import (
+        lz4_frame_decompress_py,
+        xxh32_py,
+    )
+
+    data = b"compressible payload " * 512
+    native_frame = lz4f.compress(data, content_checksum=True)
+    assert lz4_frame_decompress_py(native_frame) == data
+    assert lz4_frame_decompress(native_frame) == data
+    for v in [b"", b"abc", data]:
+        assert xxh.xxh32_intdigest(v) == xxh32_py(v)
