@@ -648,10 +648,52 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     )
 
 
-# above this many documents the per-doc sizes table stops being a sane
-# broadcast (~24 B/doc → ~240 MB at the cap) and the verify switches to
+# hard ceiling on the broadcast branch regardless of configuration:
+# beyond this the per-doc sizes table (~24 B/doc → ~240 MB here) stops
+# being a sane broadcast on ANY driver and the verify switches to
 # carrying sizes inside the bucket structs, which scales unboundedly
 BROADCAST_SIZES_MAX_DOCS = 10_000_000
+
+# estimated in-memory bytes per (id, n) sizes row for the cutoff below —
+# a long id hash + a long count + row overhead
+_SIZES_ROW_BYTES = 24
+
+
+def _broadcast_sizes_cutoff(spark) -> int:
+    """Doc-count cutoff for the broadcast branch of the adaptive verify,
+    derived from ``spark.sql.autoBroadcastJoinThreshold`` (sizes row ≈
+    24 B) instead of a constant, capped at BROADCAST_SIZES_MAX_DOCS.
+    The sizes broadcast is deliberately allowed to exceed the threshold
+    by 16× — the threshold guards the PLANNER's automatic choice for
+    arbitrary tables, while this explicit broadcast replaces two
+    sort-merge sorts of an output-proportional pair stream (measured
+    round 7, SCALE.md sf10 rows) and is worth a larger driver bite; a
+    deployment that lowers the threshold (small driver) proportionally
+    lowers the cutoff, and `-1` (broadcast disabled) forces the
+    struct-carry branch outright. A wrong guess is never broken, only
+    slower: the struct-carry fallback is correct at any doc count."""
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thresh = _parse_byte_conf(raw)
+    except Exception:
+        thresh = 10 * 1024 * 1024
+    if thresh <= 0:
+        return 0
+    return min(BROADCAST_SIZES_MAX_DOCS, (thresh * 16) // _SIZES_ROW_BYTES)
+
+
+def _parse_byte_conf(raw: str) -> int:
+    """Spark byte-size conf values: plain bytes, or suffixed b/k/m/g/t
+    (SparkConf's byteStringAsBytes grammar, case-insensitive)."""
+    s = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("tb", 4), ("gb", 3), ("mb", 2), ("kb", 1),
+                   ("t", 4), ("g", 3), ("m", 2), ("k", 1), ("b", 0)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = 1024 ** m
+            break
+    return int(s) * mult
 
 
 def _pair_counts_with_sizes(
@@ -674,8 +716,11 @@ def _pair_counts_with_sizes(
       at 43.5 GB peak scratch).
 
     The switch costs one count() on the caller's already-persisted
-    shingle cache."""
-    if n_docs <= BROADCAST_SIZES_MAX_DOCS:
+    shingle cache; the cutoff derives from
+    spark.sql.autoBroadcastJoinThreshold (see _broadcast_sizes_cutoff)
+    so a small-driver deployment degrades to struct-carry instead of a
+    240 MB broadcast."""
+    if n_docs <= _broadcast_sizes_cutoff(capped.sparkSession):
         buckets = capped.groupBy(*keys).agg(F.collect_list(id_col).alias("ids"))
         inter = _pair_counts_narrow(buckets)
         sizes = capped.groupBy(id_col).agg(F.count("*").alias("_n"))

@@ -339,3 +339,55 @@ def test_weighted_sample_topk_no_global_sort(spark):
     plan = _plan(spark, "docs_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_similarity_verify_broadcast_cutoff_follows_conf(spark):
+    """Round-8: the adaptive verify's broadcast-vs-struct-carry switch
+    keys off spark.sql.autoBroadcastJoinThreshold instead of a constant.
+    With broadcasting enabled the sizes attach is a BroadcastHashJoin on
+    the pair stream; lowering the threshold to -1 (broadcast disabled)
+    must flip the SAME input to the struct-carry branch — sizes inside
+    the buckets, zero joins against the pair stream."""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.operators.dedup import (
+        BROADCAST_SIZES_MAX_DOCS,
+        _broadcast_sizes_cutoff,
+        _pair_counts_with_sizes,
+    )
+
+    capped = spark.createDataFrame(
+        [(i % 7, h) for i in range(40) for h in range(i % 5 + 1)],
+        ["doc_id", "h"],
+    ).select(F.col("doc_id").cast("long"), F.col("h").cast("long"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        assert 0 < _broadcast_sizes_cutoff(spark) <= BROADCAST_SIZES_MAX_DOCS
+        plan_b = _pair_counts_with_sizes(
+            capped, "doc_id", ("h",), 7
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _broadcast_sizes_cutoff(spark) == 0
+        plan_s = _pair_counts_with_sizes(
+            capped, "doc_id", ("h",), 7
+        )._jdf.queryExecution().executedPlan().toString()
+        # struct-carry: denominators ride the buckets; the pair stream is
+        # never joined (broadcast or otherwise)
+        assert "BroadcastHashJoin" not in plan_s
+        assert "struct(i," in plan_s or "named_struct" in plan_s or "collect_list(struct" in plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_parse_byte_conf_grammar():
+    from micromegas_spark.operators.dedup import _parse_byte_conf
+
+    assert _parse_byte_conf("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10m") == 10 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("512k") == 512 * 1024
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("100b") == 100
