@@ -1395,9 +1395,7 @@ def events_otel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_transit_roundtrip",
-    oracle="""
+_TRANSIT_ORACLE = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_time,
@@ -1406,26 +1404,15 @@ def events_otel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(value) AS max_value
     FROM events WHERE user_id % 31 = 0
     GROUP BY event_type ORDER BY event_type
-    """,
-)
-def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native transit binary decode, end-to-end through Spark (reference
-    rust/transit/src/parser.rs + rust/analytics/src/payload.rs — the
-    VERDICT-r6 'missing #3' parity edge): each sampled user's events are
-    ENCODED into a real transit block (StaticString dependencies for the
-    event types; 24-byte POD MeasureEvent objects with a reference member,
-    an i64 time and an f64 value; both buffers lz4-framed inside the CBOR
-    BlockPayload envelope — the exact wire layout the reference's
-    ingestion writes, modulo block-level compression choice), then
-    DECODED by sources.transit.parse_transit_blocks with the UDT metadata
-    carried as the CBOR binary column the reference's streams table
-    stores. Matching the plain-SQL oracle proves byte-level format
-    fidelity: a wrong offset, endianness, string codec, or lz4 frame
-    field would corrupt every aggregate.
+    """
 
-    Scale shape: encode and decode are both per-block mapInPandas /
-    applyInPandas stages — blocks are the unit of parallelism, zero
-    driver involvement; the final aggregate is an ordinary hash agg."""
+
+def _transit_event_blocks(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the transit parity queries: each sampled user's
+    events encoded into one real transit block (see
+    events_transit_roundtrip docstring for the wire layout) → (blocks
+    DataFrame of block_id/payload/dependencies_metadata/objects_metadata,
+    user_id carried for wave splitting; the UDT metadata bytes)."""
     import struct as _struct
 
     import pandas as pd
@@ -1434,8 +1421,14 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         Member,
         UserDefinedType,
         encode_block_payload,
-        parse_transit_blocks,
         udts_to_cbor,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
 
     udts = [
@@ -1451,11 +1444,9 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     meta = udts_to_cbor(udts)
-
-    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
-
     out_schema = StructType(
         [
+            StructField("user_id", LongType()),
             StructField("block_id", StringType()),
             StructField("payload", BinaryType()),
             StructField("dependencies_metadata", BinaryType()),
@@ -1480,6 +1471,7 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame(
             {
+                "user_id": [int(pdf["user_id"].iloc[0])],
                 "block_id": [str(pdf["user_id"].iloc[0])],
                 "payload": [encode_block_payload(deps, objs)],
                 "dependencies_metadata": [meta],
@@ -1488,10 +1480,17 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 31 == 0)
-    blocks = ev.select("user_id", "event_id", "ts_us", "event_type", "value").groupBy(
-        "user_id"
-    ).applyInPandas(encode, out_schema)
-    parsed = parse_transit_blocks(blocks)
+    blocks = (
+        ev.select("user_id", "event_id", "ts_us", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandas(encode, out_schema)
+    )
+    return blocks, meta
+
+
+def _transit_agg(parsed: DataFrame) -> DataFrame:
+    """The shared tail of the transit parity queries: decoded JSON rows →
+    the per-type extrema the plain-SQL oracle computes from raw events."""
     return (
         parsed.select(
             F.get_json_object("value", "$.etype").alias("event_type"),
@@ -1510,4 +1509,251 @@ def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@query("events_transit_roundtrip", oracle=_TRANSIT_ORACLE)
+def events_transit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native transit binary decode, end-to-end through Spark (reference
+    rust/transit/src/parser.rs + rust/analytics/src/payload.rs — the
+    VERDICT-r6 'missing #3' parity edge): each sampled user's events are
+    ENCODED into a real transit block (StaticString dependencies for the
+    event types; 24-byte POD MeasureEvent objects with a reference member,
+    an i64 time and an f64 value; both buffers lz4-framed inside the CBOR
+    BlockPayload envelope — the exact wire layout the reference's
+    ingestion writes, modulo block-level compression choice), then
+    DECODED by sources.transit.parse_transit_blocks with the UDT metadata
+    carried as the CBOR binary column the reference's streams table
+    stores. Matching the plain-SQL oracle proves byte-level format
+    fidelity: a wrong offset, endianness, string codec, or lz4 frame
+    field would corrupt every aggregate.
+
+    Scale shape: encode and decode are both per-block mapInPandas /
+    applyInPandas stages — blocks are the unit of parallelism, zero
+    driver involvement; the final aggregate is an ordinary hash agg."""
+    from micromegas_spark.sources.transit import parse_transit_blocks
+
+    blocks, _ = _transit_event_blocks(spark, sf_dir)
+    return _transit_agg(parse_transit_blocks(blocks.drop("user_id")))
+
+
+@query("events_transit_stream", oracle=_TRANSIT_ORACLE)
+def events_transit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING native-transit blob ingestion ≡ batch ≡ SQL oracle: the
+    SAME encoded blocks as events_transit_roundtrip land as real blob
+    FILES in the reference's blob-storage layout (``blobs/{process_id}/
+    {stream_id}/{block_id}``, rust/analytics/src/payload.rs:25-27) over
+    TWO waves, each drained by a separate checkpointed
+    stream_transit_blobs run (readStream binaryFile → stream-static join
+    to the streams metadata table for the CBOR UDT columns →
+    parse_transit_blocks → append parquet sink, trigger availableNow —
+    the reference's ingestion maintenance tick). The second run shares
+    the first's checkpoint, so exactly-once file tracking across
+    restarts is what the oracle hash actually certifies: a re-ingested
+    wave-1 blob would double a count; a dropped wave-2 blob would lose
+    one.
+
+    Scale shape: ingest parallelism is the file-scan parallelism
+    (stateless projection + stream-static join + mapInPandas; no state
+    store); blob files are written from EXECUTORS via foreachPartition —
+    on a cluster that is the object store the producers already wrote
+    to, here a shared local tree."""
+    import os
+    import shutil
+    import tempfile
+
+    from micromegas_spark.sources.transit import stream_transit_blobs
+
+    blocks, meta = _transit_event_blocks(spark, sf_dir)
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"transit_stream_{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    blob_root = os.path.join(scratch, "blobs")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    # two streams under one process, same UDT metadata — the stream-static
+    # join has to route each blob to ITS stream's metadata row
+    streams_meta = spark.createDataFrame(
+        [("s-even", bytearray(meta), bytearray(meta)),
+         ("s-odd", bytearray(meta), bytearray(meta))],
+        "stream_id STRING, dependencies_metadata BINARY, "
+        "objects_metadata BINARY",
+    )
+
+    def write_wave(wave_df) -> None:
+        def write_part(rows) -> None:
+            for r in rows:
+                d = os.path.join(blob_root, "proc-1", r["stream_id"])
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".{r['block_id']}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(bytes(r["payload"]))
+                os.rename(tmp, os.path.join(d, r["block_id"]))
+
+        wave_df.select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("s-even"))
+            .otherwise(F.lit("s-odd"))
+            .alias("stream_id"),
+            "block_id",
+            "payload",
+        ).foreachPartition(write_part)
+
+    os.makedirs(blob_root, exist_ok=True)
+    # wave split on a hash of the user id so both waves hit both streams
+    for wave in (0, 1):
+        write_wave(blocks.where(F.abs(F.hash("user_id")) % 2 == wave))
+        q = stream_transit_blobs(spark, blob_root, streams_meta, out_dir, ckpt)
+        q.awaitTermination()
+    return _transit_agg(spark.read.parquet(out_dir))
+
+
+@query(
+    "events_perfetto_roundtrip",
+    oracle="""
+    WITH spans AS (
+        SELECT 'thread' AS sub,
+               'thread-' || CAST(user_id % 8 AS VARCHAR) AS stream_id,
+               'op-' || CAST(event_id % 5 AS VARCHAR) AS name,
+               epoch_us(ts) AS b,
+               epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) + 1 AS e
+        FROM events WHERE event_type = 'click' AND user_id % 31 = 0
+        UNION ALL
+        SELECT 'async',
+               'async-' || CAST(user_id % 8 AS VARCHAR),
+               'op-' || CAST(event_id % 5 AS VARCHAR),
+               epoch_us(ts),
+               epoch_us(ts) + 2 * CAST(round(value * 1000000) AS BIGINT) + 1
+        FROM events WHERE event_type = 'view' AND user_id % 31 = 0
+    ),
+    sel AS (
+        SELECT 'thread' AS span_type, stream_id, name, b, e
+        FROM spans WHERE sub = 'thread'
+        UNION ALL
+        SELECT 'async', stream_id, name, b, e FROM spans WHERE sub = 'async'
+        UNION ALL
+        SELECT 'both', stream_id, name, b, e FROM spans
+    ),
+    begins AS (
+        SELECT span_type, stream_id, name,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               MIN(b) AS min_begin_us, MAX(b) AS max_begin_us
+        FROM sel GROUP BY span_type, stream_id, name
+    ),
+    ends AS (
+        SELECT span_type, stream_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ends, MAX(e) AS max_end_us
+        FROM sel GROUP BY span_type, stream_id
+    )
+    SELECT b.span_type AS span_type, b.stream_id AS stream_id, b.name AS name,
+           b.n_spans AS n_spans, b.min_begin_us AS min_begin_us,
+           b.max_begin_us AS max_begin_us, e.n_ends AS n_ends,
+           e.max_end_us AS max_end_us
+    FROM begins b
+    JOIN ends e ON b.span_type = e.span_type AND b.stream_id = e.stream_id
+    ORDER BY span_type, stream_id, name
+    """,
+)
+def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfetto trace export, decoded BACK and differentially checked —
+    the reference's perfetto_trace_chunks UDTF
+    (perfetto_trace_execution_plan.rs:584; functions-reference.md:85-136)
+    covering all three span_type arguments: 'thread' (click events as
+    nested-track slices), 'async' (view events as async-track slices) and
+    'both' (the union, exactly like the reference's combined export).
+    Each set flows through trace_chunks(serializer='perfetto') — the
+    hand-rolled protobuf wire writer, globally-numbered bounded chunks —
+    and the chunks are decoded back by the independent wire reader
+    (sources/perfetto.decode_trace) inside an Arrow-batched mapInPandas:
+    TrackDescriptor packets rebuild the uuid→stream map per chunk (the
+    writer re-emits descriptors idempotently, the property Perfetto's
+    trace processor relies on), TrackEvents yield (stream, type, ts,
+    name) rows. Grouping those per (span_type, stream, name) for
+    SLICE_BEGIN and per (span_type, stream) for SLICE_END and matching
+    the plain-SQL oracle computed from raw events proves byte-level wire
+    fidelity end-to-end: a wrong varint, field tag, uuid hash routing, or
+    a dropped/duplicated chunk shifts a count or timestamp and fails the
+    hash. (ENDs carry no name on the wire — per-name stats come from
+    BEGINs, per-track END counts/extrema prove the other half.)
+
+    Scale shape: chunking is trace_chunks' fully-parallel bucket
+    numbering (no global window); decode is per-chunk mapInPandas —
+    chunks are the unit of parallelism, zero driver involvement."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from micromegas_spark.operators.spans import trace_chunks
+    from micromegas_spark.sources.perfetto import (
+        TYPE_SLICE_BEGIN,
+        TYPE_SLICE_END,
+        decode_trace,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 31 == 0)
+
+    def spanify(etype: str, prefix: str, dur_mult: int) -> DataFrame:
+        dur = F.round(F.col("value") * 1000000).cast("bigint")
+        return ev.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias("span_id"),
+            F.concat(F.lit(prefix + "-"), (F.col("user_id") % 8).cast("string")).alias("stream_id"),
+            F.concat(F.lit("op-"), (F.col("event_id") % 5).cast("string")).alias("name"),
+            (F.col("event_id") % 3).cast("int").alias("depth"),
+            F.col("ts_us").alias("begin_ns"),
+            (F.col("ts_us") + dur_mult * dur + 1).alias("end_ns"),
+        )
+
+    thread = spanify("click", "thread", 1)
+    asyncs = spanify("view", "async", 2)
+
+    def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = {"stream_id": [], "etype": [], "ts": [], "name": []}
+            for data in pdf["chunk_data"]:
+                uuid2name: dict = {}
+                for p in decode_trace(bytes(data)):
+                    if "track_descriptor" in p:
+                        td = p["track_descriptor"]
+                        uuid2name[td["uuid"]] = td["name"]
+                    elif "track_event" in p:
+                        te = p["track_event"]
+                        rows["stream_id"].append(uuid2name[te["track_uuid"]])
+                        rows["etype"].append(int(te["type"]))
+                        rows["ts"].append(int(p["timestamp"]))
+                        rows["name"].append(te.get("name"))
+            yield pd.DataFrame(rows)
+
+    def roundtrip(spans: DataFrame, span_type: str) -> DataFrame:
+        chunks = trace_chunks(spans, chunk_rows=512)
+        return chunks.select("chunk_data").mapInPandas(
+            dec, schema="stream_id string, etype int, ts long, name string"
+        ).withColumn("span_type", F.lit(span_type))
+
+    decoded = (
+        roundtrip(thread, "thread")
+        .unionByName(roundtrip(asyncs, "async"))
+        .unionByName(roundtrip(thread.unionByName(asyncs), "both"))
+    )
+    begins = (
+        decoded.where(F.col("etype") == TYPE_SLICE_BEGIN)
+        .groupBy("span_type", "stream_id", "name")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.min("ts").alias("min_begin_us"),
+            F.max("ts").alias("max_begin_us"),
+        )
+    )
+    ends = (
+        decoded.where(F.col("etype") == TYPE_SLICE_END)
+        .groupBy("span_type", "stream_id")
+        .agg(F.count("*").alias("n_ends"), F.max("ts").alias("max_end_us"))
+    )
+    return (
+        begins.join(ends, ["span_type", "stream_id"])
+        .select(
+            "span_type", "stream_id", "name", "n_spans",
+            "min_begin_us", "max_begin_us", "n_ends", "max_end_us",
+        )
+        .orderBy("span_type", "stream_id", "name")
     )
