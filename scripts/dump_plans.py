@@ -74,6 +74,12 @@ SHOWCASE = [
         "is retired; equi-joins only",
     ),
     (
+        "events_perfetto_roundtrip",
+        "perfetto wire roundtrip: trace_chunks' bucket numbering with "
+        "literal range bounds (no single-partition global window), decode "
+        "as per-chunk Arrow-batched mapInPandas, hash-agg tails",
+    ),
+    (
         "docs_cdc_chunk_dups",
         "content-defined chunking dedup: per-doc boundary scan (map-side "
         "expressions) + one chunk-hash aggregation — no pair space at all",
