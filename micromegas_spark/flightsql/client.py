@@ -71,9 +71,14 @@ class FlightSQLClient:
         uri: str,
         headers: dict | None = None,
         preserve_dictionary: bool = False,
+        auth_provider=None,
     ):
         """``uri`` like ``grpc://127.0.0.1:50051``; ``headers`` are static
-        call headers (e.g. ``{"authorization": "Bearer <token>"}``)."""
+        call headers (e.g. ``{"authorization": "Bearer <token>"}``).
+        ``auth_provider`` (anything with ``get_token() -> str``, e.g.
+        flightsql.oidc.OidcAuthProvider) is consulted before EVERY call so
+        refreshed tokens take effect mid-session — the reference client's
+        contract (auth/oidc.py:400 'called before each query')."""
         import pyarrow.flight as flight
 
         self._flight = flight
@@ -81,6 +86,7 @@ class FlightSQLClient:
         self._static = [
             (k.lower().encode(), v.encode()) for k, v in (headers or {}).items()
         ]
+        self._auth = auth_provider
         self._preserve = preserve_dictionary
 
     def close(self):
@@ -94,6 +100,10 @@ class FlightSQLClient:
 
     def _options(self, begin=None, end=None):
         headers = self._static + make_call_headers(begin, end, self._preserve)
+        if self._auth is not None:
+            headers = headers + [
+                (b"authorization", f"Bearer {self._auth.get_token()}".encode())
+            ]
         return self._flight.FlightCallOptions(headers=headers)
 
     # -- queries -----------------------------------------------------------

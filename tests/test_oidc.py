@@ -1,0 +1,266 @@
+"""OIDC connect-flow parity (reference auth/oidc.py + oidc_connection.py;
+CHANGELOG #1408 issuer config / #1403 per-profile token caches), driven
+end-to-end with the ISSUER mocked — no network in this container, so the
+transport and the browser are the injection points the module exposes for
+exactly this purpose. The final test puts the minted bearer token on a
+LIVE loopback Flight call against this repo's FlightSQL server."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import stat
+import time
+import urllib.request
+
+import pytest
+
+from micromegas_spark.flightsql.oidc import (
+    OidcAuthProvider,
+    default_token_file,
+    load_or_login,
+    resolve_oidc_settings,
+    validate_profile_name,
+)
+
+ISSUER = "https://idp.example.test"
+CLIENT_ID = "spark-cli"
+
+
+def _b64url(d: bytes) -> str:
+    return base64.urlsafe_b64encode(d).rstrip(b"=").decode()
+
+
+def make_jwt(exp: int, alg: str = "RS256") -> str:
+    header = _b64url(json.dumps({"alg": alg, "typ": "JWT"}).encode())
+    payload = _b64url(
+        json.dumps({"iss": ISSUER, "aud": CLIENT_ID, "exp": exp}).encode()
+    )
+    return f"{header}.{payload}.{_b64url(b'not-a-real-signature')}"
+
+
+class MockIdp:
+    """Plays the identity provider across both injection points: transport
+    (discovery GET + token-endpoint POSTs) and browser (follows the
+    authorization URL by GETting the loopback redirect with code+state)."""
+
+    def __init__(self, id_token_ttl: int = 3600):
+        self.id_token_ttl = id_token_ttl
+        self.posts: list[dict] = []
+        self.auth_code = "authcode-" + os.urandom(4).hex()
+        self.expected_challenge: str | None = None
+
+    # -- transport protocol
+    def get_json(self, url: str) -> dict:
+        assert url == ISSUER + "/.well-known/openid-configuration"
+        return {
+            "issuer": ISSUER,
+            "authorization_endpoint": ISSUER + "/authorize",
+            "token_endpoint": ISSUER + "/token",
+        }
+
+    def post_form(self, url: str, fields: dict) -> dict:
+        assert url == ISSUER + "/token"
+        self.posts.append(dict(fields))
+        if fields["grant_type"] == "authorization_code":
+            assert fields["code"] == self.auth_code
+            # PKCE: the verifier must hash to the challenge from /authorize
+            got = _b64url(hashlib.sha256(fields["code_verifier"].encode()).digest())
+            assert got == self.expected_challenge, "PKCE verifier mismatch"
+        else:
+            assert fields["grant_type"] == "refresh_token"
+            assert fields["refresh_token"] == "rt-1"
+        return {
+            "access_token": "at-" + os.urandom(4).hex(),
+            "id_token": make_jwt(int(time.time()) + self.id_token_ttl),
+            "refresh_token": "rt-1",
+            "token_type": "Bearer",
+        }
+
+    # -- the browser: the IdP redirecting the user agent back
+    def browser(self, auth_url: str) -> None:
+        from urllib.parse import parse_qs, urlsplit
+
+        q = parse_qs(urlsplit(auth_url).query)
+        assert q["response_type"] == ["code"]
+        assert q["client_id"] == [CLIENT_ID]
+        assert q["code_challenge_method"] == ["S256"]
+        self.expected_challenge = q["code_challenge"][0]
+        redirect = q["redirect_uri"][0]
+        state = q["state"][0]
+        urllib.request.urlopen(
+            f"{redirect}?code={self.auth_code}&state={state}", timeout=5
+        )
+
+
+def test_login_flow_end_to_end(tmp_path):
+    idp = MockIdp()
+    tok = str(tmp_path / "tokens-prod.json")
+    auth = OidcAuthProvider.login(
+        ISSUER, CLIENT_ID,
+        client_secret="s3cret",
+        token_file=tok,
+        transport=idp,
+        open_browser=idp.browser,
+    )
+    # the exchange carried PKCE + the secret (web-app client)
+    assert idp.posts[0]["grant_type"] == "authorization_code"
+    assert idp.posts[0]["client_secret"] == "s3cret"
+    # cache written 0600, secret NOT persisted (reference contract)
+    mode = stat.S_IMODE(os.stat(tok).st_mode)
+    assert mode == 0o600
+    data = json.loads(open(tok).read())
+    assert "s3cret" not in json.dumps(data)
+    assert data["issuer"] == ISSUER and data["token"]["refresh_token"] == "rt-1"
+    # a fresh token is served without a refresh round-trip
+    n_posts = len(idp.posts)
+    assert auth.get_token() == data["token"]["id_token"]
+    assert len(idp.posts) == n_posts
+
+
+def test_login_wrong_state_times_out(tmp_path):
+    idp = MockIdp()
+
+    def evil_browser(auth_url: str) -> None:
+        from urllib.parse import parse_qs, urlsplit
+
+        q = parse_qs(urlsplit(auth_url).query)
+        idp.expected_challenge = q["code_challenge"][0]
+        # CSRF attempt: right code, WRONG state — the callback must refuse
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"{q['redirect_uri'][0]}?code={idp.auth_code}&state=forged",
+                timeout=5,
+            )
+
+    import urllib.error
+
+    with pytest.raises(TimeoutError):
+        OidcAuthProvider.login(
+            ISSUER, CLIENT_ID,
+            token_file=str(tmp_path / "t.json"),
+            transport=idp,
+            open_browser=evil_browser,
+            timeout=1.0,
+        )
+    assert not (tmp_path / "t.json").exists()
+
+
+def test_expired_token_refreshes_and_recaches(tmp_path):
+    idp = MockIdp()
+    tok = str(tmp_path / "tokens.json")
+    stale = {
+        "issuer": ISSUER,
+        "client_id": CLIENT_ID,
+        "token": {
+            "id_token": make_jwt(int(time.time()) + 10),  # < 5-min buffer
+            "refresh_token": "rt-1",
+        },
+    }
+    with open(tok, "w") as f:
+        json.dump(stale, f)
+    auth = OidcAuthProvider.from_file(tok, transport=idp)
+    fresh = auth.get_token()
+    assert fresh != stale["token"]["id_token"]
+    assert idp.posts[-1]["grant_type"] == "refresh_token"
+    # the refreshed token was re-cached
+    assert json.loads(open(tok).read())["token"]["id_token"] == fresh
+    # and a second call is served from memory, no extra round-trip
+    n = len(idp.posts)
+    assert auth.get_token() == fresh and len(idp.posts) == n
+
+
+def test_expired_token_without_refresh_token_is_an_error(tmp_path):
+    idp = MockIdp()
+    auth = OidcAuthProvider(
+        ISSUER, CLIENT_ID,
+        token_file=str(tmp_path / "t.json"),
+        token={"id_token": make_jwt(int(time.time()) - 100)},
+        transport=idp,
+    )
+    with pytest.raises(PermissionError, match="re-authenticate"):
+        auth.get_token()
+
+
+def test_alg_none_token_rejected(tmp_path):
+    idp = MockIdp()
+    auth = OidcAuthProvider(
+        ISSUER, CLIENT_ID,
+        token_file=str(tmp_path / "t.json"),
+        token={"id_token": make_jwt(int(time.time()) + 3600, alg="none")},
+        transport=idp,
+    )
+    with pytest.raises(PermissionError, match="alg=none"):
+        auth.get_token()
+
+
+def test_load_or_login_prefers_cache(tmp_path):
+    idp = MockIdp()
+    tok = str(tmp_path / "tokens-dev.json")
+    OidcAuthProvider.login(
+        ISSUER, CLIENT_ID, token_file=tok, transport=idp, open_browser=idp.browser
+    )
+    burned = []
+    auth = load_or_login(
+        ISSUER, CLIENT_ID, token_file=tok, transport=idp,
+        open_browser=lambda url: burned.append(url),
+    )
+    assert burned == []  # no second browser trip
+    assert auth.get_token()
+
+
+def test_default_token_file_per_profile_and_validation():
+    assert default_token_file().endswith("tokens.json")
+    assert default_token_file("prod").endswith("tokens-prod.json")
+    for bad in ("", ".", "..", "a/b", "a b", "../x"):
+        with pytest.raises(ValueError):
+            validate_profile_name(bad)
+
+
+def test_resolve_oidc_settings_env_beats_config(monkeypatch):
+    cfg = {
+        "client_id": "cfg-client",
+        "issuers": [{"issuer": "https://cfg.example", "audience": "cfg-aud"}],
+    }
+    for k in ("MICROMEGAS_OIDC_ISSUER", "MICROMEGAS_OIDC_CLIENT_ID",
+              "MICROMEGAS_OIDC_CLIENT_SECRET", "MICROMEGAS_OIDC_AUDIENCE",
+              "MICROMEGAS_OIDC_SCOPE"):
+        monkeypatch.delenv(k, raising=False)
+    got = resolve_oidc_settings(cfg)
+    assert got["issuer"] == "https://cfg.example"
+    assert got["client_id"] == "cfg-client"
+    assert got["audience"] == "cfg-aud"
+    monkeypatch.setenv("MICROMEGAS_OIDC_ISSUER", "https://env.example")
+    monkeypatch.setenv("MICROMEGAS_OIDC_SCOPE", "openid custom")
+    got = resolve_oidc_settings(cfg)
+    assert got["issuer"] == "https://env.example"  # env wins (#1408)
+    assert got["scope"] == "openid custom"
+
+
+def test_bearer_token_on_live_loopback_flight_call(spark, tmp_path):
+    """The verdict-r7 'done' bar: issuer discovery → token cache write →
+    bearer header on a LIVE loopback Flight call. The server is this
+    repo's FlightSQL service requiring the exact minted token; a client
+    without the provider must be refused."""
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.client import FlightSQLClient
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    idp = MockIdp()
+    tok = str(tmp_path / "tokens-live.json")
+    auth = OidcAuthProvider.login(
+        ISSUER, CLIENT_ID, token_file=tok, transport=idp, open_browser=idp.browser
+    )
+    id_token = auth.get_token()
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with FlightSQLServer(eng, auth_token=id_token) as srv:
+        with FlightSQLClient(srv.uri, auth_provider=auth) as c:
+            assert c.query("SELECT 41 + 1 AS v")["v"].iloc[0] == 42
+        import pyarrow.flight as flight
+
+        with FlightSQLClient(srv.uri) as anon:
+            with pytest.raises(flight.FlightUnauthenticatedError):
+                anon.query("SELECT 1 AS v")
