@@ -364,14 +364,17 @@ def test_concurrent_queries_attribution_disjoint_and_only_overbudget_dies(
     from micromegas_spark.engine import attributed_iter, job_group
     from micromegas_spark.flightsql.errors import SpillBudgetExceeded
 
+    # patch the INSTANCE: an earlier test's monkeypatch teardown can leave
+    # a bound-method instance attribute on the module-scoped engine, which
+    # would shadow a class-level patch
     real_metrics = Engine._metrics_by_query_id
     bad_holder: dict = {}
 
-    def spiky_metrics(self, ids):
+    def spiky_metrics(ids):
         # real job-group attribution, with 2 MB of disk spill injected
         # for the designated victim only — deterministic at test scale
         # where nothing actually spills
-        out = real_metrics(self, ids)
+        out = real_metrics(engine, ids)
         bad = bad_holder.get("qid")
         if bad in ids:
             m = out.setdefault(
@@ -387,7 +390,7 @@ def test_concurrent_queries_attribution_disjoint_and_only_overbudget_dies(
             m["disk_spill_bytes"] += 2 * 1024 * 1024
         return out
 
-    monkeypatch.setattr(Engine, "_metrics_by_query_id", spiky_metrics)
+    monkeypatch.setattr(engine, "_metrics_by_query_id", spiky_metrics)
     monkeypatch.setattr(engine, "max_spill_mb", 1.0)
 
     greens = [
