@@ -116,7 +116,37 @@ def _load_profile(explicit: str | None) -> dict:
         raise KeyError(
             f"unknown profile {name!r} in {path} (known: {sorted(profiles)})"
         )
-    return profiles[name]
+    # carry the resolved name for per-profile derived paths (the OIDC
+    # token cache keys on it, #1403) without changing the return shape
+    out = dict(profiles[name])
+    out["_profile_name"] = name
+    return out
+
+
+def _oidc_auth_provider(profile: dict):
+    """When the active profile (or MICROMEGAS_OIDC_* env, which wins —
+    #1408) configures an OIDC issuer + client id, build the auth provider
+    for the remote connection: cached tokens from the PROFILE's token file
+    (tokens-<name>.json, #1403), browser login if absent. Returns None
+    when OIDC isn't configured — bare bearer/anonymous connections keep
+    working untouched."""
+    from micromegas_spark.flightsql.oidc import (
+        default_token_file,
+        load_or_login,
+        resolve_oidc_settings,
+    )
+
+    st = resolve_oidc_settings(profile)
+    if not (st["issuer"] and st["client_id"]):
+        return None
+    return load_or_login(
+        st["issuer"],
+        st["client_id"],
+        client_secret=st["client_secret"],
+        token_file=default_token_file(profile.get("_profile_name")),
+        audience=st["audience"],
+        scope=st["scope"],
+    )
 
 
 def _version_string() -> str:
@@ -293,7 +323,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.uri:
         from micromegas_spark.flightsql.client import FlightSQLClient
 
-        with FlightSQLClient(args.uri) as client:
+        try:
+            auth = _oidc_auth_provider(profile)
+        except Exception as e:
+            parser.error(f"OIDC login failed: {e}")
+        with FlightSQLClient(args.uri, auth_provider=auth) as client:
             df = client.query(sql, begin, end)
             if args.show_audit:
                 # the audit lives server-side; fetch this statement's most

@@ -264,3 +264,53 @@ def test_bearer_token_on_live_loopback_flight_call(spark, tmp_path):
         with FlightSQLClient(srv.uri) as anon:
             with pytest.raises(flight.FlightUnauthenticatedError):
                 anon.query("SELECT 1 AS v")
+
+
+def test_cli_uses_profile_oidc_for_remote_connection(spark, tmp_path, monkeypatch, capsys):
+    """#1408 CLI parity: a profile configuring `issuers` + `client_id`
+    routes the remote connection through OIDC — cached tokens from the
+    PROFILE's token file (tokens-<name>.json, #1403), bearer header on
+    the wire. The CLI runs in-process against a live loopback server
+    that requires the exact minted token."""
+    from micromegas_spark import cli
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql import oidc as oidc_mod
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    idp = MockIdp()
+    monkeypatch.setenv("HOME", str(tmp_path))
+    # offline-friendly: the module's default transport becomes the mock
+    # (from_file re-discovers the issuer on load, like the reference)
+    monkeypatch.setattr(oidc_mod, "UrllibTransport", lambda: idp)
+    for k in ("MICROMEGAS_OIDC_ISSUER", "MICROMEGAS_OIDC_CLIENT_ID"):
+        monkeypatch.delenv(k, raising=False)
+
+    # seed the per-profile token cache via a real login
+    tok = oidc_mod.default_token_file("corp")
+    auth = OidcAuthProvider.login(
+        ISSUER, CLIENT_ID, token_file=tok, transport=idp, open_browser=idp.browser
+    )
+    id_token = auth.get_token()
+    assert tok.endswith("tokens-corp.json") and os.path.exists(tok)
+
+    cfgdir = tmp_path / ".micromegas_spark"
+    cfgdir.mkdir(exist_ok=True)
+    (cfgdir / "config.json").write_text(json.dumps({
+        "default_profile": "corp",
+        "profiles": {
+            "corp": {
+                "client_id": CLIENT_ID,
+                "issuers": [{"issuer": ISSUER}],
+            }
+        },
+    }))
+    monkeypatch.setenv("MICROMEGAS_SPARK_CONFIG", str(cfgdir / "config.json"))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with FlightSQLServer(eng, auth_token=id_token) as srv:
+        rc = cli.main([
+            "SELECT 6 * 7 AS v", "--all", "--uri", srv.uri, "--format", "json",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out[0]["v"] == 42
