@@ -325,3 +325,54 @@ def test_native_wheels_when_present_decode_reference_style_frames():
     assert lz4_frame_decompress(native_frame) == data
     for v in [b"", b"abc", data]:
         assert xxh.xxh32_intdigest(v) == xxh32_py(v)
+
+
+def test_stream_transit_blobs_routes_per_stream_metadata(spark, tmp_path):
+    """Two streams with DIFFERENT UDT metadata: the stream-static join
+    must route each blob to ITS stream's CBOR metadata row — the same
+    type index decodes as a different POD layout per stream, so a routing
+    mistake changes the decoded fields."""
+    import json
+    import os
+
+    from micromegas_spark.sources.transit import stream_transit_blobs
+
+    # streamX: the shared fixture UDTS — type 3 = LogStaticStrEvent
+    # (desc ref + i64 time, 16 bytes)
+    objsX = bytes([3]) + struct.pack("<Qq", 7, 1111)
+    # streamY: type 3 is a bare 8-byte Tick {time i64}
+    udtsY = [
+        UserDefinedType("StaticString", 0),
+        UserDefinedType("StaticStringDependency", 0),
+        UserDefinedType(
+            "LogDesc",
+            20,
+            [
+                Member("id", "u64", 0, 8, False),
+                Member("fmt", "ref", 8, 8, True),
+                Member("line", "u32", 16, 4, False),
+            ],
+        ),
+        UserDefinedType("Tick", 8, [Member("time", "i64", 0, 8, False)]),
+    ]
+    objsY = bytes([3]) + struct.pack("<q", 2222)
+
+    for sid, objs in (("streamX", objsX), ("streamY", objsY)):
+        d = tmp_path / "blobs" / "procA" / sid
+        os.makedirs(d)
+        (d / "blk").write_bytes(encode_block_payload(_deps_buffer(), objs))
+
+    streams_meta = spark.createDataFrame(
+        [
+            ("streamX", bytearray(udts_to_cbor(UDTS)), bytearray(udts_to_cbor(UDTS))),
+            ("streamY", bytearray(udts_to_cbor(UDTS)), bytearray(udts_to_cbor(udtsY))),
+        ],
+        "stream_id STRING, dependencies_metadata BINARY, objects_metadata BINARY",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_transit_blobs(spark, str(tmp_path / "blobs"), streams_meta, out, ckpt)
+    q.awaitTermination(120)
+    rows = {r["type_name"]: json.loads(r["value"]) for r in spark.read.parquet(out).collect()}
+    assert rows["LogStaticStrEvent"]["time"] == 1111
+    assert rows["LogStaticStrEvent"]["desc"]["line"] == 33  # dep resolved
+    assert rows["Tick"] == {"__type": "Tick", "time": 2222}
