@@ -232,6 +232,51 @@ def _in_process_client(sf_dir: str, cpus):
     return Client(Engine.from_test_tables(spark, sf_dir))
 
 
+def _logout_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="micromegas-spark logout",
+        description="Clear saved OIDC authentication tokens",
+    )
+    p.add_argument("--profile", default=None,
+                   help="Only clear this profile's cached tokens")
+    p.add_argument("--version", action="version", version=_version_string())
+    return p
+
+
+def cmd_logout(args) -> int:
+    """Reference micromegas-logout (#1403 behavior change): bare logout
+    clears EVERY cached token file — the plain tokens.json plus every
+    tokens-<profile>.json — so no profile keeps a stale credential;
+    --profile <name> clears only that profile's cache (reference
+    cli/logout.py:9-40)."""
+    import os
+    from pathlib import Path
+
+    from micromegas_spark.flightsql.oidc import default_token_file
+
+    if args.profile is not None:
+        try:
+            targets = [Path(default_token_file(args.profile))]
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    else:
+        token_dir = Path(os.path.expanduser("~")) / ".micromegas_spark"
+        targets = [
+            token_dir / "tokens.json",
+            *sorted(token_dir.glob("tokens-*.json")),
+        ]
+    removed = False
+    for token_file in targets:
+        if token_file.exists():
+            token_file.unlink()
+            print(f"Tokens cleared from {token_file}")
+            removed = True
+    if not removed:
+        print("No saved tokens found")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from micromegas_spark.engine import Engine
     from micromegas_spark.flightsql.server import FlightSQLServer
@@ -257,6 +302,8 @@ def main(argv: list[str] | None = None) -> int:
     # starting with SELECT never collides)
     if argv[:1] == ["serve"]:
         return cmd_serve(_serve_parser().parse_args(argv[1:]))
+    if argv[:1] == ["logout"]:
+        return cmd_logout(_logout_parser().parse_args(argv[1:]))
     if argv[:1] == ["query"]:
         argv = argv[1:]
     parser = _query_parser()

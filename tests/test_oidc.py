@@ -314,3 +314,30 @@ def test_cli_uses_profile_oidc_for_remote_connection(spark, tmp_path, monkeypatc
         assert rc == 0
         out = json.loads(capsys.readouterr().out)
         assert out[0]["v"] == 42
+
+
+def test_cli_logout_clears_all_profiles_or_one(tmp_path, monkeypatch, capsys):
+    """#1403 behavior change: bare logout clears tokens.json AND every
+    tokens-<profile>.json; --profile clears only that one; a bad profile
+    name is a usage error, and a spotless state reports 'No saved
+    tokens'."""
+    from micromegas_spark import cli
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    d = tmp_path / ".micromegas_spark"
+    d.mkdir()
+    for n in ("tokens.json", "tokens-prod.json", "tokens-dev.json"):
+        (d / n).write_text("{}")
+
+    assert cli.main(["logout", "--profile", "prod"]) == 0
+    assert not (d / "tokens-prod.json").exists()
+    assert (d / "tokens.json").exists() and (d / "tokens-dev.json").exists()
+
+    assert cli.main(["logout"]) == 0
+    assert not (d / "tokens.json").exists()
+    assert not (d / "tokens-dev.json").exists()
+
+    assert cli.main(["logout"]) == 0
+    assert "No saved tokens" in capsys.readouterr().out
+
+    assert cli.main(["logout", "--profile", "../evil"]) == 2
