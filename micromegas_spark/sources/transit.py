@@ -242,13 +242,98 @@ def lz4_frame_decompress_py(buf: bytes) -> bytes:
     return bytes(out)
 
 
+def lz4_block_compress(src: bytes) -> bytes:
+    """Raw LZ4 block compression: greedy single-entry hash-table matcher
+    over 4-byte sequences, emitting [token][literals][offset u16 LE]
+    [matchlen ext] sequences per the block spec's end-of-block rules (the
+    last 5 bytes are always literals; a match may not start within the
+    last 12 bytes) — so OUR frames can carry genuinely compressed blocks,
+    not just stored ones, and any conformant decoder (the reference's lz4
+    crate included) reads them. Greedy + 64K window is the classic "fast"
+    parse: worse ratio than optimal parsing, same format. Pure python —
+    the writer side only runs in fixtures/tests here (the reference's
+    compressing writer is the instrumented process, not the analytics
+    engine); the DECODER's native fast path is what matters at ingest
+    scale."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+
+    def emit(lit_start: int, lit_end: int, mlen: int, offset: int) -> None:
+        lit = lit_end - lit_start
+        token_lit = 15 if lit >= 15 else lit
+        token_m = 0
+        if mlen:
+            m = mlen - 4
+            token_m = 15 if m >= 15 else m
+        out.append((token_lit << 4) | token_m)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(src[lit_start:lit_end])
+        if mlen:
+            out.extend(struct.pack("<H", offset))
+            if mlen - 4 >= 15:
+                rem = mlen - 4 - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n < 13:  # too short for any legal match: literals only
+        emit(0, n, 0, 0)
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    match_limit = n - 5   # matches must end before the last 5 bytes
+    start_limit = n - 12  # and may not START in the last 12
+    while i <= start_limit:
+        key = src[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 65535 or src[cand : cand + 4] != key:
+            i += 1
+            continue
+        mlen = 4
+        while i + mlen < match_limit and src[cand + mlen] == src[i + mlen]:
+            mlen += 1
+        emit(anchor, i, mlen, i - cand)
+        i += mlen
+        anchor = i
+    emit(anchor, n, 0, 0)  # trailing literals (≥5 bytes by construction)
+    return bytes(out)
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """Spec-valid LZ4 frame holding ``data`` as one COMPRESSED block (or
+    stored, whichever is smaller — bit 31 per the frame spec), with real
+    xxh32 header and content checksums, mirroring lz4_frame_store."""
+    flg = (0b01 << 6) | (1 << 2)  # version 01 + content checksum
+    bd = 0x70
+    desc = struct.pack("<BB", flg, bd)
+    header = struct.pack("<I", LZ4_MAGIC) + desc
+    header += bytes([(xxh32(desc) >> 8) & 0xFF])
+    comp = lz4_block_compress(data)
+    if len(comp) < len(data):
+        body = struct.pack("<I", len(comp)) + comp
+    else:  # incompressible: store (bit 31 set), never expand
+        body = struct.pack("<I", len(data) | 0x80000000) + data
+    return header + body + struct.pack("<I", 0) + struct.pack("<I", xxh32(data))
+
+
 def lz4_frame_store(data: bytes) -> bytes:
     """Spec-valid LZ4 frame holding ``data`` as ONE uncompressed block
     (bit 31 of the block size set), with real xxh32 header AND content
     checksums — the writer side of encode_block_payload. Any conformant
     decoder — including the reference's lz4 crate, which verifies both —
-    reads it; compression here would buy nothing for synthetic
-    payloads (the block format carries stored blocks first-class)."""
+    reads it; lz4_frame_compress is the compressing variant (fixtures
+    default to stored: synthetic payloads gain little and decode-path
+    speed matters more in this wheel-less container)."""
     flg = (0b01 << 6) | (1 << 2)  # version 01 + content checksum
     bd = 0x70  # max block size 4 MB (informational)
     desc = struct.pack("<BB", flg, bd)
