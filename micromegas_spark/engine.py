@@ -783,6 +783,27 @@ class Engine:
         appended after it is planned."""
         return self._register_query_log_view()
 
+    def failure_counters(self) -> dict[str, int]:
+        """The #1435 monitoring contract over the audit log:
+        ``query_failed`` counts ONLY genuine service failures
+        (error_class == 'internal'), so alerting on it never fires for a
+        caller's typo or a budget kill; the 'user'/'resource' classes
+        keep their own visibility through ``query_failed_user`` /
+        ``query_failed_resource`` (count-only, exactly like the
+        reference's counters — flight_sql_service_impl.rs's
+        query_failed/query_failed_user/query_failed_resource split).
+        Driver-side scan of the bounded in-memory log: O(QUERY_LOG_MAX)."""
+        counts = {"query_failed": 0, "query_failed_user": 0, "query_failed_resource": 0}
+        for rec in self._query_log:
+            cls = rec[6]
+            if cls == "internal":
+                counts["query_failed"] += 1
+            elif cls == "user":
+                counts["query_failed_user"] += 1
+            elif cls == "resource":
+                counts["query_failed_resource"] += 1
+        return counts
+
     @classmethod
     def from_test_tables(cls, spark: SparkSession, sf_dir: str, warehouse: str | None = None) -> "Engine":
         """Bootstrap an Engine over the driver's synthetic tables

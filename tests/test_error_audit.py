@@ -468,3 +468,23 @@ def test_concurrent_queries_attribution_disjoint_and_only_overbudget_dies(
         assert alone is not None and alone["n_stages"] > 0, f"g{i} unattributed"
         assert alone == at_once[qid], f"g{i} attribution bled across ids"
     assert len(green_ids) == len(greens)  # six distinct query ids
+
+
+def test_failure_counters_split_by_class(spark, tmp_path):
+    """#1435 monitoring contract: query_failed counts ONLY internal
+    failures; user mistakes and budget kills land in their own counters,
+    so alerting on query_failed never fires for a typo."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    base = eng.failure_counters()
+    assert base == {
+        "query_failed": 0, "query_failed_user": 0, "query_failed_resource": 0,
+    }
+    with pytest.raises(Exception):
+        eng.query("SELECT definitely_not_a_column FROM nonexistent_tbl")
+    with pytest.raises(Exception):
+        eng.query("SELEC syntax error")
+    # a successful query adds nothing
+    eng.query("SELECT 1 AS x").collect()
+    got = eng.failure_counters()
+    assert got["query_failed_user"] == 2
+    assert got["query_failed"] == 0 and got["query_failed_resource"] == 0
