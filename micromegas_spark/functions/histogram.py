@@ -219,13 +219,53 @@ def expand_histogram(df: DataFrame, hist_col: str, extra_cols: list[str] | None 
     )
 
 
+_HIST_T = (
+    "STRUCT<start:DOUBLE,end:DOUBLE,min:DOUBLE,max:DOUBLE,sum:DOUBLE,"
+    "sum_sq:DOUBLE,count:BIGINT,bins:ARRAY<BIGINT>>"
+)
+
+
 def register(spark: SparkSession) -> None:
     # histogram struct functions are Column/DataFrame-level APIs; the SQL
-    # spelling of the accessors is registered as SQL UDFs over the struct.
+    # spellings of the scalar accessors (functions-reference.md:886+) are
+    # registered as SQL macros over the struct — pure expressions, JVM-side
     try:
         spark.sql(
-            "CREATE OR REPLACE TEMPORARY FUNCTION variance_from_histogram(h STRUCT<start:DOUBLE,end:DOUBLE,min:DOUBLE,max:DOUBLE,sum:DOUBLE,sum_sq:DOUBLE,count:BIGINT,bins:ARRAY<BIGINT>>) "
+            f"CREATE OR REPLACE TEMPORARY FUNCTION variance_from_histogram(h {_HIST_T}) "
             "RETURNS DOUBLE RETURN (h.sum_sq/h.count - (h.sum/h.count)*(h.sum/h.count)) * (cast(h.count as double)/(h.count - 1))"
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION count_from_histogram(h {_HIST_T}) "
+            "RETURNS BIGINT RETURN h.count"
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION sum_from_histogram(h {_HIST_T}) "
+            "RETURNS DOUBLE RETURN h.sum"
+        )
+        # quantile: the SAME fold as the Python quantile_from_histogram
+        # above (quantile.rs:15-41 rank interpolation, empty bins skipped,
+        # falling back to `end`) so both spellings agree bit-for-bit
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION quantile_from_histogram(h {_HIST_T}, ratio DOUBLE) "
+            "RETURNS DOUBLE RETURN aggregate("
+            " h.bins,"
+            " named_struct('cum', cast(0 as bigint), 'idx', 0, 'found', -1,"
+            "              'cum_before', cast(0 as bigint)),"
+            " (acc, b) -> CASE WHEN acc.found >= 0 THEN acc ELSE named_struct("
+            "   'cum', acc.cum + b,"
+            "   'idx', acc.idx + 1,"
+            "   'found', CASE WHEN cast(acc.cum + b as double) >= ratio * cast(h.count as double)"
+            "                     AND b > 0 THEN acc.idx ELSE -1 END,"
+            "   'cum_before', CASE WHEN cast(acc.cum + b as double) >= ratio * cast(h.count as double)"
+            "                       AND b > 0 THEN acc.cum ELSE cast(0 as bigint) END) END,"
+            " acc -> CASE WHEN acc.found < 0 THEN h.end ELSE"
+            "   (1.0d - (ratio * cast(h.count as double) - cast(acc.cum_before as double))"
+            "          / cast(element_at(h.bins, acc.found + 1) as double))"
+            "   * (h.start + cast(acc.found as double) * (h.end - h.start) / cast(size(h.bins) as double))"
+            "   + ((ratio * cast(h.count as double) - cast(acc.cum_before as double))"
+            "          / cast(element_at(h.bins, acc.found + 1) as double))"
+            "   * (h.start + (cast(acc.found as double) + 1.0d) * (h.end - h.start) / cast(size(h.bins) as double))"
+            " END)"
         )
     except Exception:
         pass

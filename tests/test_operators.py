@@ -501,3 +501,49 @@ def test_funnel_counts_order_and_window(spark):
         for r in funnel_counts(df, ["view", "click", "buy"]).collect()
     }
     assert got2 == {1: 3, 2: 2, 3: 2}
+
+
+def test_histogram_sql_spellings_match_python_accessors(spark):
+    """Round-8: the functions-reference SQL spellings (count/sum/
+    variance/quantile _from_histogram) are SQL macros that must agree
+    bit-for-bit with the Column-level accessors, including quantile's
+    rank interpolation, empty-bin skip, and `end` fallback."""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.functions import register_all
+    from micromegas_spark.functions.histogram import (
+        count_from_histogram,
+        histogram_agg,
+        quantile_from_histogram,
+        sum_from_histogram,
+        variance_from_histogram,
+    )
+
+    register_all(spark)
+    vals = [float(v) for v in [1, 2, 2, 3, 5, 8, 13, 21, 34, 55, 89, 89, 90]]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    h = df.agg(histogram_agg(F.col("v"), 0.0, 100.0, 10).alias("h"))
+    h.createOrReplaceTempView("hist_tbl")
+    for ratio in (0.0, 0.25, 0.5, 0.9, 0.999, 1.0):
+        py = h.select(
+            count_from_histogram(F.col("h")).alias("c"),
+            sum_from_histogram(F.col("h")).alias("s"),
+            variance_from_histogram(F.col("h")).alias("var"),
+            quantile_from_histogram(F.col("h"), ratio).alias("q"),
+        ).collect()[0]
+        sql = spark.sql(
+            "SELECT count_from_histogram(h) AS c, sum_from_histogram(h) AS s, "
+            "variance_from_histogram(h) AS var, "
+            f"quantile_from_histogram(h, {ratio}d) AS q FROM hist_tbl"
+        ).collect()[0]
+        assert (py["c"], py["s"]) == (sql["c"], sql["s"])
+        assert abs(py["var"] - sql["var"]) < 1e-9
+        assert abs(py["q"] - sql["q"]) < 1e-9, (ratio, py["q"], sql["q"])
+    # degenerate: all values in one bin; ratio beyond any bin -> end
+    one = spark.createDataFrame([(50.0,)], ["v"]).agg(
+        histogram_agg(F.col("v"), 0.0, 100.0, 4).alias("h")
+    )
+    one.createOrReplaceTempView("hist_one")
+    py_q = one.select(quantile_from_histogram(F.col("h"), 1.0).alias("q")).collect()[0]["q"]
+    sql_q = spark.sql("SELECT quantile_from_histogram(h, 1.0d) AS q FROM hist_one").collect()[0]["q"]
+    assert abs(py_q - sql_q) < 1e-9
