@@ -1559,17 +1559,15 @@ def events_transit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a cluster that is the object store the producers already wrote
     to, here a shared local tree."""
     import os
-    import shutil
-    import tempfile
 
     from micromegas_spark.sources.transit import stream_transit_blobs
+    from micromegas_spark.streaming.incremental import process_scratch_dir
 
     blocks, meta = _transit_event_blocks(spark, sf_dir)
 
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"transit_stream_{os.getpid()}"
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
+    # per-pid scratch with dead-pid reaping (no unbounded /tmp growth
+    # across crashed runs; concurrent sessions keep their own trees)
+    scratch = process_scratch_dir("transit_stream")
     blob_root = os.path.join(scratch, "blobs")
     out_dir = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "ckpt")

@@ -425,6 +425,40 @@ def stream_minhash_neardup(
     )
 
 
+def process_scratch_dir(name: str) -> str:
+    """A per-``name``, per-PROCESS scratch directory under the temp root,
+    FRESH on every call: prior runs of THIS process are wiped, and dirs
+    left by DEAD processes are reaped (a LIVE pid's dir belongs to a
+    concurrent session — parallel pytest workers, two engines on one box —
+    and must survive). The pid suffix prevents cross-session races; the
+    reaper prevents the other failure mode, unbounded temp-dir
+    accumulation across crashed runs. Shared by one_shot_stream_table and
+    the streaming-ingest registry queries."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    prefix = f"{name}_"
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix):
+            continue
+        try:
+            pid = int(entry[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the process is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid: leave it
+    mine = os.path.join(tmp, f"{prefix}{os.getpid()}")
+    shutil.rmtree(mine, ignore_errors=True)
+    return mine
+
+
 def one_shot_stream_table(
     spark: SparkSession,
     batches: "list[DataFrame]",
@@ -445,32 +479,7 @@ def one_shot_stream_table(
     sink view is dropped before reuse so the fixed table name never
     collides or accumulates. Used by the streaming≡batch equivalence
     queries."""
-    import shutil
-    import tempfile
-
-    tmp = tempfile.gettempdir()
-    # reap landing dirs left by DEAD processes (ours is wiped below; a
-    # LIVE pid's dir is in use by a concurrent session and must survive) —
-    # the pid suffix prevents cross-session races, the reaper prevents the
-    # other failure mode, unbounded temp-dir accumulation
-    prefix = f"one_shot_stream_{name}_"
-    for entry in os.listdir(tmp):
-        if not entry.startswith(prefix):
-            continue
-        try:
-            pid = int(entry[len(prefix) :])
-        except ValueError:
-            continue
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)  # raises if the process is gone
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid: leave it
-    land = os.path.join(tmp, f"{prefix}{os.getpid()}")
-    shutil.rmtree(land, ignore_errors=True)
+    land = process_scratch_dir(f"one_shot_stream_{name}")
     # FileStreamSource orders micro-batches by file MODIFICATION TIME;
     # sequential writes usually ascend but can tie at fs resolution, and
     # ORDER-SENSITIVE stateful transforms (the thread-span stack machine)
