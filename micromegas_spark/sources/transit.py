@@ -97,7 +97,10 @@ def xxh32_py(data: bytes, seed: int = 0) -> int:
     — having it means frames WRITTEN here carry a real header checksum,
     so the reference's lz4 crate (which verifies it) accepts them, and
     frames READ here are integrity-checked instead of checksum-skipped
-    even with no wheel installed."""
+    even with no wheel installed. The stripe loop batch-unpacks 64 words
+    at a time with the rotates inlined — this is THE fallback hot loop
+    (profiled: checksum verification dominated block decode before this;
+    the wheel's native xxh32 removes it entirely where installed)."""
     n = len(data)
     i = 0
     if n >= 16:
@@ -105,6 +108,26 @@ def xxh32_py(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _XXP2) & _M32
         v3 = seed & _M32
         v4 = (seed - _XXP1) & _M32
+        P1, P2, M = _XXP1, _XXP2, _M32
+        # batch-unpack in bounded 64 KB chunks (16384 words per unpack —
+        # big buffers must not materialize one giant tuple); stripes via
+        # a zip-iterator (measured 1.5x over index arithmetic), rotates
+        # inlined
+        big = (n // 16) * 16
+        while big - i >= 16:
+            take = min(65536, ((big - i) // 16) * 16)
+            words = struct.unpack_from(f"<{take // 4}I", data, i)
+            it = iter(words)
+            for l1, l2, l3, l4 in zip(it, it, it, it):
+                t = (v1 + l1 * P2) & M
+                v1 = (((t << 13) | (t >> 19)) * P1) & M
+                t = (v2 + l2 * P2) & M
+                v2 = (((t << 13) | (t >> 19)) * P1) & M
+                t = (v3 + l3 * P2) & M
+                v3 = (((t << 13) | (t >> 19)) * P1) & M
+                t = (v4 + l4 * P2) & M
+                v4 = (((t << 13) | (t >> 19)) * P1) & M
+            i += take
         while i <= n - 16:
             (l1, l2, l3, l4) = struct.unpack_from("<IIII", data, i)
             v1 = (_rotl32((v1 + l1 * _XXP2) & _M32, 13) * _XXP1) & _M32
@@ -664,10 +687,120 @@ def read_dependencies(udts, buffer: bytes) -> dict:
     return deps
 
 
+# numpy dtypes for the strided POD-run fast path (same layouts as _POD)
+_NP_POD = {
+    "u8": "u1", "uint8": "u1",
+    "u32": "<u4", "uint32": "<u4",
+    "u64": "<u8", "uint64": "<u8",
+    "i64": "<i8", "int64": "<i8",
+    "f64": "<f8",
+}
+
+# flip to False to force the scalar path (tests pin both paths equal)
+VECTORIZE_POD_RUNS = True
+
+
+def _flat_pod(udt: UserDefinedType) -> bool:
+    """A POD type whose members are all primitives or references — the
+    shape the strided run decoder handles (nested UDT members fall back
+    to the scalar parse_pod_instance)."""
+    return udt.size > 0 and all(
+        m.is_reference or m.type_name in _NP_POD for m in udt.members
+    )
+
+
+def _decode_pod_run(udt, deps, buffer: bytes, pos: int, type_index: int):
+    """Decode the maximal run of consecutive ``type_index`` objects
+    starting at ``pos`` with numpy strided views — one vectorized read
+    per member instead of one struct.unpack_from per member PER OBJECT.
+    Real telemetry streams are dominated by exactly this shape (metric
+    blocks are long runs of one fixed-size MeasureEvent POD), so the run
+    decode is the measured hot loop (scripts/bench_transit_decode.py
+    --pod). Returns (decoded list, next pos). Semantics identical to
+    parse_pod_instance, including is_reference collapsing to the 'id'
+    member and the same error texts."""
+    import numpy as np
+
+    stride = 1 + udt.size
+    k_max = (len(buffer) - pos) // stride
+    if k_max <= 0:
+        return [], pos
+    view = np.frombuffer(buffer, dtype=np.uint8, offset=pos, count=k_max * stride)
+    heads = view[::stride]
+    misses = np.nonzero(heads != type_index)[0]
+    k = int(misses[0]) if misses.size else k_max
+    if k <= 1:
+        return [], pos  # not a run: scalar path handles the single object
+    cols: dict[str, list] = {}
+    for m in udt.members:
+        if m.offset + m.size > udt.size:
+            raise ValueError(
+                f"transit: member {m.name} of {udt.name} exceeds object window"
+            )
+        if m.is_reference:
+            if m.size < 8:
+                raise ValueError("transit: reference member under 8 bytes")
+            keys = np.ndarray(
+                (k,), dtype="<u8", buffer=buffer,
+                offset=pos + 1 + m.offset, strides=(stride,),
+            ).tolist()
+            vals = []
+            for key in keys:
+                if key not in deps:
+                    raise ValueError(f"transit: dependency {key} not found")
+                vals.append(deps[key])
+            cols[m.name] = vals
+        else:
+            dt = np.dtype(_NP_POD[m.type_name])
+            if dt.itemsize != m.size:
+                raise ValueError(f"transit: size mismatch for member {m.name}")
+            cols[m.name] = np.ndarray(
+                (k,), dtype=dt, buffer=buffer,
+                offset=pos + 1 + m.offset, strides=(stride,),
+            ).tolist()
+    names = [m.name for m in udt.members]
+    if udt.is_reference:
+        if "id" not in names:
+            raise ValueError("transit: reference object has no 'id' member")
+        return cols["id"], pos + k * stride
+    tname = udt.name
+    out = [
+        dict(zip(["__type", *names], row))
+        for row in zip([tname] * k, *(cols[nm] for nm in names))
+    ]
+    return out, pos + k * stride
+
+
 def parse_object_buffer(udts, deps, buffer: bytes):
     """parser.rs:267+: yields each decoded object; unknown custom types
-    become empty objects with a warning (parse_custom_instance)."""
-    for udt, w, dynamic in _iter_objects(udts, buffer):
+    become empty objects with a warning (parse_custom_instance). Runs of
+    one flat POD type decode vectorized (_decode_pod_run); dynamic and
+    nested types take the per-object path."""
+    pos, n = 0, len(buffer)
+    flat = [VECTORIZE_POD_RUNS and _flat_pod(u) for u in udts]
+    while pos < n:
+        type_index = buffer[pos]
+        if type_index >= len(udts):
+            raise ValueError(f"transit: invalid type index {type_index}")
+        udt = udts[type_index]
+        if flat[type_index]:
+            run, new_pos = _decode_pod_run(udt, deps, buffer, pos, type_index)
+            if run:
+                yield from run
+                pos = new_pos
+                continue
+        pos += 1
+        if udt.size == 0:
+            (osize,) = struct.unpack_from("<I", buffer, pos)
+            pos += 4
+            dynamic = True
+        else:
+            osize, dynamic = udt.size, False
+        end = pos + osize
+        if end > n:
+            raise ValueError("transit: object exceeds buffer")
+        w = buffer[pos:end]
+        pos = end
         if dynamic:
             reader = CUSTOM_READERS.get(udt.name)
             if reader is None:

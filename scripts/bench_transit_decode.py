@@ -70,12 +70,35 @@ def build_block(n_objects: int = OBJECTS_PER_BLOCK) -> bytes:
     return encode_block_payload(deps, one * n_objects)
 
 
-def bench_inner_loop(payload: bytes, min_seconds: float = 2.0) -> dict:
+POD_UDTS = [
+    UserDefinedType("StaticString", 0),
+    UserDefinedType(
+        "MeasureEvent",
+        24,
+        [
+            Member("etype", "ref", 0, 8, True),
+            Member("time", "i64", 8, 8, False),
+            Member("value", "f64", 16, 8, False),
+        ],
+    ),
+]
+
+
+def build_pod_block(n_objects: int = OBJECTS_PER_BLOCK) -> bytes:
+    """The metrics shape: one long run of a fixed-size MeasureEvent POD —
+    the case the numpy run decoder (_decode_pod_run) vectorizes."""
+    deps = _dyn(0, struct.pack("<Q", 9) + b"frame_time")
+    one = bytes([1]) + struct.pack("<Qqd", 9, 0, 16.6)
+    return encode_block_payload(deps, one * n_objects)
+
+
+def bench_inner_loop(payload: bytes, udts=None, min_seconds: float = 2.0) -> dict:
+    udts = udts or UDTS
     n_blocks = 0
     n_objects = 0
     t0 = time.perf_counter()
     while True:
-        objs = decode_block_payload(payload, UDTS, UDTS)
+        objs = decode_block_payload(payload, udts, udts)
         n_objects += len(objs)
         n_blocks += 1
         dt = time.perf_counter() - t0
@@ -120,13 +143,31 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=64)
     ap.add_argument("--spark", action="store_true")
+    ap.add_argument("--pod", action="store_true",
+                    help="also bench the fixed-size MeasureEvent run shape "
+                         "(vectorized vs scalar within the same run)")
     args = ap.parse_args()
+    from micromegas_spark.sources import transit as _T
+
     payload = build_block()
     out = {
         "bench": "transit_decode",
         "lz4_impl": "native" if _lz4frame is not None else "pure-python",
         **bench_inner_loop(payload),
     }
+    if args.pod:
+        pod_payload = build_pod_block()
+        pod = bench_inner_loop(pod_payload, POD_UDTS)
+        out.update({f"pod_{k}": v for k, v in pod.items()})
+        _T.VECTORIZE_POD_RUNS = False
+        try:
+            scalar = bench_inner_loop(pod_payload, POD_UDTS)
+        finally:
+            _T.VECTORIZE_POD_RUNS = True
+        out["pod_scalar_objects_per_sec"] = scalar["objects_per_sec"]
+        out["pod_vector_speedup"] = round(
+            pod["objects_per_sec"] / scalar["objects_per_sec"], 2
+        )
     if args.spark:
         out.update(bench_spark(payload, args.blocks))
     print(json.dumps(out))

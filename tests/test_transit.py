@@ -468,3 +468,73 @@ def test_lz4_compress_roundtrip_property():
         assert lz4_frame_decompress_py(lz4_frame_compress(data)) == data
 
     check()
+
+
+def test_pod_run_vectorized_equals_scalar_path():
+    """The numpy run decoder must produce byte-identical objects to the
+    scalar parse_pod_instance path on mixed buffers: runs interrupted by
+    other types, reference members resolving through deps, an
+    is_reference UDT collapsing to its id, and single (non-run)
+    objects."""
+    from micromegas_spark.sources import transit as T
+
+    deps = read_dependencies(UDTS, _deps_buffer())
+    # LogStaticStrEvent (idx 3, POD 16B): desc ref + i64 time
+    pod = lambda t: bytes([3]) + struct.pack("<Qq", 7, t)
+    # a Property pair (idx 4, POD 16B refs) and a dynamic event between runs
+    prop = bytes([4]) + struct.pack("<QQ", 100, 101)
+    dyn = _dyn(7, struct.pack("<Qq", 7, 5) + _utf8("hello"))
+    buf = b"".join([pod(1), pod(2), pod(3), prop, dyn, pod(4), prop, prop, pod(5)])
+
+    old = T.VECTORIZE_POD_RUNS
+    try:
+        T.VECTORIZE_POD_RUNS = True
+        fast = list(parse_object_buffer(UDTS, deps, buf))
+        T.VECTORIZE_POD_RUNS = False
+        slow = list(parse_object_buffer(UDTS, deps, buf))
+    finally:
+        T.VECTORIZE_POD_RUNS = old
+    assert fast == slow
+    assert [o["time"] for o in fast if o.get("__type") == "LogStaticStrEvent"] == [1, 2, 3, 4, 5]
+    assert fast[3] == {"__type": "Property", "name": "env", "value": "prod"}
+
+    # an unknown dependency inside a RUN raises the same error
+    bad = pod(1) + bytes([3]) + struct.pack("<Qq", 999, 2)
+    try:
+        T.VECTORIZE_POD_RUNS = True
+        with pytest.raises(ValueError, match="dependency 999 not found"):
+            list(parse_object_buffer(UDTS, deps, bad))
+    finally:
+        T.VECTORIZE_POD_RUNS = old
+
+
+def test_pod_run_vectorized_property():
+    """Property pin: random interleavings of two POD types and a dynamic
+    type decode identically through both paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from micromegas_spark.sources import transit as T
+
+    deps = read_dependencies(UDTS, _deps_buffer())
+    pieces = {
+        0: lambda i: bytes([3]) + struct.pack("<Qq", 7, i),
+        1: lambda i: bytes([4]) + struct.pack("<QQ", 100, 101),
+        2: lambda i: _dyn(7, struct.pack("<Qq", 7, i) + _utf8(f"m{i}")),
+    }
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(0, 2), max_size=40))
+    def check(kinds):
+        buf = b"".join(pieces[k](i) for i, k in enumerate(kinds))
+        old = T.VECTORIZE_POD_RUNS
+        try:
+            T.VECTORIZE_POD_RUNS = True
+            fast = list(parse_object_buffer(UDTS, deps, buf))
+            T.VECTORIZE_POD_RUNS = False
+            slow = list(parse_object_buffer(UDTS, deps, buf))
+        finally:
+            T.VECTORIZE_POD_RUNS = old
+        assert fast == slow
+
+    check()
