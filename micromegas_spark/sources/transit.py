@@ -194,8 +194,13 @@ def lz4_block_decompress(src: bytes, out: bytearray | None = None) -> bytes:
                 if b != 255:
                     break
         pos = len(out) - offset
-        for k in range(mlen):  # overlap-safe byte copy
-            out.append(out[pos + k])
+        if offset >= mlen:  # disjoint: one slice copy
+            out += out[pos : pos + mlen]
+        else:
+            # overlapping back-reference = repeating pattern of length
+            # `offset`; tile it instead of the classic byte-at-a-time copy
+            pattern = bytes(out[pos:])
+            out += (pattern * (mlen // offset + 1))[:mlen]
     return bytes(out)
 
 
