@@ -351,6 +351,80 @@ class OidcAuthProvider:
         return provider
 
 
+class OidcClientCredentialsProvider:
+    """OAuth 2.0 client-credentials auth for service accounts (reference
+    auth/oidc.py:552-741) — batch jobs and daemons that authenticate with
+    client_id + client_secret, no user interaction. Access tokens are
+    cached until expiry (5-minute buffer, like the reference) and
+    refetched lazily inside the same thread-safe get_token() contract the
+    FlightSQL client calls before every request."""
+
+    def __init__(
+        self,
+        issuer: str,
+        client_id: str,
+        client_secret: str,
+        audience: str | None = None,
+        transport=None,
+    ):
+        self.issuer = issuer
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.audience = audience
+        self.transport = transport or UrllibTransport()
+        self._lock = threading.Lock()
+        self._cached: dict | None = None  # {"access_token", "expires_at"}
+        self.metadata = self.transport.get_json(
+            issuer.rstrip("/") + "/.well-known/openid-configuration"
+        )
+
+    @classmethod
+    def from_env(cls, transport=None) -> "OidcClientCredentialsProvider":
+        """MICROMEGAS_OIDC_ISSUER / _CLIENT_ID / _CLIENT_SECRET
+        (+ optional _AUDIENCE), each required ones raising a clear
+        ValueError when unset — the service-account spelling of the
+        #1408 env surface."""
+        vals = {}
+        for key in ("ISSUER", "CLIENT_ID", "CLIENT_SECRET"):
+            v = os.environ.get(f"MICROMEGAS_OIDC_{key}")
+            if not v:
+                raise ValueError(
+                    f"MICROMEGAS_OIDC_{key} environment variable not set"
+                )
+            vals[key.lower()] = v
+        return cls(
+            issuer=vals["issuer"],
+            client_id=vals["client_id"],
+            client_secret=vals["client_secret"],
+            audience=os.environ.get("MICROMEGAS_OIDC_AUDIENCE"),
+            transport=transport,
+        )
+
+    def _fetch(self) -> dict:
+        fields = {
+            "grant_type": "client_credentials",
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+        }
+        if self.audience:
+            fields["audience"] = self.audience
+        resp = self.transport.post_form(self.metadata["token_endpoint"], fields)
+        expires_in = resp.get("expires_in", 3600)
+        if expires_in > REFRESH_BUFFER_SECONDS:
+            expires_in -= REFRESH_BUFFER_SECONDS
+        return {
+            "access_token": resp["access_token"],
+            "expires_at": time.time() + expires_in,
+        }
+
+    def get_token(self) -> str:
+        with self._lock:
+            if self._cached and self._cached["expires_at"] > time.time():
+                return self._cached["access_token"]
+            self._cached = self._fetch()
+            return self._cached["access_token"]
+
+
 # ------------------------------------------------------- config (#1403/#1408)
 
 

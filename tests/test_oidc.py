@@ -341,3 +341,78 @@ def test_cli_logout_clears_all_profiles_or_one(tmp_path, monkeypatch, capsys):
     assert "No saved tokens" in capsys.readouterr().out
 
     assert cli.main(["logout", "--profile", "../evil"]) == 2
+
+
+def test_client_credentials_provider_caches_and_refetches(monkeypatch):
+    """Service-account flow: one client_credentials POST, cached until
+    the 5-min-buffered expiry, refetched after; from_env validates each
+    required variable."""
+    import time as _time
+
+    from micromegas_spark.flightsql.oidc import OidcClientCredentialsProvider
+
+    class CcIdp(MockIdp):
+        def __init__(self, expires_in):
+            super().__init__()
+            self.expires_in = expires_in
+            self.n_fetches = 0
+
+        def post_form(self, url, fields):
+            assert url == ISSUER + "/token"
+            assert fields["grant_type"] == "client_credentials"
+            assert fields["client_secret"] == "svc-secret"
+            assert fields.get("audience") == "api://svc"
+            self.n_fetches += 1
+            return {
+                "access_token": f"at-{self.n_fetches}",
+                "expires_in": self.expires_in,
+                "token_type": "Bearer",
+            }
+
+    idp = CcIdp(expires_in=3600)
+    auth = OidcClientCredentialsProvider(
+        ISSUER, "svc", "svc-secret", audience="api://svc", transport=idp
+    )
+    assert auth.get_token() == "at-1"
+    assert auth.get_token() == "at-1" and idp.n_fetches == 1  # cached
+    # an expires_in inside the 5-min buffer is not reduced below itself,
+    # and a forced expiry refetches
+    auth._cached["expires_at"] = _time.time() - 1
+    assert auth.get_token() == "at-2" and idp.n_fetches == 2
+
+    # from_env: each missing var raises a clear error
+    for k in ("MICROMEGAS_OIDC_ISSUER", "MICROMEGAS_OIDC_CLIENT_ID",
+              "MICROMEGAS_OIDC_CLIENT_SECRET", "MICROMEGAS_OIDC_AUDIENCE"):
+        monkeypatch.delenv(k, raising=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="MICROMEGAS_OIDC_ISSUER"):
+        OidcClientCredentialsProvider.from_env(transport=idp)
+    monkeypatch.setenv("MICROMEGAS_OIDC_ISSUER", ISSUER)
+    with _pytest.raises(ValueError, match="MICROMEGAS_OIDC_CLIENT_ID"):
+        OidcClientCredentialsProvider.from_env(transport=idp)
+    monkeypatch.setenv("MICROMEGAS_OIDC_CLIENT_ID", "svc")
+    monkeypatch.setenv("MICROMEGAS_OIDC_CLIENT_SECRET", "svc-secret")
+    monkeypatch.setenv("MICROMEGAS_OIDC_AUDIENCE", "api://svc")
+    env_auth = OidcClientCredentialsProvider.from_env(transport=idp)
+    assert env_auth.get_token().startswith("at-")
+
+
+def test_client_credentials_on_live_loopback_flight_call(spark, tmp_path):
+    """A daemon authenticating via client credentials drives a live
+    loopback Flight call — the service-account mirror of the browser-flow
+    test."""
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.client import FlightSQLClient
+    from micromegas_spark.flightsql.oidc import OidcClientCredentialsProvider
+    from micromegas_spark.flightsql.server import FlightSQLServer
+
+    class CcIdp(MockIdp):
+        def post_form(self, url, fields):
+            assert fields["grant_type"] == "client_credentials"
+            return {"access_token": "svc-token-xyz", "expires_in": 3600}
+
+    auth = OidcClientCredentialsProvider(ISSUER, "svc", "s", transport=CcIdp())
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with FlightSQLServer(eng, auth_token="svc-token-xyz") as srv:
+        with FlightSQLClient(srv.uri, auth_provider=auth) as c:
+            assert c.query("SELECT 7 * 6 AS v")["v"].iloc[0] == 42
