@@ -538,3 +538,54 @@ def test_pod_run_vectorized_property():
         assert fast == slow
 
     check()
+
+
+def test_xxh32_chunked_loop_matches_naive_at_boundaries():
+    """The batched stripe loop must agree with a naive per-stripe
+    implementation at and around the 64 KB unpack-chunk boundaries and
+    for every tail length 0..16."""
+    import struct as _struct
+
+    from micromegas_spark.sources.transit import _M32, _rotl32, xxh32_py
+
+    P1, P2, P3, P4, P5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393,
+    )
+
+    def naive(data: bytes, seed: int = 0) -> int:
+        n = len(data); i = 0
+        if n >= 16:
+            v1 = (seed + P1 + P2) & _M32
+            v2 = (seed + P2) & _M32
+            v3 = seed & _M32
+            v4 = (seed - P1) & _M32
+            while i <= n - 16:
+                l1, l2, l3, l4 = _struct.unpack_from("<IIII", data, i)
+                v1 = (_rotl32((v1 + l1 * P2) & _M32, 13) * P1) & _M32
+                v2 = (_rotl32((v2 + l2 * P2) & _M32, 13) * P1) & _M32
+                v3 = (_rotl32((v3 + l3 * P2) & _M32, 13) * P1) & _M32
+                v4 = (_rotl32((v4 + l4 * P2) & _M32, 13) * P1) & _M32
+                i += 16
+            h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+        else:
+            h = (seed + P5) & _M32
+        h = (h + n) & _M32
+        while i <= n - 4:
+            (l,) = _struct.unpack_from("<I", data, i)
+            h = (_rotl32((h + l * P3) & _M32, 17) * P4) & _M32
+            i += 4
+        while i < n:
+            h = (_rotl32((h + data[i] * P5) & _M32, 11) * P1) & _M32
+            i += 1
+        h ^= h >> 15; h = (h * P2) & _M32
+        h ^= h >> 13; h = (h * P3) & _M32
+        h ^= h >> 16
+        return h
+
+    base = bytes(range(251)) * 600  # ~150 KB, crosses two chunk boundaries
+    for n in [0, 1, 15, 16, 17, 31, 32, 4095,
+              65519, 65520, 65521, 65535, 65536, 65537,
+              131071, 131072, 131073, len(base)]:
+        d = base[:n]
+        assert xxh32_py(d) == naive(d), n
+        assert xxh32_py(d, seed=12345) == naive(d, seed=12345), n
