@@ -14,4 +14,13 @@ def __getattr__(name):
         from micromegas_spark.flightsql import client as _c
 
         return getattr(_c, name)
+    if name in (
+        "OidcAuthProvider",
+        "OidcClientCredentialsProvider",
+        "load_or_login",
+        "connect",
+    ):
+        from micromegas_spark.flightsql import oidc as _o
+
+        return getattr(_o, name)
     raise AttributeError(name)
