@@ -856,7 +856,7 @@ def encode_block_payload(dependencies: bytes, objects: bytes) -> bytes:
     )
 
 
-def parse_transit_blocks(payloads):
+def parse_transit_blocks(payloads, decoded_counter=None):
     """Spark surface: (block_id, payload, dependencies_metadata,
     objects_metadata) rows → one row per decoded transit object, same
     output shape as payload.parse_block (block_id, object_index,
@@ -866,7 +866,20 @@ def parse_transit_blocks(payloads):
 
     Scale shape: blocks are the unit of parallelism — mapInPandas decodes
     each block wholly inside its task (Arrow-batched in/out, no driver
-    involvement); UDT metadata decodes once per block row."""
+    involvement); UDT metadata decodes once per block row.
+
+    Early stop under bare LIMIT (the reference contract for its block
+    UDTFs, functions-reference.md:245): the generator yields one pandas
+    frame PER BLOCK, so when a LIMIT's consumer stops pulling, the
+    remaining blocks in the task are never decoded — same iterator
+    laziness parse_block relies on, now at block granularity instead of
+    Arrow-batch granularity. A real block is thousands of objects, so
+    per-block frames are healthy Arrow batch sizes anyway.
+
+    ``decoded_counter`` (optional Spark accumulator) increments once per
+    block actually decoded — the side channel the early-stop test uses to
+    assert blocks_decoded < blocks_total; harmless (one .add per block)
+    if wired in production for ingest observability."""
     import json
     from typing import Iterator
 
@@ -876,13 +889,13 @@ def parse_transit_blocks(payloads):
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            rows = {"block_id": [], "object_index": [], "type_name": [], "value": []}
             for bid, payload, depm, objm in zip(
                 pdf["block_id"],
                 pdf["payload"],
                 pdf["dependencies_metadata"],
                 pdf["objects_metadata"],
             ):
+                rows = {"block_id": [], "object_index": [], "type_name": [], "value": []}
                 dep_udts = udts_from_cbor(bytes(depm))
                 obj_udts = udts_from_cbor(bytes(objm))
                 for i, obj in enumerate(
@@ -896,7 +909,9 @@ def parse_transit_blocks(payloads):
                             _jsonable(obj), separators=(",", ":"), sort_keys=True
                         )
                     )
-            yield pd.DataFrame(rows)
+                if decoded_counter is not None:
+                    decoded_counter.add(1)
+                yield pd.DataFrame(rows)
 
     cols = ["block_id", "payload", "dependencies_metadata", "objects_metadata"]
     return payloads.select(*cols).mapInPandas(run, schema=PARSED_SCHEMA)

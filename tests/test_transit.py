@@ -275,6 +275,70 @@ def test_stream_transit_blobs_exactly_once(spark, tmp_path):
     assert times2 == [111, 222, 333, 444]  # no duplicates: exactly-once
 
 
+class _TouchCounter:
+    """Executor-side decode marker for the early-stop proof: .add() drops
+    a unique file into a shared dir. A Spark accumulator would also work
+    for steady-state observability, but an early-terminated task (LIMIT
+    satisfied → worker killed, stream never drained) may not flush
+    accumulator updates — files written before the stop always survive,
+    which is exactly the property a "did this block decode?" probe needs
+    in local[n]."""
+
+    def __init__(self, marker_dir: str) -> None:
+        self.marker_dir = marker_dir
+
+    def add(self, n: int) -> None:
+        import os
+        import uuid
+
+        with open(os.path.join(self.marker_dir, uuid.uuid4().hex), "w"):
+            pass
+
+
+def test_parse_transit_blocks_early_stop_under_bare_limit(spark, tmp_path):
+    """The reference's block UDTFs stop decoding under a bare LIMIT
+    (functions-reference.md:245); parse_block has this pinned via its
+    per-block limit + iterator laziness. This pins the SPARK-side half
+    for parse_transit_blocks: a LIMIT k over a multi-block scan must
+    leave most blocks undecoded (the per-block generator stops being
+    pulled once the limit is satisfied). Socket/Arrow buffering can
+    absorb a couple of blocks past the cutoff, so the assertion is
+    blocks_decoded < blocks_total/2 with 16 large blocks in ONE task."""
+    import os
+
+    from micromegas_spark.sources.transit import parse_transit_blocks
+
+    n_blocks, objs_per_block = 16, 2000
+    one = bytes([3]) + struct.pack("<Qq", 7, 1234)
+    payload = encode_block_payload(_deps_buffer(), one * objs_per_block)
+    meta = udts_to_cbor(UDTS)
+    rows = [
+        (f"blk{i:02d}", bytearray(payload), bytearray(meta), bytearray(meta))
+        for i in range(n_blocks)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "block_id STRING, payload BINARY, "
+        "dependencies_metadata BINARY, objects_metadata BINARY",
+    ).repartition(1)
+
+    marker_dir = str(tmp_path / "decoded")
+    os.makedirs(marker_dir)
+    parsed = parse_transit_blocks(df, decoded_counter=_TouchCounter(marker_dir))
+    got = parsed.limit(objs_per_block // 2).collect()
+    assert len(got) == objs_per_block // 2
+    blocks_decoded = len(os.listdir(marker_dir))
+    assert 1 <= blocks_decoded < n_blocks // 2, blocks_decoded
+
+    # and without a LIMIT every block decodes exactly once
+    for f in os.listdir(marker_dir):
+        os.unlink(os.path.join(marker_dir, f))
+    assert parse_transit_blocks(
+        df, decoded_counter=_TouchCounter(marker_dir)
+    ).count() == n_blocks * objs_per_block
+    assert len(os.listdir(marker_dir)) == n_blocks
+
+
 # ------------------------------------------- native fast path (r8 #1)
 
 
