@@ -1560,7 +1560,10 @@ def events_transit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     to, here a shared local tree."""
     import os
 
-    from micromegas_spark.sources.transit import stream_transit_blobs
+    from micromegas_spark.sources.transit import (
+        stream_transit_blobs,
+        write_transit_blobs,
+    )
     from micromegas_spark.streaming.incremental import process_scratch_dir
 
     blocks, meta = _transit_event_blocks(spark, sf_dir)
@@ -1581,22 +1584,21 @@ def events_transit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_wave(wave_df) -> None:
-        def write_part(rows) -> None:
-            for r in rows:
-                d = os.path.join(blob_root, "proc-1", r["stream_id"])
-                os.makedirs(d, exist_ok=True)
-                tmp = os.path.join(d, f".{r['block_id']}.tmp")
-                with open(tmp, "wb") as f:
-                    f.write(bytes(r["payload"]))
-                os.rename(tmp, os.path.join(d, r["block_id"]))
-
-        wave_df.select(
-            F.when(F.col("user_id") % 2 == 0, F.lit("s-even"))
-            .otherwise(F.lit("s-odd"))
-            .alias("stream_id"),
-            "block_id",
-            "payload",
-        ).foreachPartition(write_part)
+        # URI-addressed executor-side writes (transit.write_transit_blobs):
+        # the same call works against file://, s3a:// or hdfs:// roots,
+        # with atomicity delegated to the FS contract (PUT on object
+        # stores, tmp+rename where creates are observable mid-write)
+        write_transit_blobs(
+            wave_df.select(
+                F.when(F.col("user_id") % 2 == 0, F.lit("s-even"))
+                .otherwise(F.lit("s-odd"))
+                .alias("stream_id"),
+                "block_id",
+                "payload",
+            ),
+            blob_root,
+            "proc-1",
+        )
 
     os.makedirs(blob_root, exist_ok=True)
     # wave split on a hash of the user id so both waves hit both streams

@@ -917,6 +917,60 @@ def parse_transit_blocks(payloads, decoded_counter=None):
     return payloads.select(*cols).mapInPandas(run, schema=PARSED_SCHEMA)
 
 
+def _blob_filesystem(blob_root: str):
+    """Resolve a blob root (plain path or URI) to a (pyarrow FileSystem,
+    root path) pair. Executors cannot reach the driver's py4j JVM, so the
+    Hadoop FileSystem java API is not callable from foreachPartition —
+    pyarrow.fs is the Arrow-native equivalent layer (local, s3, gcs, hdfs
+    behind one interface) and accepts the same URI addressing. Hadoop-only
+    scheme aliases are normalized (s3a→s3, gs→gcs) so a config value
+    written for the JVM conf works verbatim."""
+    from pyarrow import fs as pafs
+
+    if "://" not in blob_root:
+        return pafs.LocalFileSystem(), blob_root
+    uri = blob_root.replace("s3a://", "s3://", 1).replace("gs://", "gcs://", 1)
+    return pafs.FileSystem.from_uri(uri)
+
+
+def write_transit_blobs(blocks_df, blob_root: str, process_id: str) -> None:
+    """Write (stream_id, block_id, payload) rows as blob FILES in the
+    reference's blob-storage layout (``{blob_root}/{process_id}/
+    {stream_id}/{block_id}``, rust/analytics/src/payload.rs:25-27), from
+    EXECUTORS, against any URI-addressable filesystem: ``file://`` (or a
+    plain path), ``s3a://``/``s3://``, ``gcs://``, ``hdfs://``.
+
+    Atomicity is delegated to the filesystem's own contract, the way the
+    reference's object-store writer does it: on object stores a single
+    PUT is all-or-nothing (readers never observe a partial object), so
+    blobs are created at their final key directly; on rename-capable
+    filesystems (local, HDFS) where a create IS observable mid-write,
+    blobs are written to a dotfile temp name and moved into place —
+    which also keeps half-written files invisible to readStream's
+    binaryFile listing (dot-prefixed paths are filtered as hidden)."""
+
+    def write_part(rows) -> None:
+        filesystem, root = _blob_filesystem(blob_root)
+        rename_safe = filesystem.type_name in ("local", "hdfs")
+        made: set[str] = set()
+        for r in rows:
+            d = "/".join([root.rstrip("/"), process_id, r["stream_id"]])
+            if d not in made:
+                filesystem.create_dir(d, recursive=True)
+                made.add(d)
+            final = f"{d}/{r['block_id']}"
+            if rename_safe:
+                tmp = f"{d}/.{r['block_id']}.tmp"
+                with filesystem.open_output_stream(tmp) as f:
+                    f.write(bytes(r["payload"]))
+                filesystem.move(tmp, final)
+            else:
+                with filesystem.open_output_stream(final) as f:
+                    f.write(bytes(r["payload"]))
+
+    blocks_df.select("stream_id", "block_id", "payload").foreachPartition(write_part)
+
+
 def stream_transit_blobs(spark, source_dir: str, streams_meta, out_dir: str, checkpoint_dir: str):
     """Continuous native-transit ingestion — the Structured Streaming
     mirror of the reference's ingestion loop over its blob layout:

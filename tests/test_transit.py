@@ -339,6 +339,66 @@ def test_parse_transit_blocks_early_stop_under_bare_limit(spark, tmp_path):
     assert len(os.listdir(marker_dir)) == n_blocks
 
 
+def test_write_transit_blobs_fs_api_file_uri(spark, tmp_path):
+    """The blob writer goes through the URI-addressed filesystem layer
+    (pyarrow.fs): a ``file://`` URI root and a plain-path root must both
+    produce the reference blob layout with exact payload bytes, written
+    from executors — and the tree must feed stream_transit_blobs
+    unchanged (the reader side already takes any FS URI). On rename-
+    capable filesystems the write is tmp+move, so no bare .tmp files
+    survive."""
+    import json
+    import os
+
+    from micromegas_spark.sources.transit import (
+        stream_transit_blobs,
+        write_transit_blobs,
+    )
+
+    objs = bytes([3]) + struct.pack("<Qq", 7, 555)
+    payload = encode_block_payload(_deps_buffer(), objs)
+    df = spark.createDataFrame(
+        [("streamX", "blkA", bytearray(payload)),
+         ("streamY", "blkB", bytearray(payload))],
+        "stream_id STRING, block_id STRING, payload BINARY",
+    )
+
+    # file:// URI root
+    uri_root = f"file://{tmp_path}/blobs_uri"
+    write_transit_blobs(df, uri_root, "procZ")
+    pa = tmp_path / "blobs_uri" / "procZ" / "streamX" / "blkA"
+    pb = tmp_path / "blobs_uri" / "procZ" / "streamY" / "blkB"
+    assert pa.read_bytes() == payload and pb.read_bytes() == payload
+    leftovers = [
+        f for _, _, fs in os.walk(tmp_path / "blobs_uri") for f in fs
+        if f.endswith(".tmp")
+    ]
+    assert leftovers == []
+
+    # plain-path root, same layout
+    write_transit_blobs(df, str(tmp_path / "blobs_plain"), "procZ")
+    assert (
+        tmp_path / "blobs_plain" / "procZ" / "streamX" / "blkA"
+    ).read_bytes() == payload
+
+    # the written tree ingests through the streaming reader unchanged
+    meta = udts_to_cbor(UDTS)
+    streams_meta = spark.createDataFrame(
+        [("streamX", bytearray(meta), bytearray(meta)),
+         ("streamY", bytearray(meta), bytearray(meta))],
+        "stream_id STRING, dependencies_metadata BINARY, "
+        "objects_metadata BINARY",
+    )
+    q = stream_transit_blobs(
+        spark, uri_root, streams_meta,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(json.loads(r["value"])["time"] for r in rows) == [555, 555]
+    assert {r["block_id"] for r in rows} == {"blkA", "blkB"}
+
+
 # ------------------------------------------- native fast path (r8 #1)
 
 
