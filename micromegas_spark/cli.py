@@ -214,6 +214,11 @@ def _serve_parser() -> argparse.ArgumentParser:
                    help="require 'authorization: Bearer <token>' on every call")
     s.add_argument("--admin", action="store_true",
                    help="serve an admin engine (partition-admin actions enabled)")
+    s.add_argument("--apikey-store", default=None,
+                   help="JSON key-store path: callers must present a valid "
+                        "stored API key as their bearer token, and (with "
+                        "--admin) the CreateApiKey/ListApiKeys/RevokeApiKey "
+                        "actions manage this store remotely")
     return s
 
 
@@ -285,14 +290,130 @@ def cmd_serve(args) -> int:
     spark = get_spark("micromegas-flightsql", cpus=args.cpus)
     engine = Engine.from_test_tables(spark, _default_sf_dir(args.sf_dir))
     engine.admin = bool(args.admin)
+    key_store = None
+    if getattr(args, "apikey_store", None):
+        from micromegas_spark.flightsql.apikeys import ApiKeyStore
+
+        key_store = ApiKeyStore(args.apikey_store)
     server = FlightSQLServer(
         engine,
         location=f"grpc://{args.host}:{args.port}",
         auth_token=args.auth_token,
+        key_store=key_store,
     )
     print(f"serving FlightSQL on {server.uri}", flush=True)
     server.serve()  # blocks until killed
     return 0
+
+
+def _apikeys_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="micromegas-spark apikeys",
+        description="Mint, list, and revoke API keys (reference #1383 "
+        "/auth/api_keys admin surface; mkdocs/docs/admin/api-keys.md): "
+        "either directly against a local store file (--store) or "
+        "remotely against an admin FlightSQL server (--uri). A minted "
+        "key's plaintext is printed ONCE and never stored.",
+    )
+    p.add_argument("op", choices=["mint", "list", "revoke"])
+    p.add_argument("name", nargs="?", default=None,
+                   help="key name (required for mint/revoke)")
+    p.add_argument("--by", default="",
+                   help="audit identity recorded as created_by/revoked_by")
+    p.add_argument("--store", default=None,
+                   help="local key-store JSON path (direct access)")
+    p.add_argument("--uri", default=None,
+                   help="FlightSQL server URI (remote admin actions)")
+    p.add_argument("--bearer", default=None,
+                   help="bearer credential for --uri (an existing API key "
+                        "or static token; OIDC profiles also work via "
+                        "--profile)")
+    p.add_argument("--profile", default=None,
+                   help="named connection profile (supplies uri/OIDC)")
+    p.add_argument("--format", choices=["table", "json"], default="table")
+    p.add_argument("--version", action="version", version=_version_string())
+    return p
+
+
+def cmd_apikeys(args) -> int:
+    """CLI e2e for the key-admin surface: 'mint' prints the plaintext to
+    stdout (once — pipe it straight to a secret store), 'list' prints the
+    audit trail, 'revoke' confirms. Exactly one of --store/--uri picks
+    local vs remote."""
+    if args.op in ("mint", "revoke") and not args.name:
+        print(f"error: {args.op} requires a key name", file=sys.stderr)
+        return 2
+    try:
+        profile = _load_profile(args.profile)
+    except (OSError, KeyError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    uri = args.uri or (profile.get("uri") if not args.store else None)
+    if bool(args.store) == bool(uri):
+        print("error: pass exactly one of --store (local) or --uri (remote)",
+              file=sys.stderr)
+        return 2
+
+    if args.store:
+        from micromegas_spark.flightsql.apikeys import ApiKeyStore
+
+        store = ApiKeyStore(args.store)
+        try:
+            if args.op == "mint":
+                print(store.create_key(args.name, created_by=args.by))
+                print(f"key {args.name!r} minted; the plaintext above is "
+                      "shown once and not stored", file=sys.stderr)
+            elif args.op == "revoke":
+                store.revoke(args.name, revoked_by=args.by)
+                print(f"key {args.name!r} revoked")
+            else:
+                keys = store.list_keys()
+                _print_keys(keys, args.format)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        return 0
+
+    from micromegas_spark.flightsql.client import FlightSQLClient
+
+    headers = {"authorization": f"Bearer {args.bearer}"} if args.bearer else None
+    try:
+        auth = _oidc_auth_provider(profile) if not args.bearer else None
+    except Exception as e:
+        print(f"error: OIDC login failed: {e}", file=sys.stderr)
+        return 2
+    with FlightSQLClient(uri, headers=headers, auth_provider=auth) as client:
+        try:
+            if args.op == "mint":
+                out = client.create_api_key(args.name, created_by=args.by)
+                print(out["result"]["key"])
+                print(f"key {args.name!r} minted; the plaintext above is "
+                      "shown once and not stored", file=sys.stderr)
+            elif args.op == "revoke":
+                client.revoke_api_key(args.name, revoked_by=args.by)
+                print(f"key {args.name!r} revoked")
+            else:
+                _print_keys(client.list_api_keys()["result"]["keys"], args.format)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    return 0
+
+
+def _print_keys(keys: list, fmt: str) -> None:
+    import json as _json
+
+    if fmt == "json":
+        print(_json.dumps(keys, indent=2, sort_keys=True))
+        return
+    if not keys:
+        print("no keys")
+        return
+    import pandas as pd
+
+    cols = ["name", "created_at", "created_by", "last_used_at",
+            "revoked_at", "revoked_by"]
+    print(_format_table(pd.DataFrame([{c: k.get(c) for c in cols} for k in keys]), 0))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -304,6 +425,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_serve(_serve_parser().parse_args(argv[1:]))
     if argv[:1] == ["logout"]:
         return cmd_logout(_logout_parser().parse_args(argv[1:]))
+    if argv[:1] == ["apikeys"]:
+        return cmd_apikeys(_apikeys_parser().parse_args(argv[1:]))
     if argv[:1] == ["query"]:
         argv = argv[1:]
     parser = _query_parser()

@@ -230,6 +230,22 @@ class FlightSQLClient:
             partition_delta_seconds=partition_delta_seconds,
         )
 
+    # -- api-key admin (reference #1383 /auth/api_keys routes) --------------
+
+    def create_api_key(self, name: str, created_by: str = "") -> dict:
+        """Mint a key on the server's store; the reply carries the
+        plaintext ONCE (``{"name": ..., "key": ...}``) — it is never
+        stored or retrievable again."""
+        return self._admin("CreateApiKey", name=name, created_by=created_by)
+
+    def list_api_keys(self) -> dict:
+        """Audit listing: names + created/last-used/revoked trail, no
+        hashes or plaintext."""
+        return self._admin("ListApiKeys")
+
+    def revoke_api_key(self, name: str, revoked_by: str = "") -> dict:
+        return self._admin("RevokeApiKey", name=name, revoked_by=revoked_by)
+
     def regenerate_partitions(
         self, view_name: str, begin, end, partition_delta_seconds: int
     ) -> dict:

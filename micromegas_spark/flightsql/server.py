@@ -190,6 +190,11 @@ class FlightSQLServer:
         self.engine = engine
         self.batch_rows = batch_rows
         self.max_dictionary_values = max_dictionary_values
+        # the admin mint/list/revoke actions manage this same store —
+        # the reference's #1383 "mint keys without redeploy" loop (its
+        # OIDC-gated /auth/api_keys HTTP routes; here the admin-gated
+        # DoAction surface, like the partition-admin UDTFs)
+        self._key_store = key_store
         outer = self
 
         class _Server(flight.FlightServerBase):
@@ -214,6 +219,9 @@ class FlightSQLServer:
                     ("RegeneratePartitions", "admin: force-rebuild partitions"),
                     ("RetirePartitionByFile", "admin: retire one partition file"),
                     ("RetirePartitionByMetadata", "admin: retire one partition by ids"),
+                    ("CreateApiKey", "admin: mint an API key (plaintext returned once)"),
+                    ("ListApiKeys", "admin: list API keys with audit trail"),
+                    ("RevokeApiKey", "admin: revoke an API key"),
                 ]
 
         factory = _make_middleware(flight)(auth_token, key_store)
@@ -449,7 +457,54 @@ class FlightSQLServer:
             "RetirePartitionByMetadata",
         ):
             return self._admin_action(action.type, body)
+        if action.type in ("CreateApiKey", "ListApiKeys", "RevokeApiKey"):
+            return self._apikey_action(action.type, body)
         raise flight.FlightServerError(f"unknown action {action.type!r}")
+
+    def _apikey_action(self, kind: str, body: bytes):
+        """API-key admin over the wire (reference #1383's OIDC-gated
+        POST/GET/DELETE /auth/api_keys, mkdocs/docs/admin/api-keys.md) —
+        spelled as admin-gated DoActions here, exactly like the
+        partition-admin surface: a non-admin engine fails them as
+        unknown (engine.require_admin), and the plaintext of a minted
+        key travels once in the reply and is never stored."""
+        import pyarrow as pa
+
+        from micromegas_spark.flightsql.errors import InvalidArgument
+
+        flight = _flight()
+        args = json.loads(body.decode("utf-8")) if body else {}
+        try:
+            self.engine.require_admin(kind)
+        except LookupError as e:
+            # non-admin parity: same user-visible failure as the
+            # partition admin actions (query.rs:150-175)
+            raise flight.FlightServerError(str(e))
+        if self._key_store is None:
+            raise flight.FlightServerError(
+                "no api key store configured on this server"
+            )
+        from micromegas_spark.flightsql.apikeys import StoreUnavailable
+
+        try:
+            if kind == "CreateApiKey":
+                plaintext = self._key_store.create_key(
+                    args["name"], created_by=args.get("created_by", "")
+                )
+                out = {"name": args["name"], "key": plaintext}
+            elif kind == "RevokeApiKey":
+                self._key_store.revoke(
+                    args["name"], revoked_by=args.get("revoked_by", "")
+                )
+                out = {"name": args["name"], "revoked": True}
+            else:
+                out = {"keys": self._key_store.list_keys()}
+        except InvalidArgument as e:
+            raise flight.FlightServerError(str(e))
+        except StoreUnavailable as e:
+            raise flight.FlightUnavailableError(str(e))
+        payload = json.dumps({"result": out}).encode("utf-8")
+        return iter([flight.Result(pa.py_buffer(payload))])
 
     def _admin_action(self, kind: str, body: bytes):
         import pyarrow as pa
