@@ -91,7 +91,13 @@ def _load_profile(explicit: str | None) -> dict:
     $MICROMEGAS_SPARK_PROFILE > config's default_profile > none. Explicit
     CLI flags always beat profile values. A profile named but missing is
     an error; an absent config file is only an error when a profile was
-    explicitly requested."""
+    explicitly requested.
+
+    A config with NO ``profiles`` map is the reference's original FLAT
+    shape (cli/config.py resolve_active_profile) — the top-level dict is
+    the connection config itself, so a reference user's flat config.json
+    works verbatim; naming a profile against it is an error, matching
+    the reference's ProfileError."""
     import json
     import os
 
@@ -108,10 +114,22 @@ def _load_profile(explicit: str | None) -> dict:
         return {}
     with open(path, encoding="utf-8") as f:
         cfg = json.load(f)
+    profiles = cfg.get("profiles")
+    if profiles is None:
+        # FLAT config (the reference's original shape,
+        # cli/config.py resolve_active_profile: no `profiles` map → the
+        # top-level dict IS the active connection config). Naming a
+        # profile against a flat config is the reference's ProfileError.
+        if name:
+            raise KeyError(
+                f"profile {name!r} requested but {path} has no 'profiles' map"
+            )
+        return {
+            k: v for k, v in cfg.items() if k not in ("profiles", "default_profile")
+        }
     name = name or cfg.get("default_profile")
     if not name:
         return {}
-    profiles = cfg.get("profiles", {})
     if name not in profiles:
         raise KeyError(
             f"unknown profile {name!r} in {path} (known: {sorted(profiles)})"
