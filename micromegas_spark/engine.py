@@ -138,9 +138,14 @@ def _sql_data_spans(sql: str) -> list[bool]:
     "..." as a string literal; under ANSI it's an identifier — either way
     not a function call, with "" escaping), backtick-quoted identifiers
     (`` escaping), `--` line comments, and bracketed comments (nested,
-    as Spark has allowed since 3.0). The view_instance rewrite consults
-    this so occurrences inside any of those spans are never counted as
-    calls (SPARK grammar: SqlBaseLexer.g4 STRING/BRACKETED_COMMENT)."""
+    as Spark has allowed since 3.0). Inside ' and " spans a backslash
+    escapes the next character ('it\\'s'), per Spark's DEFAULT string
+    parsing (SqlBaseLexer.g4 STRING); backticks take no backslash escape.
+    Caveat: under spark.sql.parser.escapedStringLiterals=true (Hive
+    compatibility) backslash is a literal character — input written for
+    that mode is unsupported here and may desync the scanner. The
+    view_instance rewrite consults this so occurrences inside any of
+    those spans are never counted as calls."""
     n = len(sql)
     data = [False] * n
     i = 0
@@ -149,6 +154,9 @@ def _sql_data_spans(sql: str) -> list[bool]:
         if c in ("'", '"', "`"):
             j = i + 1
             while j < n:
+                if c != "`" and sql[j] == "\\":  # backslash escape
+                    j += 2
+                    continue
                 if sql[j] == c:
                     if j + 1 < n and sql[j + 1] == c:  # doubled = escape
                         j += 2

@@ -47,13 +47,42 @@ REFRESH_BUFFER_SECONDS = 300  # refresh when the id token has <5 min left
 class UrllibTransport:
     """Default HTTP transport: stdlib urllib, 10 s timeout (the reference
     uses requests with the same timeout). Kept tiny on purpose — the OIDC
-    client surface is one JSON GET and form-encoded POSTs."""
+    client surface is one JSON GET and form-encoded POSTs.
+
+    Every URL must be https — these requests carry client secrets,
+    authorization codes and refresh tokens, which an http:// issuer (from
+    a profile config or a discovery document's token_endpoint) would send
+    in cleartext. Loopback hosts are exempt so local test IdPs work."""
 
     timeout = 10.0
+
+    @staticmethod
+    def _check_url(url: str) -> None:
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        if parts.scheme == "https":
+            return
+        host = (parts.hostname or "").lower()
+        if parts.scheme == "http":
+            if host == "localhost":
+                return
+            import ipaddress
+
+            try:
+                if ipaddress.ip_address(host).is_loopback:
+                    return
+            except ValueError:
+                pass  # not an IP literal (e.g. 127.evil.example.com)
+        raise ValueError(
+            f"refusing non-https OIDC endpoint {url!r}: credentials would "
+            "travel in cleartext (http is allowed for loopback hosts only)"
+        )
 
     def get_json(self, url: str) -> dict:
         import urllib.request
 
+        self._check_url(url)
         with urllib.request.urlopen(url, timeout=self.timeout) as resp:  # noqa: S310
             return json.loads(resp.read().decode("utf-8"))
 
@@ -61,6 +90,7 @@ class UrllibTransport:
         import urllib.parse
         import urllib.request
 
+        self._check_url(url)
         data = urllib.parse.urlencode(fields).encode("ascii")
         req = urllib.request.Request(  # noqa: S310
             url, data=data,
@@ -197,10 +227,17 @@ class OidcAuthProvider:
 
     def save(self) -> None:
         """Write the token cache: 0700 dir, 0600 file, client_secret NEVER
-        persisted (auth/oidc.py:474-508)."""
+        persisted (auth/oidc.py:474-508). The directory is chmod'd 0700
+        only when it is OUR default token dir or this call just created
+        it — a caller-supplied token_file in a shared location (a project
+        dir, $HOME itself) must not have its directory permissions
+        silently stripped on every save."""
         parent = Path(self.token_file).parent
+        default_dir = Path(os.path.expanduser("~")) / ".micromegas_spark"
+        created = not parent.exists()
         parent.mkdir(mode=0o700, parents=True, exist_ok=True)
-        parent.chmod(0o700)
+        if created or parent == default_dir:
+            parent.chmod(0o700)
         data = {
             "issuer": self.issuer,
             "client_id": self.client_id,
@@ -281,6 +318,14 @@ class OidcAuthProvider:
                     self.end_headers()
                     self.wfile.write(b"state mismatch")
                     return
+                # RFC 6749 §4.1.2.1 error redirect: surface the IdP's
+                # actual reason (access_denied etc.) instead of letting
+                # it decay into a generic no-code timeout
+                if q.get("error"):
+                    result["error"] = q["error"][0]
+                    result["error_description"] = q.get(
+                        "error_description", [""]
+                    )[0]
                 result["code"] = q.get("code", [None])[0]
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -319,6 +364,13 @@ class OidcAuthProvider:
                 open_browser = webbrowser.open
             open_browser(auth_url)
             if not done.wait(timeout) or not result.get("code"):
+                if result.get("error"):
+                    detail = result.get("error_description") or ""
+                    raise PermissionError(
+                        f"authentication failed — identity provider "
+                        f"returned {result['error']!r}"
+                        + (f": {detail}" if detail else "")
+                    )
                 raise TimeoutError(
                     "authentication failed — no authorization code received"
                 )

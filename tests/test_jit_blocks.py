@@ -474,6 +474,34 @@ def test_view_instance_rewrite_double_quote_and_escapes(spark, tmp_path):
     assert row["n"] == 2
 
 
+def test_view_instance_rewrite_backslash_escapes(spark, tmp_path):
+    """ADVICE r8: Spark's DEFAULT string parsing accepts backslash-escaped
+    quotes ('it\\'s'); a literal containing \\' must not desync the span
+    scanner — the view_instance( text inside the string stays data and
+    the live call after it still resolves. (Hive-compat
+    escapedStringLiterals=true input is documented as unsupported.)"""
+    from micromegas_spark.engine import _sql_data_spans
+
+    # unit: the scanner stays in sync across \' and \\ inside ' and "
+    s = "'a\\'b' live"
+    spans = _sql_data_spans(s)
+    assert all(spans[:6]) and not any(spans[6:])
+    s2 = "'ends with backslash-escape \\\\' live"
+    spans2 = _sql_data_spans(s2)
+    assert not spans2[-1]  # 'live' is live: \\\\ is an escaped backslash
+    assert not any(_sql_data_spans("`tick\\` x")[7:])  # backticks: no \\ escape
+
+    def build(instance, block_ids):
+        return spark.createDataFrame([(5,), (7,)], ["begin_ns"]).coalesce(1)
+
+    eng = _mini_jit_engine(spark, tmp_path, build)
+    row = eng.query(
+        "SELECT 'it\\'s view_instance(fake, call)' AS note, COUNT(*) AS n "
+        "FROM view_instance('ordered_view', 's1')"
+    ).collect()[0]
+    assert row["n"] == 2 and "view_instance" in row["note"]
+
+
 def test_view_instance_temp_view_names_never_collide(spark, tmp_path):
     """Distinct (set, instance) keys that sanitize to the same identifier
     (('ordered_view','b-c') vs ('ordered_view','b_c')) must get distinct

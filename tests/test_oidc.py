@@ -416,3 +416,75 @@ def test_client_credentials_on_live_loopback_flight_call(spark, tmp_path):
     with FlightSQLServer(eng, auth_token="svc-token-xyz") as srv:
         with FlightSQLClient(srv.uri, auth_provider=auth) as c:
             assert c.query("SELECT 7 * 6 AS v")["v"].iloc[0] == 42
+
+
+def test_urllib_transport_requires_https():
+    """ADVICE r8: the stdlib transport refuses http:// endpoints for
+    non-loopback hosts — client secrets, auth codes and refresh tokens
+    must never travel in cleartext; loopback stays allowed so local test
+    IdPs work."""
+    from micromegas_spark.flightsql.oidc import UrllibTransport
+
+    check = UrllibTransport._check_url
+    check("https://idp.example.com/token")
+    check("http://127.0.0.1:8080/token")
+    check("http://localhost/auth")
+    for bad in (
+        "http://idp.example.com/token",
+        "http://10.0.0.5/token",
+        "http://127.evil.example.com/x",
+        "ftp://idp.example.com/x",
+    ):
+        with pytest.raises(ValueError, match="non-https"):
+            check(bad)
+
+
+def test_idp_error_redirect_surfaces_reason(tmp_path):
+    """ADVICE r8: an OAuth error redirect (RFC 6749 §4.1.2.1) must raise
+    the IdP's actual reason, not decay into the generic no-code
+    TimeoutError."""
+    idp = MockIdp()
+
+    def denying_browser(auth_url: str) -> None:
+        from urllib.parse import parse_qs, urlsplit
+
+        q = parse_qs(urlsplit(auth_url).query)
+        redirect, state = q["redirect_uri"][0], q["state"][0]
+        urllib.request.urlopen(
+            f"{redirect}?error=access_denied"
+            f"&error_description=user+declined+consent&state={state}",
+            timeout=5,
+        )
+
+    with pytest.raises(PermissionError, match="access_denied.*declined"):
+        OidcAuthProvider.login(
+            ISSUER, CLIENT_ID,
+            token_file=str(tmp_path / "t.json"),
+            transport=idp,
+            open_browser=denying_browser,
+            timeout=10.0,
+        )
+
+
+def test_save_chmods_only_default_or_created_dirs(tmp_path):
+    """ADVICE r8: save() must not strip permissions from a caller-supplied
+    SHARED directory (a project dir, $HOME itself); only the default
+    token dir and directories save() itself creates get 0700."""
+    shared = tmp_path / "project"
+    shared.mkdir(mode=0o755)
+    token = {"id_token": make_jwt(int(time.time()) + 3600), "access_token": "x"}
+    prov = OidcAuthProvider(
+        ISSUER, CLIENT_ID, token_file=str(shared / "tok.json"), token=token,
+        transport=MockIdp(),
+    )
+    prov.save()
+    assert stat.S_IMODE(os.stat(shared).st_mode) == 0o755  # untouched
+    assert stat.S_IMODE(os.stat(shared / "tok.json").st_mode) == 0o600
+
+    fresh = tmp_path / "newdir" / "sub"
+    prov2 = OidcAuthProvider(
+        ISSUER, CLIENT_ID, token_file=str(fresh / "tok.json"), token=token,
+        transport=MockIdp(),
+    )
+    prov2.save()
+    assert stat.S_IMODE(os.stat(fresh).st_mode) == 0o700  # created → locked
