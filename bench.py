@@ -81,6 +81,24 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Same-box noise control (scripts/bench_ab.py): while the A/B replay
+    # of the previous round's snapshot is fresh, carry its median
+    # per-query ratio so BENCH_r{N}.json is self-controlling against box
+    # drift (round 8 measured the same code at 1.148x across days).
+    ab = None
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_AB.json")) as f:
+            cand = json.load(f)
+        if time.time() - float(cand.get("ts", 0)) < 48 * 3600:
+            ab = {
+                "same_box_median_ratio": cand["same_box_median_ratio"],
+                "ab_prev_ref": cand["prev_ref"],
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+    if ab:
+        out.update(ab)
     # Persist the full per-query JSON next to the repo so round-over-round
     # comparison never loses queries (judge request, VERDICT r3 #4).
     try:
@@ -110,6 +128,8 @@ def main() -> None:
     }
     if errors:
         compact["n_errors"] = len(errors)
+    if ab:
+        compact.update(ab)
     line = json.dumps(compact)
     if len(line) > 1800:  # belt-and-braces: never exceed the tail window
         compact["queries"] = {}
