@@ -330,13 +330,18 @@ def test_parse_transit_blocks_early_stop_under_bare_limit(spark, tmp_path):
     blocks_decoded = len(os.listdir(marker_dir))
     assert 1 <= blocks_decoded < n_blocks // 2, blocks_decoded
 
-    # and without a LIMIT every block decodes exactly once
+    # and without a LIMIT every block decodes. Spark task execution is
+    # at-LEAST-once: a worker crash (e.g. the one the LIMIT-kill above can
+    # leave behind) retries the whole task, deduping the OUTPUT rows but
+    # not executor side effects — so the marker count is >= n_blocks, not
+    # == (observed 17 under box contention). The exact row count proves
+    # all 16 blocks contributed; the marker floor proves none was skipped.
     for f in os.listdir(marker_dir):
         os.unlink(os.path.join(marker_dir, f))
     assert parse_transit_blocks(
         df, decoded_counter=_TouchCounter(marker_dir)
     ).count() == n_blocks * objs_per_block
-    assert len(os.listdir(marker_dir)) == n_blocks
+    assert len(os.listdir(marker_dir)) >= n_blocks
 
 
 def test_write_transit_blobs_fs_api_file_uri(spark, tmp_path):
