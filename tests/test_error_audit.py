@@ -212,8 +212,13 @@ def test_interleaved_same_thread_queries_attribute_to_own_id(engine):
     mb = engine.query_metrics(b._mm_query_id)
     # A's aggregate ran AFTER B resolved, yet audits under A's own id
     assert ma["n_stages"] >= 2 and ma["peak_execution_memory_bytes"] > 0
-    # B saw only its own tiny scan-sort, not A's aggregate stages
-    assert 1 <= mb["n_stages"] < ma["n_stages"] + 2
+    # B saw only its own tiny scan-sort, not A's aggregate stages. Stage
+    # COUNTS are AQE/session-state dependent (a warm session can give the
+    # 5-row sort more stages than the aggregate), so the cross-attribution
+    # check is on shuffle volume: had A's orders aggregate leaked into B's
+    # id, B would carry A's shuffle bytes on top of its 5-row exchange.
+    assert mb["n_stages"] >= 1
+    assert mb["shuffle_write_bytes"] < max(ma["shuffle_write_bytes"], 4096)
     # and an UNscoped collect afterwards attributes to nobody: the thread
     # was cleared, so a stale group can't absorb later jobs
     c = engine.query("SELECT COUNT(*) AS n FROM nation")
