@@ -29,18 +29,29 @@ space and ENOSPCs the shared scratch volume without telling us anything
 about the operators (a 300-wide clone group is a property of this
 replicator, not of bigger corpora; real corpora grow by adding clusters).
 With cluster_cap=C (e.g. 100), document replicas are split into groups of
-C; group g > 0 gets a deterministic content-keyed token salt
-(token -> token||'~'||g when hash(token)%4 == 0), which (a) preserves
-every within-group pairwise similarity EXACTLY (both docs of a pair are
-salted identically, token-for-token), (b) keeps doc length in tokens and
-the shingle-df profile per group identical to the uncapped corpus, and
-(c) breaks ~90% of 8-gram shingles across groups (1 - (3/4)^8), pushing
-cross-group Jaccard/containment to ~5% — far under every threshold. The
+C; group g > 0 gets a deterministic per-group token salt
+(token -> token||'~'||g, EVERY token), which (a) preserves every
+within-group pairwise similarity EXACTLY (both docs of a pair are
+salted identically, token-for-token — the per-group map is a bijection
+on the vocabulary), (b) keeps doc length in tokens and the shingle-df
+profile per group identical to the uncapped corpus, and (c) makes
+cross-group shingle overlap exactly ZERO, so the capped inverted-index
+candidate space grows exactly linearly in the number of groups. The
 result: factor=300, cap=100 is exactly 3 disjoint isomorphic copies of
 the factor=100 corpus — clone groups stay 100 wide, cluster COUNT grows
 3x, pair outputs grow linearly, which is the scaling direction a real
 3x-bigger corpus exhibits. Non-document tables are unaffected (their
 replication is already linear).
+
+Why every token and not a hash(token)%k subset: the dedup operators
+shingle at n=3 (operators/dedup.py hashed_shingles), so salting 1/k of
+tokens leaves (1-1/k)^3 of 3-gram shingles intact ACROSS groups — 42%
+at k=4. Those survivors' document frequency multiplies by the group
+count while staying under the df cap, and candidate generation is
+quadratic in df, so the candidate space grows ~(groups^2 * 0.42 +
+groups * 0.58)x — measured in round 9 as a scratch-disk blowup at
+factor=300 (>70 GB draw vs ~56 GB for linear; the run was killed at
+5 GB free). Full salting removes the cross-group term exactly.
 """
 
 from __future__ import annotations
@@ -135,9 +146,7 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10, cluster_cap: int = 0) -> N
                                 ELSE text || ' rep' || i END
                        ELSE array_to_string(list_transform(
                            string_split(text || ' rep' || i, ' '),
-                           t -> CASE WHEN hash(t) % 4 = 0
-                                     THEN t || '~' || (i // {cluster_cap})
-                                     ELSE t END), ' ')
+                           t -> t || '~' || (i // {cluster_cap})), ' ')
                        END AS text,
                        lang, source
                 FROM src_documents, reps)
