@@ -20,7 +20,10 @@ clusters, not bigger ones. Timestamps/events keep their time range —
 time-bucketed aggregations grow per-bucket rows, not bucket count, which
 is the hard direction for group-by scaling.
 
-Usage: python scripts/make_sf1.py [out_dir] [factor] [cluster_cap]
+Usage: python scripts/make_sf1.py [out_dir] [factor] [cluster_cap] [only]
+
+`only` is an optional comma-separated table subset (e.g. `embeddings`)
+for regenerating single tables of an existing corpus in place.
 
 cluster_cap (round 9): at factor > ~100 the plain replication makes every
 near-dup clone group `factor` members wide, so pair-output dedup queries
@@ -52,6 +55,21 @@ quadratic in df, so the candidate space grows ~(groups^2 * 0.42 +
 groups * 0.58)x — measured in round 9 as a scratch-disk blowup at
 factor=300 (>70 GB draw vs ~56 GB for linear; the run was killed at
 5 GB free). Full salting removes the cross-group term exactly.
+
+Embeddings get the same treatment under cluster_cap, with a geometric
+salt instead of a lexical one: group g's vectors have their DIMENSIONS
+permuted by the stride map j -> (j * (2g+1)) mod D (a bijection for any
+g because D=64 is a power of two and 2g+1 is odd; g=0 is the identity).
+A shared permutation preserves every within-group dot product and norm
+EXACTLY (so within-group cosine structure is bit-identical to the
+uncapped corpus), while cross-group cosines become those of
+independently scrambled coordinates — noise around zero, the organic
+level a real corpus has between unrelated clusters. Labels are offset
+per group so label-defined clusters stay geometrically coherent.
+Measured effect (round 9, emb_dedup_clusters @ sf30 = 3 groups): exact
+replicas gave 381 s (7.3x sf10's 52.5 s — the pair stage is quadratic
+in clone-group width BY CONSTRUCTION); permuted groups restore linear
+cluster-count growth.
 """
 
 from __future__ import annotations
@@ -72,7 +90,12 @@ def stride_for(con, table: str, key: str) -> int:
     return s
 
 
-def main(out_dir: str = "/tmp/sf1", factor: int = 10, cluster_cap: int = 0) -> None:
+def main(
+    out_dir: str = "/tmp/sf1",
+    factor: int = 10,
+    cluster_cap: int = 0,
+    only: list[str] | None = None,
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     tables = [
@@ -91,6 +114,11 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10, cluster_cap: int = 0) -> N
     ku = stride_for(con, "events", "user_id")
     kd = stride_for(con, "documents", "doc_id")
     kv = stride_for(con, "embeddings", "vec_id")
+    kl = stride_for(con, "embeddings", "label")
+    emb_dim = con.sql("SELECT MAX(len(embedding)) FROM src_embeddings").fetchone()[0]
+    # The stride permutation needs gcd(2g+1, D) = 1; every odd multiplier
+    # is coprime with a power-of-two D, which the source corpus satisfies.
+    assert emb_dim & (emb_dim - 1) == 0, f"embedding dim {emb_dim} not a power of 2"
 
     con.execute(f"CREATE TABLE reps AS SELECT UNNEST(RANGE({factor})) AS i")
 
@@ -153,11 +181,23 @@ def main(out_dir: str = "/tmp/sf1", factor: int = 10, cluster_cap: int = 0) -> N
             SELECT doc_id, text, lang, source, LENGTH(text) AS n_chars
             FROM salted"""
         ),
-        "embeddings": f"""
+        "embeddings": (
+            f"""
             SELECT vec_id + i * {kv} AS vec_id, embedding, label
-            FROM src_embeddings, reps""",
+            FROM src_embeddings, reps"""
+            if not cluster_cap
+            else f"""
+            SELECT vec_id + i * {kv} AS vec_id,
+                   CASE WHEN i // {cluster_cap} = 0 THEN embedding
+                   ELSE list_select(embedding, list_transform(
+                        range({emb_dim}),
+                        j -> ((j * (1 + 2 * (i // {cluster_cap}))) % {emb_dim}) + 1))
+                   END AS embedding,
+                   label + (i // {cluster_cap}) * {kl} AS label
+            FROM src_embeddings, reps"""
+        ),
     }
-    for t in tables:
+    for t in tables if only is None else [t for t in tables if t in only]:
         out = os.path.join(out_dir, f"{t}.parquet")
         con.execute(f"COPY ({sel[t]}) TO '{out}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
@@ -168,4 +208,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     cap = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    main(out, factor, cap)
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    main(out, factor, cap, only)
