@@ -100,8 +100,18 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
         # while at bench scale AQE's coalesce trims the excess (measured
         # A/B at sf0.01: 8→64 partitions is ~15% FASTER, not slower).
         # "Set shuffle.partitions high, let AQE trim" is the
-        # cluster-correct default.
-        .config("spark.sql.shuffle.partitions", str(int(cpus) * 8))
+        # cluster-correct default. SPARK_GRAFT_SHUFFLE_PARTITIONS is the
+        # cluster-profile override (size partitions to executors × data
+        # volume). Measured caveat (round-9 octave, SCALE.md): on a FIXED
+        # single node, raising it past cpus×8 is a net loss — 1024
+        # partitions ran docs_ngram_jaccard @ sf30 1.54x SLOWER than 256
+        # (shuffle-fetch overhead with no spill relief; the binding
+        # resource there is executor memory, which clusters add and one
+        # box cannot). Use the knob to match a cluster, not to chase
+        # single-node supra-linearity.
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+                or str(int(cpus) * 8))
         # local-bench profile: the synthetic tables are single small parquet
         # files; the default 128MB split would run every CPU-heavy scan
         # stage on one core. A cluster profile keeps the default (at 100 TB
