@@ -63,8 +63,13 @@ def main() -> int:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
 
+    # Subject-anchored: --grep matches the full message, and round-9
+    # commits MENTION the snapshot convention in their bodies, which made
+    # the unanchored pattern resolve to a same-round commit instead of
+    # the previous round's snapshot.
     ref = args.ref or _git(
-        "log", "--grep", "end-of-round snapshot", "-n", "1", "--format=%H"
+        "log", "-E", "--grep", r"^round [0-9]+: end-of-round snapshot",
+        "-n", "1", "--format=%H",
     )
     if not ref:
         print("no end-of-round snapshot commit found; pass --ref", file=sys.stderr)
