@@ -83,6 +83,22 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _shuffle_partitions(cpus: str) -> str:
+    """cpus×8 default; SPARK_GRAFT_SHUFFLE_PARTITIONS is the cluster-profile
+    override (see the builder comment for the measured single-node caveat)."""
+    return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "") or str(int(cpus) * 8)
+
+
+def _max_partition_bytes() -> str:
+    """2 MB default is the LOCAL-BENCH profile (single small parquet files
+    would otherwise serialize CPU-heavy scans onto one core).
+    SPARK_GRAFT_MAX_PARTITION_BYTES restores a realistic split size for
+    scale runs / cluster profiles — at sf30 the 2 MB default makes a 5 GB
+    corpus scan 1957 tasks whose per-task overhead is pure loss on big
+    sequential reads (cluster default: 128 MB)."""
+    return os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "") or str(2 * 1024 * 1024)
+
+
 def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None) -> SparkSession:
     """Build (or fetch) a tuned local session.
 
@@ -109,14 +125,13 @@ def get_spark(app_name: str = "micromegas-spark", cpus: int | str | None = None)
         # resource there is executor memory, which clusters add and one
         # box cannot). Use the knob to match a cluster, not to chase
         # single-node supra-linearity.
-        .config("spark.sql.shuffle.partitions",
-                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
-                or str(int(cpus) * 8))
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions(cpus))
         # local-bench profile: the synthetic tables are single small parquet
         # files; the default 128MB split would run every CPU-heavy scan
         # stage on one core. A cluster profile keeps the default (at 100 TB
-        # the source has thousands of natural splits).
-        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        # the source has thousands of natural splits);
+        # SPARK_GRAFT_MAX_PARTITION_BYTES overrides for scale runs.
+        .config("spark.sql.files.maxPartitionBytes", _max_partition_bytes())
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # local-bench profile: AQE's 64MB advisory target coalesces every
         # sub-64MB shuffle to ONE task, serializing window/agg stages at

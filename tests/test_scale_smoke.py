@@ -261,3 +261,19 @@ def test_scale_winnow_survives_boilerplate_corpus(spark):
     # boilerplate fps have df=60k >> 100 → dropped; survivors are the
     # short unique tails, whose buckets are tiny
     assert pairs < 2_000_000
+
+
+def test_session_env_knobs_resolve(monkeypatch):
+    """The two cluster-profile env overrides (SCALE.md round-9 octave):
+    shuffle partitions and parquet split size resolve from the env when
+    set and fall back to the local-profile defaults when absent."""
+    from micromegas_spark.session import _max_partition_bytes, _shuffle_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    assert _shuffle_partitions("32") == "256"
+    assert _max_partition_bytes() == str(2 * 1024 * 1024)
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "1024")
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024))
+    assert _shuffle_partitions("32") == "1024"
+    assert _max_partition_bytes() == str(128 * 1024 * 1024)
