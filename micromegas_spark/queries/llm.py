@@ -999,19 +999,26 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(corpus, bench, n=5).orderBy("doc_id")
 
 
-_EMB_PAIRS_SQL = """
+def _emb_pairs_sql(dims: tuple[int, ...]) -> str:
+    """The sign-LSH bucket + exact-cosine pair CTEs, parameterized by the
+    hyperplane dims (1-based, matching similarity.sign_bucket): plane i
+    contributes 2^i to the bucket id when embedding[dim] >= 0."""
+    bucket = "\n             + ".join(
+        f"(CASE WHEN embedding[{d}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(dims)
+    )
+    return f"""
     b AS (
         SELECT vec_id, embedding,
-               (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
-             + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
-             + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END)
-             + (CASE WHEN embedding[33] >= 0 THEN 16 ELSE 0 END)
-             + (CASE WHEN embedding[41] >= 0 THEN 32 ELSE 0 END)
-             + (CASE WHEN embedding[49] >= 0 THEN 64 ELSE 0 END)
-             + (CASE WHEN embedding[57] >= 0 THEN 128 ELSE 0 END) AS bucket
+               {bucket} AS bucket
         FROM embeddings
-    ),
+    ),"""
+
+
+_DIMS8 = (1, 9, 17, 25, 33, 41, 49, 57)
+_DIMS16 = tuple(1 + 4 * i for i in range(16))
+
+_EMB_VERIFY_TAIL = """
     z AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                  unnest(x.embedding)::DOUBLE AS xe, unnest(y.embedding)::DOUBLE AS ye
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
@@ -1023,11 +1030,11 @@ _EMB_PAIRS_SQL = """
     )
 """
 
+_EMB_PAIRS_SQL = _emb_pairs_sql(_DIMS8) + _EMB_VERIFY_TAIL
 
-@query(
-    "emb_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_EMB_PAIRS_SQL},
+# pairs -> connected components -> (vec_id, cluster_id, cluster_size):
+# shared by the 8-plane contract query and the 16-plane scale-path query.
+_EMB_CLUSTERS_TAIL = """
     e AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
     reach(a, b) AS (
@@ -1040,20 +1047,18 @@ _EMB_PAIRS_SQL = """
     SELECT vec_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
     FROM cc ORDER BY vec_id
-    """,
-)
-def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup PAIRS resolved into CLUSTERS — the same
-    operators/graph.connected_components min-label propagation used for
-    document dedup, fed by the sign-LSH cosine pair search. cluster_id =
-    min vec id (the keep-one survivor); the oracle recomputes the
-    transitive closure with a recursive CTE over the identical pair
-    definition."""
+"""
+
+
+def _emb_clusters(spark: SparkSession, sf_dir: str, dims: tuple[int, ...]) -> DataFrame:
+    """Shared body of the emb dedup-cluster queries: sign-LSH cosine pair
+    search at the given hyperplane dims, resolved into clusters by
+    operators/graph.connected_components min-label propagation."""
     from micromegas_spark.operators.graph import dedup_clusters
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_duplicates(
-        e, threshold=0.3, dims=[1, 9, 17, 25, 33, 41, 49, 57]
+        e, threshold=0.3, dims=list(dims)
     ).select("id_a", "id_b")
     return (
         dedup_clusters(pairs)
@@ -1064,6 +1069,37 @@ def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "emb_dedup_clusters",
+    oracle=f"WITH RECURSIVE {_EMB_PAIRS_SQL}, {_EMB_CLUSTERS_TAIL}",
+)
+def emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS resolved into CLUSTERS — the same
+    operators/graph.connected_components min-label propagation used for
+    document dedup, fed by the sign-LSH cosine pair search. cluster_id =
+    min vec id (the keep-one survivor); the oracle recomputes the
+    transitive closure with a recursive CTE over the identical pair
+    definition."""
+    return _emb_clusters(spark, sf_dir, _DIMS8)
+
+
+@query(
+    "emb_dedup_clusters_16",
+    oracle=f"WITH RECURSIVE {_emb_pairs_sql(_DIMS16) + _EMB_VERIFY_TAIL}, {_EMB_CLUSTERS_TAIL}",
+)
+def emb_dedup_clusters_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH operating point of emb_dedup_clusters: 16 sign-LSH
+    planes (65,536 buckets) instead of 8. The 8-plane query's within-
+    bucket pairing is O(n²/256) — measured quadratic at the round-9
+    octave (SCALE.md: 365 s @ sf30, 1027 s @ sf50) — while 16 planes
+    measured LINEAR on the same corpora (37.9 s / 66.1 s). Blocking is
+    part of the pair SEMANTICS (pairs in different buckets are never
+    compared), so the scale path is a separate oracle-pinned query
+    rather than a silent default change; the oracle recomputes the same
+    16-plane buckets + exact cosine + transitive closure in DuckDB."""
+    return _emb_clusters(spark, sf_dir, _DIMS16)
 
 
 @query(
