@@ -537,6 +537,107 @@ class Engine:
         out.append(sql[last:])
         return "".join(out)
 
+    # admin table functions whose SQL spelling returns the op's task log
+    # (S11); all take (view, begin, end) string literals, materialize/
+    # regenerate additionally a trailing integer (delta seconds).
+    _ADMIN_TABLE_FNS = (
+        "materialize_partitions",
+        "regenerate_partitions",
+        "retire_partitions",
+    )
+
+    def _rewrite_admin_calls(self, sql: str) -> str:
+        """SQL spelling of the partition-admin surface — the reference's
+        documented admin UX (functions-reference.md 'Requires admin';
+        materialize/retire/regenerate `*_table_function.rs`): each call
+        RETURNS the operation's progress log as a (time, msg) relation
+        (TaskLogExecPlan, dfext/task_log_exec_plan.rs:35-60 — SURVEY §2.1
+        S11; the Spark-side semantics and the documented streaming delta
+        live in materialize/tasklog.py).
+
+        Same lexing/substitution contract as _rewrite_view_instance:
+        string/comment spans are data, calls are identifier-anchored,
+        arguments must be literals (evaluated at plan time, like the
+        reference's exp_to_string/exp_to_timestamp), and each call runs
+        ONCE — eagerly, in statement order — with its log registered as a
+        uniquely-named temp view substituted into the text. Admin gating
+        is require_admin's "not found" parity: a non-admin session never
+        has these functions registered. Timestamps accept ISO strings or
+        raw epoch-ns integer spellings; materialize/regenerate take a
+        trailing integer partition delta in seconds."""
+        import hashlib as _hashlib
+        import re as _re
+
+        from micromegas_spark.materialize.tasklog import TaskLog
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        low = sql.lower()
+        live = [f for f in self._ADMIN_TABLE_FNS if f in low]
+        if not live:
+            return sql
+        _arg = r"'((?:[^']|'')*)'"
+
+        def _ns(lit: str) -> int:
+            lit = lit.replace("''", "'").strip()
+            if _re.fullmatch(r"-?\d+", lit):
+                return int(lit)
+            return to_epoch_ns(lit)
+
+        out_sql = sql
+        for fn in live:
+            in_data = _sql_data_spans(out_sql)
+            calls = [
+                m
+                for m in _re.finditer(rf"(?<![A-Za-z0-9_]){fn}\s*\(", out_sql, _re.I)
+                if not in_data[m.start()]
+            ]
+            if not calls:
+                continue
+            self.require_admin(fn)
+            tail = r"" if fn == "retire_partitions" else r"\s*,\s*(-?\d+)"
+            lit = _re.compile(
+                rf"(?<![A-Za-z0-9_]){fn}\s*\(\s*{_arg}\s*,\s*{_arg}\s*,\s*{_arg}{tail}\s*\)",
+                _re.I,
+            )
+            matches = [m for m in lit.finditer(out_sql) if not in_data[m.start()]]
+            if len(calls) != len(matches):
+                raise InvalidArgument(
+                    f"{fn}() requires literal arguments "
+                    f"(view_name, begin, end{'' if fn == 'retire_partitions' else ', partition_delta_seconds'})"
+                    " — they are evaluated at plan time"
+                )
+            pieces, last = [], 0
+            for i, m in enumerate(matches):
+                view = m.group(1).replace("''", "'")
+                begin_ns, end_ns = _ns(m.group(2)), _ns(m.group(3))
+                log = TaskLog()
+                if fn == "retire_partitions":
+                    self.lakehouse.retire_partitions(view, begin_ns, end_ns, log)
+                else:
+                    op = (
+                        self.lakehouse.materialize_range
+                        if fn == "materialize_partitions"
+                        else self.lakehouse.regenerate_partitions
+                    )
+                    op(
+                        self.batch_view(view),
+                        begin_ns,
+                        end_ns,
+                        int(m.group(4)) * 1_000_000_000,
+                        log,
+                    )
+                tag = _hashlib.sha1(
+                    f"{fn}\x00{m.group(0)}\x00{i}".encode("utf-8")
+                ).hexdigest()[:8]
+                name = f"_tasklog_{fn}_{tag}"
+                log.to_df(self.spark).createOrReplaceTempView(name)
+                pieces.append(out_sql[last : m.start()])
+                pieces.append(name)
+                last = m.end()
+            pieces.append(out_sql[last:])
+            out_sql = "".join(pieces)
+        return out_sql
+
     def resolve(
         self,
         sql: str,
@@ -569,6 +670,9 @@ class Engine:
                 # pre-materialized temp views so reference queries run
                 # verbatim with zero data through Python
                 exec_sql = self._rewrite_view_instance(sql, begin_ns, end_ns)
+                # admin table functions (S11): literal calls run NOW and
+                # are substituted with their task-log relations
+                exec_sql = self._rewrite_admin_calls(exec_sql)
                 self.prepare_views(exec_sql, begin_ns, end_ns)
                 out = (
                     self.spark.sql(exec_sql, args=args)

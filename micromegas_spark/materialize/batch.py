@@ -483,16 +483,29 @@ class Lakehouse:
         return "created"
 
     def materialize_range(
-        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int
+        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int,
+        log=None,
     ) -> dict[str, int]:
         """Tick over aligned insert-time buckets (maintenance.rs:140-212
-        cadence loop): skip fresh, rebuild stale."""
+        cadence loop): skip fresh, rebuild stale.
+
+        ``log``: optional TaskLog — one progress row per bucket decision
+        plus a summary, mirroring the per-partition messages the
+        reference's logger emits from batch_update.rs:40-100 (S11 task-log
+        surface; see materialize/tasklog.py)."""
         stats: dict[str, int] = {}
         b = begin_ns - begin_ns % bucket_ns
         while b < end_ns:
             status = self.materialize_bucket(spec, b, b + bucket_ns)
             stats[status] = stats.get(status, 0) + 1
+            if log is not None:
+                log.write(f"{spec.name}[{b}, {b + bucket_ns}): {status}")
             b += bucket_ns
+        if log is not None:
+            log.write(
+                f"{spec.name}: done, "
+                + ", ".join(f"{k}={v}" for k, v in sorted(stats.items()))
+            )
         return stats
 
     def merge_partitions(self, spec: BatchViewSpec, begin_ns: int, end_ns: int) -> str:
@@ -656,14 +669,22 @@ class Lakehouse:
         names |= {f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")}
         return sorted(names)
 
-    def retire_partitions(self, view: str, begin_ns: int, end_ns: int) -> int:
+    def retire_partitions(
+        self, view: str, begin_ns: int, end_ns: int, log=None
+    ) -> int:
         """retire_partition_by_metadata (F20): drop partitions whose insert
         bucket lies inside [begin, end) — manifest swap first, then file
-        cleanup (same ordering as write_partition.rs retire+insert)."""
-        with self._view_lock(view):
-            return self._retire_partitions(view, begin_ns, end_ns)
+        cleanup (same ordering as write_partition.rs retire+insert).
 
-    def _retire_partitions(self, view: str, begin_ns: int, end_ns: int) -> int:
+        ``log``: optional TaskLog — one row per retired partition plus a
+        summary (S11; the reference's retire_partitions_table_function
+        streams the same progress)."""
+        with self._view_lock(view):
+            return self._retire_partitions(view, begin_ns, end_ns, log)
+
+    def _retire_partitions(
+        self, view: str, begin_ns: int, end_ns: int, log=None
+    ) -> int:
         parts = self.list_partitions(view)
         keep, drop = [], []
         for p in parts:
@@ -673,6 +694,13 @@ class Lakehouse:
             for p in drop:
                 if os.path.exists(p.path):
                     shutil.rmtree(p.path)
+                if log is not None:
+                    log.write(
+                        f"retired partition {view}[{p.begin_insert_ns}, "
+                        f"{p.end_insert_ns}) at {p.path}"
+                    )
+        if log is not None:
+            log.write(f"{view}: retired {len(drop)} partition(s)")
         return len(drop)
 
     def retire_partition_by_metadata(
@@ -805,12 +833,16 @@ class Lakehouse:
         return len(drop)
 
     def regenerate_partitions(
-        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int
+        self, spec: BatchViewSpec, begin_ns: int, end_ns: int, bucket_ns: int,
+        log=None,
     ) -> dict[str, int]:
         """Force-rebuild aligned buckets bypassing the freshness check
-        (batch_update.rs:278-356)."""
-        self.retire_partitions(spec.name, begin_ns - begin_ns % bucket_ns, end_ns)
-        return self.materialize_range(spec, begin_ns, end_ns, bucket_ns)
+        (batch_update.rs:278-356). ``log``: optional TaskLog (S11) —
+        carries both the retire and rebuild phases' progress."""
+        self.retire_partitions(
+            spec.name, begin_ns - begin_ns % bucket_ns, end_ns, log
+        )
+        return self.materialize_range(spec, begin_ns, end_ns, bucket_ns, log)
 
     # -- reads ---------------------------------------------------------------
 
