@@ -473,6 +473,7 @@ class Engine:
 
         if "view_instance" not in sql.lower():
             return sql
+        self._reject_escaped_string_literals("view_instance()")
         in_data = _sql_data_spans(sql)
         # one arg literal = single-quoted with '' escaping (Spark grammar)
         _arg = r"'((?:[^']|'')*)'"
@@ -537,6 +538,30 @@ class Engine:
         out.append(sql[last:])
         return "".join(out)
 
+    def _reject_escaped_string_literals(self, what: str) -> None:
+        """The plan-time literal scanner (_sql_data_spans) lexes backslash
+        escapes per Spark's DEFAULT string grammar; under
+        spark.sql.parser.escapedStringLiterals=true (Hive compatibility)
+        backslash is a literal character, so the scanner could silently
+        desync on input written for that mode. Refuse loudly instead —
+        the docstring caveat promoted to an error. Checked whenever the
+        rewritten function name appears at all: the scanner itself is
+        what decides whether an occurrence is live, and under the
+        unsupported mode its verdict can't be trusted."""
+        if (
+            self.spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            == "true"
+        ):
+            raise InvalidArgument(
+                f"{what} cannot be rewritten under "
+                "spark.sql.parser.escapedStringLiterals=true — the "
+                "plan-time literal scanner assumes Spark's default string "
+                "grammar (backslash escapes); unset the conf or use the "
+                "Python API directly"
+            )
+
     # admin table functions whose SQL spelling returns the op's task log
     # (S11); all take (view, begin, end) string literals, materialize/
     # regenerate additionally a trailing integer (delta seconds).
@@ -546,7 +571,9 @@ class Engine:
         "retire_partitions",
     )
 
-    def _rewrite_admin_calls(self, sql: str) -> str:
+    def _rewrite_admin_calls(
+        self, sql: str, created_views: list | None = None
+    ) -> str:
         """SQL spelling of the partition-admin surface — the reference's
         documented admin UX (functions-reference.md 'Requires admin';
         materialize/retire/regenerate `*_table_function.rs`): each call
@@ -559,12 +586,23 @@ class Engine:
         string/comment spans are data, calls are identifier-anchored,
         arguments must be literals (evaluated at plan time, like the
         reference's exp_to_string/exp_to_timestamp), and each call runs
-        ONCE — eagerly, in statement order — with its log registered as a
-        uniquely-named temp view substituted into the text. Admin gating
-        is require_admin's "not found" parity: a non-admin session never
-        has these functions registered. Timestamps accept ISO strings or
-        raw epoch-ns integer spellings; materialize/regenerate take a
-        trailing integer partition delta in seconds."""
+        ONCE — eagerly, in ascending source position, so a statement
+        mixing functions (retire then materialize) observes its own
+        left-to-right order against the shared catalog. Argument errors
+        (non-literal args, non-positive delta, unknown view) raise BEFORE
+        any op runs — all calls validate first, like the reference's
+        plan-time argument evaluation; a failure of the op ITSELF becomes
+        the log's final row and the statement still succeeds (the
+        reference's spawner writes the task error as the last log entry,
+        materialize_partitions_table_function.rs). Admin gating is
+        require_admin's "not found" parity: a non-admin session never has
+        these functions registered. Timestamps accept ISO strings or raw
+        epoch-ns integer spellings; materialize/regenerate take a
+        trailing positive integer partition delta in seconds. Each log's
+        temp view is recorded in ``created_views`` so resolve() can drop
+        it once the statement is analyzed — the log must not stay
+        queryable by later statements (or by a non-admin Engine sharing
+        the SparkSession)."""
         import hashlib as _hashlib
         import re as _re
 
@@ -575,6 +613,7 @@ class Engine:
         live = [f for f in self._ADMIN_TABLE_FNS if f in low]
         if not live:
             return sql
+        self._reject_escaped_string_literals("partition-admin table functions")
         _arg = r"'((?:[^']|'')*)'"
 
         def _ns(lit: str) -> int:
@@ -583,12 +622,12 @@ class Engine:
                 return int(lit)
             return to_epoch_ns(lit)
 
-        out_sql = sql
+        in_data = _sql_data_spans(sql)
+        matches: list[tuple] = []  # (match, fn)
         for fn in live:
-            in_data = _sql_data_spans(out_sql)
             calls = [
                 m
-                for m in _re.finditer(rf"(?<![A-Za-z0-9_]){fn}\s*\(", out_sql, _re.I)
+                for m in _re.finditer(rf"(?<![A-Za-z0-9_]){fn}\s*\(", sql, _re.I)
                 if not in_data[m.start()]
             ]
             if not calls:
@@ -599,44 +638,65 @@ class Engine:
                 rf"(?<![A-Za-z0-9_]){fn}\s*\(\s*{_arg}\s*,\s*{_arg}\s*,\s*{_arg}{tail}\s*\)",
                 _re.I,
             )
-            matches = [m for m in lit.finditer(out_sql) if not in_data[m.start()]]
-            if len(calls) != len(matches):
+            found = [m for m in lit.finditer(sql) if not in_data[m.start()]]
+            if len(calls) != len(found):
                 raise InvalidArgument(
                     f"{fn}() requires literal arguments "
                     f"(view_name, begin, end{'' if fn == 'retire_partitions' else ', partition_delta_seconds'})"
                     " — they are evaluated at plan time"
                 )
-            pieces, last = [], 0
-            for i, m in enumerate(matches):
-                view = m.group(1).replace("''", "'")
-                begin_ns, end_ns = _ns(m.group(2)), _ns(m.group(3))
-                log = TaskLog()
-                if fn == "retire_partitions":
-                    self.lakehouse.retire_partitions(view, begin_ns, end_ns, log)
-                else:
-                    op = (
-                        self.lakehouse.materialize_range
-                        if fn == "materialize_partitions"
-                        else self.lakehouse.regenerate_partitions
-                    )
-                    op(
-                        self.batch_view(view),
-                        begin_ns,
-                        end_ns,
-                        int(m.group(4)) * 1_000_000_000,
-                        log,
-                    )
-                tag = _hashlib.sha1(
-                    f"{fn}\x00{m.group(0)}\x00{i}".encode("utf-8")
-                ).hexdigest()[:8]
-                name = f"_tasklog_{fn}_{tag}"
-                log.to_df(self.spark).createOrReplaceTempView(name)
-                pieces.append(out_sql[last : m.start()])
-                pieces.append(name)
-                last = m.end()
-            pieces.append(out_sql[last:])
-            out_sql = "".join(pieces)
-        return out_sql
+            matches += [(m, fn) for m in found]
+        if not matches:
+            return sql
+        matches.sort(key=lambda t: t[0].start())
+
+        # validation pass: every call's arguments check out before ANY op
+        # runs, so a bad third call can't leave the first two half-applied
+        todo = []
+        for m, fn in matches:
+            view = m.group(1).replace("''", "'")
+            begin_ns, end_ns = _ns(m.group(2)), _ns(m.group(3))
+            if fn == "retire_partitions":
+                todo.append((m, fn, (view, begin_ns, end_ns)))
+                continue
+            delta = int(m.group(4))
+            if delta <= 0:
+                # materialize_range's bucket loop requires a positive
+                # stride — 0 would divide by zero, negative never ends
+                raise InvalidArgument(
+                    f"{fn}(): partition_delta_seconds must be a positive "
+                    f"integer, got {delta}"
+                )
+            spec = self.batch_view(view)  # unknown view raises at plan time
+            todo.append((m, fn, (spec, begin_ns, end_ns, delta * 1_000_000_000)))
+
+        pieces, last = [], 0
+        for i, (m, fn, op_args) in enumerate(todo):
+            log = TaskLog()
+            op = {
+                "retire_partitions": self.lakehouse.retire_partitions,
+                "materialize_partitions": self.lakehouse.materialize_range,
+                "regenerate_partitions": self.lakehouse.regenerate_partitions,
+            }[fn]
+            try:
+                op(*op_args, log)
+            except Exception as e:
+                # the task's own failure is the log's final row; the
+                # statement succeeds and returns the log (reference
+                # producers catch and write the error, then close)
+                log.write(f"error: {e}")
+            tag = _hashlib.sha1(
+                f"{fn}\x00{m.group(0)}\x00{i}".encode("utf-8")
+            ).hexdigest()[:8]
+            name = f"_tasklog_{fn}_{tag}"
+            log.to_df(self.spark).createOrReplaceTempView(name)
+            if created_views is not None:
+                created_views.append(name)
+            pieces.append(sql[last : m.start()])
+            pieces.append(name)
+            last = m.end()
+        pieces.append(sql[last:])
+        return "".join(pieces)
 
     def resolve(
         self,
@@ -663,6 +723,7 @@ class Engine:
         # Client/server/CLI paths, keyed off df._mm_query_id).
         with _PLAN_LOCK, job_group(self.spark.sparkContext, query_id, sql):
             t0 = time.time()
+            tasklog_views: list[str] = []
             try:
                 # the reference's primary documented UX is SQL-spelled
                 # view_instance (view_instance_table_function.rs:49-70,
@@ -672,7 +733,7 @@ class Engine:
                 exec_sql = self._rewrite_view_instance(sql, begin_ns, end_ns)
                 # admin table functions (S11): literal calls run NOW and
                 # are substituted with their task-log relations
-                exec_sql = self._rewrite_admin_calls(exec_sql)
+                exec_sql = self._rewrite_admin_calls(exec_sql, tasklog_views)
                 self.prepare_views(exec_sql, begin_ns, end_ns)
                 out = (
                     self.spark.sql(exec_sql, args=args)
@@ -690,6 +751,17 @@ class Engine:
                     query_id, classify_exception(e),
                 )
                 raise
+            finally:
+                # task-log temp views are statement-scoped: the analyzed
+                # plan above holds the resolved LocalRelation, so the
+                # catalog name can (and must) go away — otherwise the
+                # admin op's output stays queryable by later statements,
+                # including by a non-admin Engine on the same session
+                for name in tasklog_views:
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
             # self-observability: the reference's analytics service emits a
             # span per executed query into its own telemetry ("sql spans
             # on", query.rs:207-256; spans land in the lake like any

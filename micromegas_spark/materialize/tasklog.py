@@ -5,8 +5,12 @@ Reference: ``rust/analytics/src/dfext/task_log_exec_plan.rs:35-60`` +
 (``materialize_partitions`` / ``regenerate_partitions`` /
 ``retire_partitions``, ``lakehouse/*_table_function.rs``) return the
 operation's PROGRESS LOG as the query's result table, schema
-``(time: Timestamp, msg: Utf8)``; a task failure surfaces as a stream
-error rather than one more row.
+``(time: Timestamp, msg: Utf8)``; the spawned task catches its own
+failure and writes the error message as the final log row — the query
+still succeeds with the error as the last ``(time, msg)`` entry
+(matched here: engine.py ``_rewrite_admin_calls`` wraps the op and
+appends ``error: ...`` on exception). Argument errors raise at plan
+time in both systems.
 
 Spark-first shape: these ops are driver-side catalog mutations whose
 unit of progress is the partition bucket. A :class:`TaskLog` collects

