@@ -222,14 +222,12 @@ class Client:
         queryable view over the whole directory. Returns rows ingested.
         Append-only and atomic per call (parquet files land whole), like
         the reference's replication endpoint."""
-        import os
-
         import pandas as pd
 
         if not isinstance(data, pd.DataFrame):
             data = data.to_pandas()  # pyarrow Table / RecordBatch
         sdf = self.engine.spark.createDataFrame(data)
-        out = os.path.join(self.engine.warehouse, "ingest", table_name)
+        out = self.engine.fs.url("ingest", table_name)
         sdf.write.mode("append").parquet(out)
         self.engine.register_table(table_name, self.engine.spark.read.parquet(out))
         return len(data)

@@ -331,7 +331,14 @@ class Engine:
         # reports "not found" — functions-reference.md:5). Non-admin
         # engines raise the same way from the partition-admin surface.
         self.admin = admin
-        os.makedirs(self.warehouse, exist_ok=True)
+        # URI-addressed warehouse (fslayer.py): plain path, file://, or an
+        # object-store scheme — the JIT cache and the Lakehouse share the
+        # manifest-is-the-commit discipline, so no code path relies on
+        # rename existing on the store
+        from micromegas_spark.fslayer import WarehouseFS
+
+        self.fs = WarehouseFS(self.warehouse)
+        self.fs.mkdirs(self.fs.url())
         self._views: dict[str, ViewBuilder] = {}
         self._time_columns: dict[str, str] = {}
         self._jit: dict[str, JitViewSet] = {}
@@ -1052,9 +1059,20 @@ class Engine:
         self._jit[vs.name] = vs
 
     def _jit_manifest(self, view_set: str, instance: str) -> str:
-        d = os.path.join(self.warehouse, "_jit", view_set)
-        os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{instance}.json")
+        d = self.fs.url("_jit", view_set)
+        self.fs.mkdirs(d)
+        return f"{d}/{instance}.json"
+
+    def _jit_manifest_load(self, murl: str) -> dict:
+        if self.fs.exists(murl):
+            return json.loads(self.fs.read_bytes(murl))
+        return {}
+
+    def _jit_manifest_save(self, murl: str, manifest: dict) -> None:
+        # the JIT cache's commit point — same contract as the Lakehouse
+        # manifest (fslayer.py): atomic swap on POSIX/HDFS, single PUT on
+        # object stores; partition data dirs are write-once unique paths
+        self.fs.write_bytes_atomic(murl, json.dumps(manifest).encode())
 
     def view_instance(
         self, view_set: str, instance: str, begin_ns: int, end_ns: int,
@@ -1077,40 +1095,34 @@ class Engine:
         if vs.list_blocks is not None:
             return self._view_instance_blocks(vs, instance, begin_ns, end_ns)
         mpath = self._jit_manifest(view_set, instance)
-        manifest: dict[str, dict] = {}
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
+        manifest: dict[str, dict] = self._jit_manifest_load(mpath)
 
         paths = []
         b = begin_ns - begin_ns % bucket_ns
         changed = False
+        stale_dirs: list[str] = []
         while b < end_ns:
             key = str(b)
             cur = vs.source_count(instance, b, b + bucket_ns)
             ent = manifest.get(key)
-            pdir = os.path.join(
-                self.warehouse, view_set, f"instance={instance}", f"bucket={b}"
-            )
             if cur > 0 and (ent is None or ent["hash"] != cur):
                 df = vs.build(instance, b, b + bucket_ns)
-                tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
-                df.write.mode("overwrite").parquet(tmp)
-                if os.path.exists(pdir):
-                    import shutil
-
-                    shutil.rmtree(pdir)
-                os.rename(tmp, pdir)
+                # write-once unique dir; the manifest save below commits
+                pdir = self.fs.unique_dir_url(
+                    view_set, f"instance={instance}", f"bucket={b}"
+                )
+                df.write.mode("overwrite").parquet(pdir)
+                if ent is not None:
+                    stale_dirs.append(ent["path"])
                 manifest[key] = {"hash": cur, "path": pdir}
                 changed = True
             if cur > 0:
                 paths.append(manifest[key]["path"])
             b += bucket_ns
         if changed:
-            tmp = mpath + f".tmp{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, mpath)
+            self._jit_manifest_save(mpath, manifest)
+            for d in stale_dirs:  # unreachable after the commit
+                self.fs.rmtree(d)
         if not paths:
             return self.spark.range(0).select()
         df = self.spark.read.parquet(*paths)
@@ -1137,14 +1149,10 @@ class Engine:
            identity (same_run_ranges), not range shape.
         """
         import hashlib
-        import shutil
 
         blocks = list(vs.list_blocks(instance, begin_ns, end_ns))
         mpath = self._jit_manifest(vs.name, instance) + ".blocks"
-        manifest: dict[str, dict] = {}
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
+        manifest: dict[str, dict] = self._jit_manifest_load(mpath)
 
         groups = group_blocks_into_partitions(blocks, vs.max_nb_objects)
         paths: list[str] = []
@@ -1157,10 +1165,10 @@ class Engine:
             ent = manifest.get(key)
             if ent is None:
                 df = vs.build_blocks(instance, [b["block_id"] for b in grp])
-                pdir = os.path.join(
-                    self.warehouse, vs.name, f"instance={instance}", f"part={key}"
+                # write-once unique dir; the manifest save below commits
+                pdir = self.fs.unique_dir_url(
+                    vs.name, f"instance={instance}", f"part={key}"
                 )
-                tmp = pdir + f".tmp{uuid.uuid4().hex[:8]}"
                 if vs.ensure_begin_non_decreasing:
                     # bounded by max_nb_objects per partition, so the
                     # validation pass is cheap by design; persist so the
@@ -1181,14 +1189,11 @@ class Engine:
                         ensure_begin_non_decreasing(
                             df, vs.time_column, f"{vs.name}/{instance}/{key}"
                         )
-                        df.write.mode("overwrite").parquet(tmp)
+                        df.write.mode("overwrite").parquet(pdir)
                     finally:
                         df.unpersist(blocking=False)
                 else:
-                    df.write.mode("overwrite").parquet(tmp)
-                if os.path.exists(pdir):
-                    shutil.rmtree(pdir)
-                os.rename(tmp, pdir)
+                    df.write.mode("overwrite").parquet(pdir)
                 manifest[key] = {
                     "path": pdir,
                     "begin_ns": min(b["begin_ns"] for b in grp),
@@ -1202,6 +1207,7 @@ class Engine:
         # (tstzrange(..., '[]') && ... in the reference: half-open ranges
         # would miss degenerate and touching shapes); partitions this run
         # wrote or reused are protected by identity, not range shape.
+        retired_dirs: list[str] = []
         for key in [k for k in manifest if k not in run_keys]:
             ent = manifest[key]
             stale = any(
@@ -1210,14 +1216,13 @@ class Engine:
                 for k in run_keys
             )
             if stale:
-                shutil.rmtree(ent["path"], ignore_errors=True)
+                retired_dirs.append(ent["path"])
                 del manifest[key]
                 changed = True
         if changed:
-            tmp = mpath + f".tmp{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, mpath)
+            self._jit_manifest_save(mpath, manifest)
+            for d in retired_dirs:  # unreachable after the commit
+                self.fs.rmtree(d)
         if not paths:
             return self.spark.range(0).select()
         df = self.spark.read.parquet(*paths)

@@ -89,7 +89,7 @@ class WarehouseFS:
         paths normalize via the OS rules."""
         if "://" in url:
             scheme, rest = url.split("://", 1)
-            return scheme + "://" + os.path.normpath("/" + rest).lstrip("/")
+            return scheme + "://" + os.path.normpath("/" + rest.lstrip("/"))
         return os.path.normpath(url)
 
     def local_path(self, *rel: str) -> str | None:

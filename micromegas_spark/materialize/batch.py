@@ -22,11 +22,19 @@ Semantics preserved from the reference:
   log_stats_view.rs:75).
 
 Spark-first choices: partitions are parquet directories under
-``<warehouse>/<view>/<begin>_<end>/`` written to a tmp path and atomically
-renamed; the partition catalog is a JSON manifest per view (the reference
-uses Postgres rows — at cluster scale this becomes a Delta table, same
-contract). Reads are ``spark.read.parquet(selected partition dirs)`` so
-Catalyst still sees plain parquet with full pushdown.
+``<warehouse>/<view>/<begin>_<end>_<token>/`` — written ONCE at a unique,
+never-reused path, then committed by the per-view manifest swap; the
+manifest is the single atomicity point, exactly the reference's shape
+(data to object storage at a unique key, visibility via the catalog's
+transactional retire+insert — write_partition.rs:626-910 — never via
+rename). Readers only open paths the manifest lists, so a half-written
+partition is unreachable by construction, on POSIX and object stores
+alike; the warehouse root may be a plain path or any URI Spark and
+pyarrow.fs both speak (``file://``, ``s3a://``, ``hdfs://`` — fslayer.py).
+The catalog is one parquet file per view (the reference uses Postgres
+rows — at cluster scale this becomes a Delta table, same contract).
+Reads are ``spark.read.parquet(selected partition dirs)`` so Catalyst
+still sees plain parquet with full pushdown.
 """
 
 from __future__ import annotations
@@ -34,10 +42,8 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import threading
 import time
-import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -221,9 +227,12 @@ class Lakehouse:
     """Partition catalog + materialization driver for BatchViewSpecs."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
+        from micromegas_spark.fslayer import WarehouseFS
+
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(os.path.join(warehouse, "_partitions"), exist_ok=True)
+        self.fs = WarehouseFS(warehouse)
+        self.fs.mkdirs(self.fs.url("_partitions"))
 
     @contextmanager
     def _view_lock(self, view: str):
@@ -238,20 +247,26 @@ class Lakehouse:
         first's freshness instead of clobbering it. Locks are per-view:
         maintenance across DIFFERENT views still parallelizes, which is
         the fleet-scale fan-out unit anyway (one writer per view per
-        tick). Crash-safe: flock dies with the process, no stale locks."""
+        tick). Crash-safe: flock dies with the process, no stale locks.
+
+        On a non-local (URI) warehouse there is no flock; the RLock still
+        serializes threads, and the manifest-commit discipline keeps any
+        cross-process interleaving CONSISTENT (each writer's swap is
+        atomic and readers only follow the manifest) — last-writer-wins
+        on a lost race, the same posture as the reference before its
+        Postgres catalog arbitrates (cluster deployments schedule one
+        writer per view per tick, maintenance.rs's daemon model)."""
         import fcntl
 
-        key = (os.path.abspath(self.warehouse), view)
+        key = (self.fs.root_url, view)
         with _VIEW_LOCKS_GUARD:
             rl = _VIEW_LOCKS.setdefault(key, threading.RLock())
         with rl:
             # depth guarded by rl: only the holding thread touches it
             depth = _VIEW_LOCK_DEPTH.get(key, 0)
             fd = None
-            if depth == 0:
-                lock_path = os.path.join(
-                    self.warehouse, "_partitions", f"{view}.lock"
-                )
+            lock_path = self.fs.local_path("_partitions", f"{view}.lock")
+            if depth == 0 and lock_path is not None:
                 fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
                 fcntl.flock(fd, fcntl.LOCK_EX)
             _VIEW_LOCK_DEPTH[key] = depth + 1
@@ -273,9 +288,10 @@ class Lakehouse:
     # (partition_cache.rs:329-466). At fleet scale (10⁶ partitions) a
     # columnar manifest loads in milliseconds and predicate-prunes;
     # sub-file row groups keep even a giant view's catalog scannable.
-    # Atomicity: write-tmp-then-os.replace on the per-view file — the
-    # same atomic retire+insert the JSON manifest had. Legacy JSON
-    # manifests are still read (and upgraded on the next save).
+    # Atomicity: one atomic swap of the per-view file (tmp+move on
+    # POSIX/HDFS, single PUT on object stores — fslayer.py) — the
+    # transactional retire+insert. Legacy JSON manifests are still read
+    # (and upgraded on the next save).
 
     _MANIFEST_FIELDS = [
         "begin_insert_ns",
@@ -289,22 +305,22 @@ class Lakehouse:
     ]
 
     def _manifest_path(self, view: str) -> str:
-        return os.path.join(self.warehouse, "_partitions", f"{view}.parquet")
+        return self.fs.url("_partitions", f"{view}.parquet")
 
     def _legacy_manifest_path(self, view: str) -> str:
-        return os.path.join(self.warehouse, "_partitions", f"{view}.json")
+        return self.fs.url("_partitions", f"{view}.json")
 
     def list_partitions(self, view: str) -> list[Partition]:
-        import pyarrow.parquet as pq
-
         p = self._manifest_path(view)
-        if not os.path.exists(p):
+        if not self.fs.exists(p):
             legacy = self._legacy_manifest_path(view)
-            if os.path.exists(legacy):
-                with open(legacy) as f:
-                    return [Partition(**row) for row in json.load(f)]
+            if self.fs.exists(legacy):
+                return [
+                    Partition(**row)
+                    for row in json.loads(self.fs.read_bytes(legacy))
+                ]
             return []
-        tbl = pq.read_table(p)
+        tbl = self.fs.read_parquet_table(p)
         out = []
         for row in tbl.to_pylist():
             row.pop("view", None)
@@ -315,7 +331,6 @@ class Lakehouse:
 
     def _save_manifest(self, view: str, parts: list[Partition]) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         schema = pa.schema(
             [
@@ -340,12 +355,13 @@ class Lakehouse:
                 rows[f].append(getattr(p, f))
             rows["column_stats_json"].append(json.dumps(p.column_stats or {}))
         tbl = pa.Table.from_pydict(rows, schema=schema)
-        tmp = self._manifest_path(view) + f".tmp{uuid.uuid4().hex[:8]}"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, self._manifest_path(view))  # atomic retire+insert
+        # THE commit point: atomic swap (tmp+move on POSIX/HDFS, single
+        # PUT on object stores) — the reference's transactional
+        # retire+insert, write_partition.rs:626-910
+        self.fs.write_parquet_table_atomic(tbl, self._manifest_path(view))
         legacy = self._legacy_manifest_path(view)
-        if os.path.exists(legacy):  # upgraded: the parquet file now wins
-            os.remove(legacy)
+        if self.fs.exists(legacy):  # upgraded: the parquet file now wins
+            self.fs.delete_file(legacy)
 
     _MANIFEST_DDL = (
         "view STRING, begin_insert_ns BIGINT, end_insert_ns BIGINT, "
@@ -362,9 +378,12 @@ class Lakehouse:
         legacy JSON manifest (not yet upgraded by a save) are included
         via driver-side rows, so a pre-upgrade warehouse reports its
         full catalog."""
-        d = os.path.join(self.warehouse, "_partitions")
-        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
-        pq_views = {os.path.basename(f)[: -len(".parquet")] for f in files}
+        files = [
+            self.fs.url("_partitions", f)
+            for f in self.fs.listdir(self.fs.url("_partitions"))
+            if f.endswith(".parquet") and ".tmp" not in f
+        ]
+        pq_views = {f.rsplit("/", 1)[-1][: -len(".parquet")] for f in files}
         legacy_rows = [
             (
                 v,
@@ -441,12 +460,12 @@ class Lakehouse:
                 if cov.source_hash == cov_hash:
                     return "covered"
             # stale covering partition or misaligned partial overlaps:
-            # retire them, then recreate this bucket from source
+            # retire them (manifest swap FIRST — files only after they
+            # are unreachable), then recreate this bucket from source
             keep = [p for p in parts if p not in overlapping]
             self._save_manifest(spec.name, keep)
             for p in overlapping:
-                if os.path.exists(p.path):
-                    shutil.rmtree(p.path)
+                self.fs.rmtree(p.path)
             parts = keep
             existing = [
                 p for p in parts if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
@@ -459,13 +478,17 @@ class Lakehouse:
         # job (stats are free at write time; they buy catalog-level data
         # skipping at read time)
         bounds, column_stats = _bounds_and_stats(df, spec.time_column)
-        out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
-        tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp_dir)
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        os.rename(tmp_dir, out_dir)
+        # write-once to a unique, never-reused path; the manifest swap
+        # below is the commit (write_partition.rs: unique object key +
+        # catalog insert — no rename on any filesystem)
+        out_dir = self.fs.unique_dir_url(spec.name, f"{begin_ns}_{end_ns}")
+        df.write.mode("overwrite").parquet(out_dir)
 
+        replaced = [
+            p.path
+            for p in parts
+            if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
+        ]
         parts = [p for p in parts if not (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)]
         parts.append(
             Partition(
@@ -480,6 +503,9 @@ class Lakehouse:
             )
         )
         self._save_manifest(spec.name, parts)
+        for old in replaced:  # retire files only once unreachable
+            if old != out_dir:
+                self.fs.rmtree(old)
         return "created"
 
     def materialize_range(
@@ -524,8 +550,8 @@ class Lakehouse:
         src = self.spark.read.parquet(*[p.path for p in inside])
         src.createOrReplaceTempView("source")
         merged = self.spark.sql(spec.merge_query)
-        out_dir = os.path.join(self.warehouse, spec.name, f"{begin_ns}_{end_ns}")
-        tmp_dir = out_dir + f".tmp{uuid.uuid4().hex[:8]}"
+        # unique write-once path; the manifest swap below is the commit
+        out_dir = self.fs.unique_dir_url(spec.name, f"{begin_ns}_{end_ns}")
         # recompute column stats from the MERGED rows — child stats can't
         # be unioned because merge_query re-aggregates (a SUM(count) can
         # exceed any child's max); merged partitions are the biggest, so
@@ -534,16 +560,13 @@ class Lakehouse:
         merged = merged.persist()
         try:
             _, column_stats = _bounds_and_stats(merged, spec.time_column)
-            merged.write.mode("overwrite").parquet(tmp_dir)
+            merged.write.mode("overwrite").parquet(out_dir)
         finally:
             merged.unpersist()
         bounds_mn = min(p.min_event_ns for p in inside)
         bounds_mx = max(p.max_event_ns for p in inside)
         src_hash = sum(p.source_hash for p in inside)
         old_paths = [p.path for p in inside]
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        os.rename(tmp_dir, out_dir)
         rest = [p for p in parts if p not in inside]
         rest.append(
             Partition(
@@ -559,8 +582,8 @@ class Lakehouse:
         )
         self._save_manifest(spec.name, rest)
         for p in old_paths:  # retire after the manifest swap
-            if p != out_dir and os.path.exists(p):
-                shutil.rmtree(p)
+            if p != out_dir:
+                self.fs.rmtree(p)
         return "merged"
 
     def materialize_all(
@@ -656,17 +679,18 @@ class Lakehouse:
                 drop = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) in bad]
                 self._save_manifest(v, keep)
                 for p in drop:
-                    if os.path.exists(p.path):
-                        shutil.rmtree(p.path)
+                    self.fs.rmtree(p.path)
             out[v] = len(drop)
         return out
 
     def list_view_sets(self) -> list[str]:
-        d = os.path.join(self.warehouse, "_partitions")
+        entries = self.fs.listdir(self.fs.url("_partitions"))
         names = {
-            f[: -len(".parquet")] for f in os.listdir(d) if f.endswith(".parquet")
+            f[: -len(".parquet")]
+            for f in entries
+            if f.endswith(".parquet") and ".tmp" not in f
         }
-        names |= {f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")}
+        names |= {f[: -len(".json")] for f in entries if f.endswith(".json")}
         return sorted(names)
 
     def retire_partitions(
@@ -692,8 +716,7 @@ class Lakehouse:
         if drop:
             self._save_manifest(view, keep)
             for p in drop:
-                if os.path.exists(p.path):
-                    shutil.rmtree(p.path)
+                self.fs.rmtree(p.path)
                 if log is not None:
                     log.write(
                         f"retired partition {view}[{p.begin_insert_ns}, "
@@ -729,8 +752,7 @@ class Lakehouse:
             if drop:
                 self._save_manifest(view_set_name, keep)
                 for p in drop:
-                    if os.path.exists(p.path):
-                        shutil.rmtree(p.path)
+                    self.fs.rmtree(p.path)
             return len(drop)
 
     def retire_partition_by_file(self, path: str) -> int:
@@ -738,15 +760,14 @@ class Lakehouse:
         the reference keeps it for compatibility and steers users to the
         metadata variant): retire the single partition whose storage path
         matches, across all view sets. Returns partitions retired (0/1)."""
-        norm = os.path.normpath(path)
+        norm = self.fs.norm_url(path)
         for view in self.list_view_sets():
             with self._view_lock(view):
                 parts = self.list_partitions(view)
-                keep = [p for p in parts if os.path.normpath(p.path) != norm]
+                keep = [p for p in parts if self.fs.norm_url(p.path) != norm]
                 if len(keep) != len(parts):
                     self._save_manifest(view, keep)
-                    if os.path.exists(norm):
-                        shutil.rmtree(norm)
+                    self.fs.rmtree(norm)
                     return len(parts) - len(keep)
         return 0
 
@@ -828,8 +849,7 @@ class Lakehouse:
         if drop:
             self._save_manifest(view, keep)
             for p in drop:
-                if os.path.exists(p.path):
-                    shutil.rmtree(p.path)
+                self.fs.rmtree(p.path)
         return len(drop)
 
     def regenerate_partitions(
