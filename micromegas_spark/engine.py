@@ -705,6 +705,67 @@ class Engine:
         pieces.append(sql[last:])
         return "".join(pieces)
 
+    def parse_streamable_admin_call(self, sql: str):
+        """The served path's STREAMING-eligible admin spelling: a statement
+        that is exactly one admin table-function call selected whole —
+        ``SELECT * FROM <fn>('view', 'begin', 'end'[, delta])`` — parsed,
+        validated and returned as ``(fn, op, op_args)`` ready to run with
+        a caller-provided TaskLog; ``None`` for anything else (projections,
+        joins, WHERE, composed statements), which falls back to the
+        at-completion rewrite (_rewrite_admin_calls). This mirrors the
+        reference, whose TaskLogExecPlan streams exactly when the admin
+        call IS the plan root (task_log_exec_plan.rs:35-60); a composed
+        statement needs the full relation before Spark can plan over it.
+
+        Validation parity with the rewrite: admin gating first ("not
+        found" for non-admin), positive delta, view resolved at plan
+        time. Arity mismatches (materialize without a delta, retire with
+        one) return None so the rewrite raises its single authoritative
+        literal-arguments error."""
+        import re as _re
+
+        from micromegas_spark.timeutils import to_epoch_ns
+
+        _a = r"'((?:[^']|'')*)'"
+        m = _re.fullmatch(
+            r"\s*SELECT\s+\*\s+FROM\s+"
+            r"(materialize_partitions|regenerate_partitions|retire_partitions)"
+            rf"\s*\(\s*{_a}\s*,\s*{_a}\s*,\s*{_a}\s*(?:,\s*(-?\d+)\s*)?\)\s*;?\s*",
+            sql,
+            _re.I,
+        )
+        if not m:
+            return None
+        fn = m.group(1).lower()
+        has_delta = m.group(5) is not None
+        if (fn == "retire_partitions") == has_delta:
+            return None  # wrong arity → the rewrite's error path owns it
+        self.require_admin(fn)
+
+        def _ns(lit: str) -> int:
+            lit = lit.replace("''", "'").strip()
+            if _re.fullmatch(r"-?\d+", lit):
+                return int(lit)
+            return to_epoch_ns(lit)
+
+        view = m.group(2).replace("''", "'")
+        begin_ns, end_ns = _ns(m.group(3)), _ns(m.group(4))
+        if fn == "retire_partitions":
+            return fn, self.lakehouse.retire_partitions, (view, begin_ns, end_ns)
+        delta = int(m.group(5))
+        if delta <= 0:
+            raise InvalidArgument(
+                f"{fn}(): partition_delta_seconds must be a positive "
+                f"integer, got {delta}"
+            )
+        op = (
+            self.lakehouse.materialize_range
+            if fn == "materialize_partitions"
+            else self.lakehouse.regenerate_partitions
+        )
+        spec = self.batch_view(view)  # unknown view raises at plan time
+        return fn, op, (spec, begin_ns, end_ns, delta * 1_000_000_000)
+
     def resolve(
         self,
         sql: str,

@@ -331,6 +331,13 @@ class FlightSQLServer:
         # (so query_metrics attributes this request's task metrics)
         query_id = uuid.uuid4().hex[:16]
         try:
+            # S11 streaming (VERDICT r9 #3): a pure admin-call statement
+            # streams its task log per bucket WHILE the op runs — the
+            # reference's mpsc → AsyncLogStream shape — instead of the
+            # embedded path's at-completion relation
+            parsed = self.engine.parse_streamable_admin_call(sql)
+            if parsed is not None:
+                return self._stream_task_log(parsed, sql, query_id)
             df = self.engine.resolve(sql, begin_ns, end_ns, query_id=query_id)
         except Exception as e:
             # classify: caller mistakes surface as gRPC InvalidArgument
@@ -405,6 +412,83 @@ class FlightSQLServer:
         return flight.GeneratorStream(
             schema, attributed(_stream_batches(df, self.batch_rows))
         )
+
+    def _stream_task_log(self, parsed, sql: str, query_id: str):
+        """Stream an admin op's (time, msg) log per bucket AS IT RUNS —
+        the served-path closure of S11's documented delta (reference:
+        ``dfext/task_log_exec_plan.rs:35-60`` feeds an AsyncLogStream
+        from an mpsc channel while the spawned task progresses; here a
+        queue-backed TaskLog feeds DoGet one record batch per progress
+        row while the op runs on a worker thread). Failure semantics
+        match the rewrite path: the op's own error becomes the final log
+        row and the stream completes cleanly (reference producers catch
+        and write, then close). The embedded (non-served) path keeps
+        at-completion semantics — a Spark temp-view relation cannot emit
+        partial batches (materialize/tasklog.py docstring)."""
+        import queue as _queue
+        import threading
+        import time as _time
+
+        import pyarrow as pa
+
+        from micromegas_spark.engine import job_group
+        from micromegas_spark.materialize.tasklog import TaskLog
+
+        flight = _flight()
+        fn, op, op_args = parsed
+        q: _queue.SimpleQueue = _queue.SimpleQueue()
+        done = object()
+
+        class _StreamingLog(TaskLog):
+            def write(self, msg: str) -> None:
+                super().write(msg)
+                q.put(self.rows[-1])
+
+        log = _StreamingLog()
+        t0 = _time.time()
+
+        def run() -> None:
+            try:
+                # attribute the op's Spark jobs to this request (#1406)
+                with job_group(self.engine.spark.sparkContext, query_id, sql):
+                    op(*op_args, log)
+            except Exception as e:
+                log.write(f"error: {e}")
+            finally:
+                q.put(done)
+
+        worker = threading.Thread(
+            target=run, daemon=True, name=f"tasklog-{query_id}"
+        )
+        schema = pa.schema(
+            [
+                pa.field("time", pa.timestamp("us", tz="UTC")),
+                pa.field("msg", pa.string()),
+            ]
+        )
+
+        def batches():
+            worker.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is done:
+                        break
+                    t_ns, msg = item
+                    yield pa.record_batch(
+                        [
+                            pa.array([t_ns // 1000], pa.timestamp("us", tz="UTC")),
+                            pa.array([msg], pa.string()),
+                        ],
+                        schema=schema,
+                    )
+            finally:
+                worker.join(timeout=60)
+                self.engine.log_query(
+                    sql, None, None, (_time.time() - t0) * 1000.0, query_id
+                )
+
+        return flight.GeneratorStream(schema, batches())
 
     def _get_flight_info(self, context, descriptor):
         import uuid

@@ -592,15 +592,22 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     partial hash aggregate, and the shuffle carries the aggregate's
     output rows (pair + count).
 
-    The repartition by hash(ids) is the load-bearing trick: a clone
+    The groupBy(ids) weight pre-aggregate is the load-bearing trick
+    (r10, replacing r9's repartition-by-hash(ids) co-location): a clone
     cluster's buckets are IDENTICAL id lists repeated once per shared
-    shingle, so co-locating equal lists lets the partial aggregate
-    collapse a cluster's n-fold duplicate pairs to ONE pre-shuffle row —
-    the shuffle is then proportional to DISTINCT co-occurring pairs, not
-    pairs × shingles. (Mixed buckets co-locate only when byte-equal;
-    the aggregate stays correct either way, just less pre-reduced.) One
-    mega-cluster signature lands on a single task — bounded at
-    buckets × C(max_doc_freq, 2) emissions by the df cap upstream.
+    shingle, so collapsing equal lists to ONE (ids, _w) row FIRST means
+    (a) the bucket shuffle carries each distinct list once — map-side
+    combine fires before the exchange, which the bare repartition never
+    did — and (b) the pair explode and its aggregate's hash-table
+    insertions run once per distinct list instead of once per bucket
+    copy, with the multiplicity restored by SUM(_w). The pair shuffle
+    is then proportional to DISTINCT co-occurring pairs, not pairs ×
+    shingles, and nothing re-processes a clone cluster's signature per
+    shingle. (Mixed buckets collapse only when byte-equal; the
+    aggregate stays correct either way, just less pre-reduced.) A
+    mega-cluster signature is one row, not one task-full of copies —
+    and stays bounded at C(max_doc_freq, 2) emissions by the df cap
+    upstream.
 
     Per-doc set sizes ride INSIDE the bucket structs ({i, n} from
     _sized_buckets), so the aggregate emits (_ia, _na, _ib, _nb, _inter)
@@ -624,14 +631,16 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
     row × 32 concurrent tasks was a measured executor heap OOM at sf10.
     The two-step form streams through whole-stage codegen with O(k)
     per-row memory; the pair rows never materialize as a collection."""
-    p = buckets.sparkSession.sparkContext.defaultParallelism
-    b = buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids")).repartition(
-        p * 4, F.hash("ids")
+    b = (
+        buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids"))
+        .groupBy("ids")
+        .agg(F.count("*").alias("_w"))
     )
-    left = b.select(F.posexplode("ids").alias("_i", "_a"), F.col("ids"))
+    left = b.select(F.posexplode("ids").alias("_i", "_a"), F.col("ids"), F.col("_w"))
     return (
         left.select(
             "_a",
+            "_w",
             # 0-based pos → partners strictly after _a; slice tolerates
             # length past the end and yields [] at the last element
             F.explode(
@@ -644,7 +653,7 @@ def _pair_counts(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
             F.col("_b.i").alias("_ib"),
             F.col("_b.n").alias("_nb"),
         )
-        .agg(F.count("*").alias("_inter"))
+        .agg(F.sum("_w").alias("_inter"))
     )
 
 
@@ -732,22 +741,25 @@ def _pair_counts_with_sizes(
 
 
 def _pair_counts_narrow(buckets: DataFrame, list_col: str = "ids") -> DataFrame:
-    """_pair_counts over plain id lists (no size structs): same two-step
-    explode and hash(ids) co-location, emitting (_ia, _ib, _inter)."""
-    p = buckets.sparkSession.sparkContext.defaultParallelism
-    b = buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids")).repartition(
-        p * 4, F.hash("ids")
+    """_pair_counts over plain id lists (no size structs): same distinct-
+    list weight pre-collapse and two-step explode, emitting
+    (_ia, _ib, _inter)."""
+    b = (
+        buckets.select(F.array_sort(F.array_distinct(list_col)).alias("ids"))
+        .groupBy("ids")
+        .agg(F.count("*").alias("_w"))
     )
-    left = b.select(F.posexplode("ids").alias("_i", "_ia"), F.col("ids"))
+    left = b.select(F.posexplode("ids").alias("_i", "_ia"), F.col("ids"), F.col("_w"))
     return (
         left.select(
             "_ia",
+            "_w",
             F.explode(
                 F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
             ).alias("_ib"),
         )
         .groupBy("_ia", "_ib")
-        .agg(F.count("*").alias("_inter"))
+        .agg(F.sum("_w").alias("_inter"))
     )
 
 
@@ -1090,12 +1102,20 @@ def winnow_overlap_pairs(
     plagiarism/quotation overlaps that whole-document resemblance misses.
     Output: (id_a, id_b, n_shared).
 
-    Scale shape — identical to the MinHash band path: one fingerprint
+    Scale shape — identical to the exact-jaccard verify: one fingerprint
     posting relation, bucket-collect per fingerprint with the
     ``max_doc_freq`` cap (a fingerprint shared by the whole corpus is
-    boilerplate, not signal), in-bucket higher-order pair cross, then a
-    count aggregation. No posting self-join, no O(n²) pair space; the
-    only shuffles are the fp groupBy and the (id_a, id_b) count."""
+    boilerplate, not signal), then _pair_counts_narrow's index-native
+    co-occurrence count: buckets repartition by hash(ids) so a clone
+    cluster's IDENTICAL id lists (repeated once per shared fingerprint —
+    winnow clones share ~all fingerprints) co-locate and the partial
+    aggregate collapses the n-fold duplicate pairs to ONE pre-shuffle
+    row; the count shuffle then carries distinct co-occurring pairs,
+    not pairs × fingerprints. n_shared IS the aggregate's _inter. No
+    posting self-join, no O(n²) pair space, nothing wider than 24 bytes
+    per pair through any shuffle (the r9 flattened HOF pair cross
+    shuffled every duplicate pair row and was the 28 GB/sf10 scratch
+    ceiling — VERDICT r9 task 2 / SCALE.md watchpoint 8)."""
     from pyspark import StorageLevel
 
     # persisted: the winnow HOF (an md5 per character position) is the
@@ -1109,9 +1129,11 @@ def winnow_overlap_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
     )
     return (
-        _bucket_pairs(buckets, "ids")
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        _pair_counts_narrow(buckets)
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.col("_inter").cast("bigint").alias("n_shared"),
+        )
         .where(F.col("n_shared") >= min_shared)
     )

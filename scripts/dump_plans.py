@@ -151,7 +151,65 @@ SHOWCASE = [
         "token sum, bounded map-side sequence explode (~tokens/window + "
         "n_docs rows), one final aggregation — no pair space",
     ),
+    (
+        "emb_dedup_clusters_16",
+        "sign-LSH embedding dedup at the 16-plane operating point — the "
+        "SCALE-PATH plan (measured linear sf30→sf50, SCALE.md octave): "
+        "plane projections are map-side expressions, one bucket groupBy, "
+        "cap-bounded in-bucket pair cross, no cartesian",
+    ),
 ]
+
+
+def _streaming_transit_plan(spark, sf_dir: str) -> str:
+    """events_transit_stream's MICRO-BATCH executed plan. The registry
+    query wraps run-and-read (its returned DataFrame is the batch read of
+    the sink), so the showcase rebuilds the minimal stream — binaryFile
+    readStream → stream-static metadata join → mapInPandas decode →
+    parquet sink, availableNow — and captures explainInternal from the
+    completed run (the plan Structured Streaming actually executed per
+    micro-batch)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.queries.engine_ops import _transit_event_blocks
+    from micromegas_spark.sources.transit import (
+        stream_transit_blobs,
+        write_transit_blobs,
+    )
+
+    blocks, meta = _transit_event_blocks(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="plandump_transit_")
+    try:
+        blob_root = os.path.join(tmp, "blobs")
+        os.makedirs(blob_root, exist_ok=True)
+        streams_meta = spark.createDataFrame(
+            [("s-even", bytearray(meta), bytearray(meta)),
+             ("s-odd", bytearray(meta), bytearray(meta))],
+            "stream_id STRING, dependencies_metadata BINARY, "
+            "objects_metadata BINARY",
+        )
+        write_transit_blobs(
+            blocks.select(
+                F.when(F.col("user_id") % 2 == 0, F.lit("s-even"))
+                .otherwise(F.lit("s-odd"))
+                .alias("stream_id"),
+                "block_id",
+                "payload",
+            ),
+            blob_root,
+            "proc-plan",
+        )
+        q = stream_transit_blobs(
+            spark, blob_root, streams_meta,
+            os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        return q._jsq.explainInternal(False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -170,9 +228,22 @@ def main() -> None:
         df = REGISTRY[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", "", f"_{why}_", "", "```", plan.rstrip(), "```", ""]
+    out += [
+        "## events_transit_stream (micro-batch executed plan)",
+        "",
+        "_streaming ingestion: binaryFile readStream → stream-static "
+        "metadata join (broadcast — the dim is KB-size) → Arrow-batched "
+        "mapInPandas decode → parquet sink; stateless, so ingest "
+        "parallelism IS the file-scan parallelism (no state store)_",
+        "",
+        "```",
+        _streaming_transit_plan(spark, sf_dir).rstrip(),
+        "```",
+        "",
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"PLANS.md written ({len(SHOWCASE)} plans)")
+    print(f"PLANS.md written ({len(SHOWCASE) + 1} plans)")
     spark.stop()
 
 

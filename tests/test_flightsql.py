@@ -328,3 +328,106 @@ def test_top_level_connect(server):
 
     with micromegas_spark.connect(server.uri) as c:
         assert int(c.query("SELECT CAST(2 AS BIGINT) AS two")["two"][0]) == 2
+
+
+# -- S11 streamed task log over DoGet (VERDICT r9 #3) ------------------------
+
+
+def _admin_engine_with_logstats(spark, wh):
+    from micromegas_spark.materialize import LOG_STATS
+    from micromegas_spark.sources.synthetic import generate
+
+    data = generate(seed=11)
+    spark.createDataFrame(data["blocks"]).join(
+        spark.createDataFrame(data["streams"]).select("stream_id", "tags"),
+        "stream_id",
+    ).createOrReplaceTempView("blocks")
+    spark.createDataFrame(data["log_entries"]).createOrReplaceTempView(
+        "log_entries"
+    )
+    eng = Engine(spark, warehouse=wh)
+    eng.register_batch_view(LOG_STATS)
+    HOUR = 3_600 * 10**9
+    ins = [b["insert_time_ns"] for b in data["blocks"]]
+    lo = min(ins) - min(ins) % HOUR
+    hi = max(ins) - max(ins) % HOUR + HOUR
+    return eng, lo, hi, (hi - lo) // HOUR
+
+
+def test_tasklog_streams_batches_while_op_runs(spark, tmp_path_factory):
+    """The served path closes S11's documented delta: on a multi-bucket
+    materialize, DoGet must deliver log batches WHILE the op runs — the
+    catalog visibly advances between received chunks (reference: mpsc →
+    AsyncLogStream, task_log_exec_plan.rs:35-60)."""
+    wh = str(tmp_path_factory.mktemp("flight_tasklog"))
+    eng, lo, hi, n_buckets = _admin_engine_with_logstats(spark, wh)
+    assert n_buckets >= 2, "need a multi-bucket op to observe streaming"
+    sql = f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)"
+    with FlightSQLServer(eng) as srv, flight.FlightClient(srv.uri) as raw:
+        reader = raw.do_get(flight.Ticket(sql.encode()))
+        msgs, seen_partitions = [], []
+        while True:
+            try:
+                chunk = reader.read_chunk()
+            except StopIteration:
+                break
+            tbl = chunk.data
+            msgs += tbl.column("msg").to_pylist()
+            seen_partitions.append(len(eng.lakehouse.list_partitions("log_stats")))
+    # one batch per bucket decision + the summary row
+    assert len(msgs) == n_buckets + 1
+    assert sum(": created" in m for m in msgs) >= 1
+    assert msgs[-1].startswith("log_stats: done,")
+    # ≥2 batches arrived BEFORE the op completed: the catalog was still
+    # filling when early chunks landed, and advanced during the read loop
+    assert seen_partitions[0] < n_buckets
+    assert seen_partitions[0] < seen_partitions[-1]
+
+
+def test_tasklog_stream_failure_is_final_row(spark, tmp_path_factory):
+    """Op failure on the streamed path: the error message is the final
+    (time, msg) row and the stream completes cleanly (the reference's
+    producers catch and write, then close)."""
+    from micromegas_spark.materialize import BatchViewSpec
+
+    wh = str(tmp_path_factory.mktemp("flight_tasklog_fail"))
+    eng, lo, hi, _ = _admin_engine_with_logstats(spark, wh)
+    eng.register_batch_view(
+        BatchViewSpec(
+            name="broken_view",
+            count_query="SELECT 1 AS src",
+            extract_query="SELECT boom FROM no_such_table_{begin}",
+            merge_query="SELECT * FROM source",
+            time_column="boom",
+        )
+    )
+    sql = f"SELECT * FROM materialize_partitions('broken_view', '{lo}', '{hi}', 3600)"
+    with FlightSQLServer(eng) as srv, flight.FlightClient(srv.uri) as raw:
+        tbl = raw.do_get(flight.Ticket(sql.encode())).read_all()
+    msgs = tbl.column("msg").to_pylist()
+    assert msgs and msgs[-1].startswith("error: ")
+
+
+def test_tasklog_stream_admin_gate_and_bad_delta(spark, tmp_path_factory):
+    """Parity with the rewrite path: non-admin gets 'not found'; a
+    non-positive delta is an InvalidArgument BEFORE any op runs."""
+    wh = str(tmp_path_factory.mktemp("flight_tasklog_gate"))
+    eng, lo, hi, _ = _admin_engine_with_logstats(spark, wh)
+    import pyarrow as pa
+
+    with FlightSQLServer(eng) as srv, flight.FlightClient(srv.uri) as raw:
+        # caller mistake → gRPC InvalidArgument → pyarrow ArrowInvalid
+        with pytest.raises(pa.lib.ArrowInvalid, match="positive"):
+            raw.do_get(
+                flight.Ticket(
+                    f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 0)".encode()
+                )
+            ).read_all()
+    non = Engine(spark, warehouse=wh + "_na", admin=False)
+    with FlightSQLServer(non) as srv, flight.FlightClient(srv.uri) as raw:
+        with pytest.raises(flight.FlightError, match="not found"):
+            raw.do_get(
+                flight.Ticket(
+                    f"SELECT * FROM materialize_partitions('log_stats', '{lo}', '{hi}', 3600)".encode()
+                )
+            ).read_all()

@@ -391,3 +391,34 @@ def test_parse_byte_conf_grammar():
     assert _parse_byte_conf("512k") == 512 * 1024
     assert _parse_byte_conf("-1") == -1
     assert _parse_byte_conf("100b") == 100
+
+
+def test_emb_dedup_16_planes_bucketed_no_cartesian(spark):
+    """The SCALE-PATH sign-LSH operating point (emb_dedup_clusters_16,
+    measured linear sf30→sf50): plane projections are map-side
+    expressions, candidates come from the plane-signature bucket collect
+    — never a cartesian over the embedding table."""
+    plan = _plan(spark, "emb_dedup_clusters_16")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pair_verify_collapses_duplicate_buckets_before_explode(spark):
+    """VERDICT r9 task 2: the jaccard/winnow verify pre-collapses
+    byte-equal bucket id-lists to (ids, weight) rows BEFORE the pair
+    explode (groupBy(ids) with map-side combine), so a clone cluster's
+    signature shuffles once and the pair aggregate SUMs weights instead
+    of re-counting each bucket copy. Plan evidence: an aggregate keyed
+    on the sorted id-list feeds the posexplode."""
+    for name in ("docs_ngram_jaccard", "docs_winnow_overlap"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # the distinct-list weight aggregate (keys=[ids...], count) runs
+        # below the pair-generating explode
+        agg_on_ids = [
+            ln
+            for ln in plan.splitlines()
+            if "HashAggregate" in ln and "keys=[ids" in ln
+        ]
+        assert agg_on_ids, f"{name}: no (ids, weight) pre-collapse in plan"
+        assert "posexplode" in plan, name
