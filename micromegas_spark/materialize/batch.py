@@ -835,6 +835,44 @@ class Lakehouse:
             )
         return stats
 
+    def vacuum_orphans(self, view: str, min_age_seconds: float = 3600.0) -> int:
+        """Remove data directories no manifest entry references — the
+        write-once/commit-by-manifest design makes a crash between the
+        parquet write and the manifest swap leave an orphan dir that is
+        INVISIBLE to readers (by construction) but holds storage until
+        vacuumed, exactly Delta's VACUUM situation (the reference's
+        Postgres catalog has the same orphan window between the object
+        PUT and the row insert; its retention daemon sweeps). Runs under
+        the view lock so it cannot race a writer in the lock domain;
+        ``min_age_seconds`` additionally protects an in-flight write from
+        a vacuum running outside it (object-store deployments without
+        flock). Returns directories removed."""
+        import time as _time
+
+        with self._view_lock(view):
+            live = {
+                self.fs.norm_url(p.path) for p in self.list_partitions(view)
+            }
+            view_root = self.fs.url(view)
+            if not self.fs.exists(view_root):
+                return 0
+            removed = 0
+            now = _time.time()
+            for name in self.fs.listdir(view_root):
+                url = f"{view_root}/{name}"
+                if self.fs.norm_url(url) in live:
+                    continue
+                try:
+                    info = self.fs.fs.get_file_info(self.fs.fs_path(url))
+                    mtime = info.mtime.timestamp() if info.mtime else 0.0
+                except Exception:
+                    mtime = 0.0
+                if now - mtime < min_age_seconds:
+                    continue  # possibly a write in flight outside the lock
+                self.fs.rmtree(url)
+                removed += 1
+            return removed
+
     def retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
         """Retention: drop partitions whose insert bucket ended before the
         cutoff (rust/analytics/src/delete.rs:13-60 'delete blocks/partitions

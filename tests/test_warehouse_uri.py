@@ -222,3 +222,25 @@ def test_two_processes_one_warehouse_one_winner(tmp_path):
     assert len(set(begins)) == len(begins)
     assert all(lo <= b < hi for b in begins)
     assert all(lake.fs.exists(p.path) for p in parts)
+
+
+def test_vacuum_orphans_removes_only_uncommitted_dirs(tmp_path):
+    """Crash between the data write and the manifest swap leaves an
+    orphan dir (invisible to readers by construction); vacuum_orphans
+    sweeps it after the grace window and never touches committed dirs."""
+    from micromegas_spark.materialize.batch import Partition
+
+    lake = Lakehouse(None, f"file://{tmp_path}/wh_vac")
+    live_dir = lake.fs.unique_dir_url("v1", "0_10")
+    lake.fs.mkdirs(live_dir)
+    orphan = lake.fs.unique_dir_url("v1", "10_20")
+    lake.fs.mkdirs(orphan)
+    lake._save_manifest("v1", [Partition(0, 10, 1, 0, 10, live_dir)])
+    # a young orphan survives the grace window (possible in-flight write)
+    assert lake.vacuum_orphans("v1", min_age_seconds=3600) == 0
+    assert lake.fs.exists(orphan)
+    # past the window it goes; the committed dir stays
+    assert lake.vacuum_orphans("v1", min_age_seconds=0) == 1
+    assert not lake.fs.exists(orphan)
+    assert lake.fs.exists(live_dir)
+    assert len(lake.list_partitions("v1")) == 1
