@@ -1135,6 +1135,41 @@ class Engine:
         # object stores; partition data dirs are write-once unique paths
         self.fs.write_bytes_atomic(murl, json.dumps(manifest).encode())
 
+    def vacuum_jit_orphans(
+        self, view_set: str, instance: str, min_age_seconds: float = 3600.0
+    ) -> int:
+        """JIT twin of Lakehouse.vacuum_orphans: sweep cached-partition
+        dirs no manifest entry references (a crash between the parquet
+        write and the manifest save leaves an invisible orphan under
+        ``<warehouse>/<view_set>/instance=<i>/``). The grace window
+        protects an in-flight build on deployments without flock; the
+        manifests (bucket-mode and block-mode) are the source of truth,
+        so committed dirs are never touched. Returns dirs removed."""
+        mpath = self._jit_manifest(view_set, instance)
+        live = set()
+        for suffix in ("", ".blocks"):
+            for ent in self._jit_manifest_load(mpath + suffix).values():
+                live.add(self.fs.norm_url(ent["path"]))
+        root = self.fs.url(view_set, f"instance={instance}")
+        if not self.fs.exists(root):
+            return 0
+        removed = 0
+        now = time.time()
+        for name in self.fs.listdir(root):
+            url = f"{root}/{name}"
+            if self.fs.norm_url(url) in live:
+                continue
+            try:
+                info = self.fs.fs.get_file_info(self.fs.fs_path(url))
+                mtime = info.mtime.timestamp() if info.mtime else 0.0
+            except Exception:
+                mtime = 0.0
+            if now - mtime < min_age_seconds:
+                continue
+            self.fs.rmtree(url)
+            removed += 1
+        return removed
+
     def view_instance(
         self, view_set: str, instance: str, begin_ns: int, end_ns: int,
         bucket_ns: int = 3_600 * 10**9,

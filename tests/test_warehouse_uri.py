@@ -244,3 +244,18 @@ def test_vacuum_orphans_removes_only_uncommitted_dirs(tmp_path):
     assert not lake.fs.exists(orphan)
     assert lake.fs.exists(live_dir)
     assert len(lake.list_partitions("v1")) == 1
+
+
+def test_vacuum_jit_orphans(spark, tmp_path):
+    """Same sweep for the JIT cache: manifest-referenced dirs survive,
+    orphans past the grace window go."""
+    eng = Engine(spark, warehouse=f"file://{tmp_path}/wh_jitvac")
+    mpath = eng._jit_manifest("vset", "inst-1")
+    live = eng.fs.unique_dir_url("vset", "instance=inst-1", "bucket=0")
+    eng.fs.mkdirs(live)
+    eng._jit_manifest_save(mpath, {"0": {"hash": 1, "path": live}})
+    orphan = eng.fs.unique_dir_url("vset", "instance=inst-1", "bucket=1")
+    eng.fs.mkdirs(orphan)
+    assert eng.vacuum_jit_orphans("vset", "inst-1", min_age_seconds=3600) == 0
+    assert eng.vacuum_jit_orphans("vset", "inst-1", min_age_seconds=0) == 1
+    assert eng.fs.exists(live) and not eng.fs.exists(orphan)
