@@ -259,3 +259,26 @@ def test_vacuum_jit_orphans(spark, tmp_path):
     assert eng.vacuum_jit_orphans("vset", "inst-1", min_age_seconds=3600) == 0
     assert eng.vacuum_jit_orphans("vset", "inst-1", min_age_seconds=0) == 1
     assert eng.fs.exists(live) and not eng.fs.exists(orphan)
+
+
+def test_put_commit_branch_without_rename(tmp_path):
+    """Object-store semantics of the commit path: with rename_safe off
+    (S3-like — single PUT is the atomic unit), the manifest write goes
+    directly to its final key and the full catalog read-modify-write
+    cycle still works. Exercises the branch local runs never take."""
+    from micromegas_spark.materialize.batch import Partition
+
+    lake = Lakehouse(None, f"file://{tmp_path}/wh_put")
+    lake.fs.rename_safe = False  # simulate an object store's contract
+    d = lake.fs.unique_dir_url("v", "0_10")
+    lake.fs.mkdirs(d)
+    lake._save_manifest("v", [Partition(0, 10, 7, 0, 10, d)])
+    parts = lake.list_partitions("v")
+    assert len(parts) == 1 and parts[0].source_hash == 7
+    # overwrite-in-place (the retire+insert) also single-PUTs
+    lake._save_manifest("v", [])
+    assert lake.list_partitions("v") == []
+    # small-file helper too (JIT manifests ride this)
+    u = lake.fs.url("_jit_probe.json")
+    lake.fs.write_bytes_atomic(u, b'{"a": 1}')
+    assert json.loads(lake.fs.read_bytes(u)) == {"a": 1}
