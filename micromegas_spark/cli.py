@@ -324,6 +324,41 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def _vacuum_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="micromegas-spark vacuum",
+        description="Sweep orphaned partition data dirs no manifest "
+                    "references (crash debris between a data write and "
+                    "its manifest commit, CAS losers) — the reference's "
+                    "retention-daemon sweep (maintenance.rs:349-399) as "
+                    "a standalone spelling; maintenance_tick also runs "
+                    "it per tick",
+    )
+    p.add_argument("warehouse", help="warehouse root (path or URI)")
+    p.add_argument("--view", action="append", default=None,
+                   help="only these view sets (default: every view in "
+                        "the catalog)")
+    p.add_argument("--grace", type=float, default=3600.0,
+                   help="min orphan age in seconds before deletion "
+                        "(protects in-flight writes; default 3600)")
+    return p
+
+
+def cmd_vacuum(args) -> int:
+    # driver-side catalog+fs walk: no SparkSession needed
+    from micromegas_spark.materialize.batch import Lakehouse
+
+    lake = Lakehouse(None, args.warehouse)
+    views = args.view or lake.list_view_sets()
+    total = 0
+    for v in views:
+        n = lake.vacuum_orphans(v, min_age_seconds=args.grace)
+        print(f"{v}: removed {n} orphan dir(s)")
+        total += n
+    print(f"total: {total}")
+    return 0
+
+
 def _apikeys_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="micromegas-spark apikeys",
@@ -445,6 +480,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_logout(_logout_parser().parse_args(argv[1:]))
     if argv[:1] == ["apikeys"]:
         return cmd_apikeys(_apikeys_parser().parse_args(argv[1:]))
+    if argv[:1] == ["vacuum"]:
+        return cmd_vacuum(_vacuum_parser().parse_args(argv[1:]))
     if argv[:1] == ["query"]:
         argv = argv[1:]
     parser = _query_parser()

@@ -1149,7 +1149,9 @@ class Engine:
         live = set()
         for suffix in ("", ".blocks"):
             for ent in self._jit_manifest_load(mpath + suffix).values():
-                live.add(self.fs.norm_url(ent["path"]))
+                # canon, not norm_url: manifests written by older code may
+                # spell the same dir relative/plain/file:// (ADVICE r10)
+                live.add(self.fs.canon(ent["path"]))
         root = self.fs.url(view_set, f"instance={instance}")
         if not self.fs.exists(root):
             return 0
@@ -1157,14 +1159,13 @@ class Engine:
         now = time.time()
         for name in self.fs.listdir(root):
             url = f"{root}/{name}"
-            if self.fs.norm_url(url) in live:
+            if self.fs.canon(url) in live:
                 continue
-            try:
-                info = self.fs.fs.get_file_info(self.fs.fs_path(url))
-                mtime = info.mtime.timestamp() if info.mtime else 0.0
-            except Exception:
-                mtime = 0.0
-            if now - mtime < min_age_seconds:
+            # unknown age (no mtime anywhere under the dir — common for
+            # object-store dir markers) means possibly in-flight: skip,
+            # never treat as infinitely old (ADVICE r10)
+            mtime = self.fs.newest_mtime(url)
+            if mtime is None or now - mtime < min_age_seconds:
                 continue
             self.fs.rmtree(url)
             removed += 1

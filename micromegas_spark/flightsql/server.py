@@ -449,8 +449,20 @@ class FlightSQLServer:
 
         def run() -> None:
             try:
-                # attribute the op's Spark jobs to this request (#1406)
-                with job_group(self.engine.spark.sparkContext, query_id, sql):
+                # attribute the op's Spark jobs to this request (#1406),
+                # and serialize the catalog mutation under _PLAN_LOCK like
+                # the embedded rewrite path does — an admin op must not
+                # interleave with a concurrent resolve()'s view
+                # registration (ADVICE r10; the per-view flock protects
+                # the catalog files, this protects the session's planner
+                # state). Progress rows still stream mid-run: the lock
+                # holder is the worker, the generator only drains the
+                # queue.
+                from micromegas_spark.engine import _PLAN_LOCK
+
+                with _PLAN_LOCK, job_group(
+                    self.engine.spark.sparkContext, query_id, sql
+                ):
                     op(*op_args, log)
             except Exception as e:
                 log.write(f"error: {e}")
@@ -468,10 +480,28 @@ class FlightSQLServer:
         )
 
         def batches():
+            from micromegas_spark.flightsql.errors import to_flight_error
+
             worker.start()
             try:
                 while True:
-                    item = q.get()
+                    # same guards as every other DoGet stream (ADVICE
+                    # r10): the op's own failure becomes the final log
+                    # row, but a fault in THIS generator — including a
+                    # spill-budget kill of the op's attributed jobs —
+                    # surfaces #1435-classified, not as a bare gRPC
+                    # Internal
+                    try:
+                        self.engine.check_spill_budget(query_id)
+                    except Exception as e:
+                        _cls, err = to_flight_error(e, query_id)
+                        raise err from None
+                    try:
+                        # bounded wait so the budget re-checks even while
+                        # the op grinds between progress rows
+                        item = q.get(timeout=2.0)
+                    except _queue.Empty:
+                        continue
                     if item is done:
                         break
                     t_ns, msg = item

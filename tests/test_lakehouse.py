@@ -403,8 +403,11 @@ def test_manifest_is_a_queryable_parquet_table(spark, tmp_path):
     )
     lake = Lakehouse(spark, str(tmp_path / "wh_pm"))
     lake.materialize_range(spec, 0, 3 * HOUR, HOUR)
-    # catalog is a real parquet file, queryable without the Lakehouse class
-    mpath = lake._manifest_path("pm_view")
+    # catalog is a real parquet file, queryable without the Lakehouse
+    # class (r11: at the generation chain's winning file — the CAS
+    # commit names manifests <view>.g<gen>.parquet)
+    mfile = lake._winner_manifest_files()["pm_view"]
+    mpath = lake.fs.fs_path(lake.fs.url("_partitions", mfile))
     assert mpath.endswith(".parquet") and os.path.exists(mpath)
     tbl = lake.partitions_table()
     got = tbl.where("view = 'pm_view'").select("begin_insert_ns").count()
