@@ -23,7 +23,7 @@ Semantics preserved from the reference:
 
 Spark-first choices: partitions are parquet directories under
 ``<warehouse>/<view>/<begin>_<end>_<token>/`` — written ONCE at a unique,
-never-reused path, then committed by the per-view manifest swap; the
+never-reused path, then committed by the per-view manifest commit; the
 manifest is the single atomicity point, exactly the reference's shape
 (data to object storage at a unique key, visibility via the catalog's
 transactional retire+insert — write_partition.rs:626-910 — never via
@@ -31,10 +31,14 @@ rename). Readers only open paths the manifest lists, so a half-written
 partition is unreachable by construction, on POSIX and object stores
 alike; the warehouse root may be a plain path or any URI Spark and
 pyarrow.fs both speak (``file://``, ``s3a://``, ``hdfs://`` — fslayer.py).
-The catalog is one parquet file per view (the reference uses Postgres
-rows — at cluster scale this becomes a Delta table, same contract).
-Reads are ``spark.read.parquet(selected partition dirs)`` so Catalyst
-still sees plain parquet with full pushdown.
+The catalog is a chain of generation-numbered parquet files per view
+(``<view>.g<gen>.parquet``) and a commit is a compare-and-swap: read
+generation v, put-if-absent claim of v+1, retry-reapplying the mutation's
+DELTA on the winner's state after a lost race (_commit_manifest /
+_commit_delta) — the multi-writer arbitration the reference gets from
+Postgres transactions, without a database. Reads are
+``spark.read.parquet(selected partition dirs)`` so Catalyst still sees
+plain parquet with full pushdown.
 """
 
 from __future__ import annotations
