@@ -486,3 +486,19 @@ def test_put_commit_branch_without_rename(tmp_path):
     u = lake.fs.url("_jit_probe.json")
     lake.fs.write_bytes_atomic(u, b'{"a": 1}')
     assert json.loads(lake.fs.read_bytes(u)) == {"a": 1}
+
+
+def test_winner_manifest_files_selects_generation_head(tmp_path):
+    """Readers resolve each view's catalog to the generation chain's head
+    (highest gen, then smallest name) — partitions_table and
+    list_partitions agree on the same file."""
+    from micromegas_spark.materialize.batch import Partition
+
+    lake = Lakehouse(None, f"file://{tmp_path}/wh_win")
+    d = lake.fs.unique_dir_url("v", "0_10")
+    lake.fs.mkdirs(d)
+    lake._save_manifest("v", [])
+    lake._save_manifest("v", [Partition(0, 10, 1, 0, 10, d)])
+    assert lake._winner_manifest_files()["v"].startswith("v.g000000000002")
+    assert len(lake.list_partitions("v")) == 1
+    assert lake.list_view_sets() == ["v"]
