@@ -1105,13 +1105,78 @@ class Lakehouse:
 
     # -- reads ---------------------------------------------------------------
 
+    def _pruned_partitions(
+        self, view: str, schema_hash: str | None,
+        begin_event_ns: int | None, end_event_ns: int | None,
+    ) -> list[Partition]:
+        """Catalog pruning WITHOUT materializing the full catalog: the
+        schema-hash and event-time filters run vectorized on the
+        manifest's Arrow table, and only SURVIVING rows become Partition
+        objects. At 10⁶ catalog entries list_partitions costs ~19 s of
+        pure Python object construction (SCALE.md round-11 manifest
+        table) while a bounded query's survivors are typically a few
+        hundred rows — this keeps query planning over a giant view's
+        catalog in milliseconds. Semantics identical to filtering
+        list_partitions in Python (equivalence is test-pinned); legacy
+        JSON manifests take the Python path."""
+        for _ in range(4):
+            cands = self._manifest_candidates(view)
+            if cands:
+                _, fname = min(cands, key=lambda c: (-c[0], c[1]))
+            elif self.fs.exists(self._manifest_path(view)):
+                fname = f"{view}.parquet"
+            else:
+                parts = self.list_partitions(view)  # legacy JSON or empty
+                if schema_hash is not None:
+                    parts = [p for p in parts if p.schema_hash == schema_hash]
+                if begin_event_ns is not None:
+                    parts = [p for p in parts if p.max_event_ns >= begin_event_ns]
+                if end_event_ns is not None:
+                    parts = [p for p in parts if p.min_event_ns < end_event_ns]
+                return parts
+            try:
+                tbl = self.fs.read_parquet_table(
+                    self.fs.url("_partitions", fname)
+                )
+            except (FileNotFoundError, OSError):
+                continue  # lost a race with a committer's sweep: re-list
+            import pyarrow.compute as pc
+
+            mask = None
+
+            def conj(m, new):
+                return new if m is None else pc.and_(m, new)
+
+            if schema_hash is not None:
+                mask = conj(mask, pc.equal(tbl["schema_hash"], schema_hash))
+            if begin_event_ns is not None:
+                mask = conj(
+                    mask, pc.greater_equal(tbl["max_event_ns"], begin_event_ns)
+                )
+            if end_event_ns is not None:
+                mask = conj(mask, pc.less(tbl["min_event_ns"], end_event_ns))
+            if mask is not None:
+                tbl = tbl.filter(mask)
+            out = []
+            for row in tbl.to_pylist():
+                row.pop("view", None)
+                stats = row.pop("column_stats_json", None)
+                row["column_stats"] = json.loads(stats) if stats else {}
+                out.append(Partition(**row))
+            return out
+        raise ManifestConflict(
+            f"manifest for {view!r} kept disappearing mid-read "
+            "(sustained concurrent commits); retry the operation"
+        )
+
     def read(
         self, view: str, begin_event_ns: int | None = None, end_event_ns: int | None = None,
         time_column: str | None = None, schema_hash: str | None = None,
         column_predicates: dict | None = None,
     ) -> DataFrame:
         """Partition-pruned read: catalog-level event-time overlap test
-        (partition_cache.rs:329-466), then the row-level filter re-applied
+        (partition_cache.rs:329-466) — vectorized on the manifest's Arrow
+        table, _pruned_partitions — then the row-level filter re-applied
         above the scan (inexact pushdown, materialized_view.rs:99-107).
         ``schema_hash`` filters to schema-compatible partitions only
         (partition fetch is schema-hash-keyed, materialized_view.rs:74-96:
@@ -1124,13 +1189,9 @@ class Lakehouse:
         the predicate is re-applied as a row filter above the scan (same
         inexact contract as the time filter). Partitions without recorded
         stats for the column are kept (safe default)."""
-        parts = self.list_partitions(view)
-        if schema_hash is not None:
-            parts = [p for p in parts if p.schema_hash == schema_hash]
-        if begin_event_ns is not None:
-            parts = [p for p in parts if p.max_event_ns >= begin_event_ns]
-        if end_event_ns is not None:
-            parts = [p for p in parts if p.min_event_ns < end_event_ns]
+        parts = self._pruned_partitions(
+            view, schema_hash, begin_event_ns, end_event_ns
+        )
         for col, (op, val) in (column_predicates or {}).items():
             def can_match(p, col=col, op=op, val=val):
                 st = (p.column_stats or {}).get(col)

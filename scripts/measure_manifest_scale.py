@@ -72,6 +72,13 @@ def measure(n: int) -> dict:
         t_read = time.time() - t0
         assert len(got) == n + 1
 
+        # the query path: Arrow-vectorized pruning to a bounded range
+        # (survivors become the only Python objects built)
+        t0 = time.time()
+        pruned = lake._pruned_partitions("v", None, 0, 200 * 1000)
+        t_pruned = time.time() - t0
+        assert len(pruned) == 200
+
         fname = lake._winner_manifest_files()["v"]
         size = os.path.getsize(
             lake.fs.fs_path(lake.fs.url("_partitions", fname))
@@ -81,6 +88,7 @@ def measure(n: int) -> dict:
             "full_write_sec": round(t_full_write, 3),
             "incremental_commit_sec": round(t_commit, 3),
             "read_sec": round(t_read, 3),
+            "pruned_read_sec": round(t_pruned, 3),
             "manifest_bytes": size,
         }
     finally:

@@ -502,3 +502,43 @@ def test_winner_manifest_files_selects_generation_head(tmp_path):
     assert lake._winner_manifest_files()["v"].startswith("v.g000000000002")
     assert len(lake.list_partitions("v")) == 1
     assert lake.list_view_sets() == ["v"]
+
+
+def test_pruned_partitions_matches_python_filtering(tmp_path):
+    """The Arrow-vectorized catalog pruning (_pruned_partitions) is
+    semantically identical to filtering list_partitions in Python — the
+    fast path must never change which partitions a read opens."""
+    from micromegas_spark.materialize.batch import Partition
+
+    lake = Lakehouse(None, f"file://{tmp_path}/wh_prune")
+    parts = [
+        Partition(
+            i * 10, (i + 1) * 10, i, i * 100, i * 100 + 99,
+            f"{tmp_path}/d{i}",
+            schema_hash=("a" if i % 2 else "b"),
+            column_stats={"v": [i, i + 5]},
+        )
+        for i in range(20)
+    ]
+    lake._save_manifest("v", parts)
+    cases = [
+        dict(),
+        dict(schema_hash="a"),
+        dict(begin_event_ns=500),
+        dict(end_event_ns=500),
+        dict(schema_hash="b", begin_event_ns=300, end_event_ns=1500),
+        dict(begin_event_ns=10**9),  # prunes everything
+    ]
+    for kw in cases:
+        got = lake._pruned_partitions(
+            "v", kw.get("schema_hash"), kw.get("begin_event_ns"),
+            kw.get("end_event_ns"),
+        )
+        exp = lake.list_partitions("v")
+        if kw.get("schema_hash") is not None:
+            exp = [p for p in exp if p.schema_hash == kw["schema_hash"]]
+        if kw.get("begin_event_ns") is not None:
+            exp = [p for p in exp if p.max_event_ns >= kw["begin_event_ns"]]
+        if kw.get("end_event_ns") is not None:
+            exp = [p for p in exp if p.min_event_ns < kw["end_event_ns"]]
+        assert got == exp, f"divergence for {kw}"
