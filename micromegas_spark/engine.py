@@ -1135,6 +1135,26 @@ class Engine:
         # object stores; partition data dirs are write-once unique paths
         self.fs.write_bytes_atomic(murl, json.dumps(manifest).encode())
 
+    def _jit_manifest_save_merged(
+        self, murl: str, updates: dict, deletes=()
+    ) -> None:
+        """Key-level merge commit for the JIT manifests: re-read the
+        CURRENT file at save time and apply only this run's updates and
+        deletions on top, so two processes building DIFFERENT buckets of
+        one instance no longer clobber each other's entries. (The prior
+        whole-dict save from a stale load lost the rival's bucket — a
+        CORRECT outcome, since JIT entries self-heal through the
+        per-bucket source-hash check and vacuum_jit_orphans sweeps the
+        orphaned dir, but a wasted rebuild; the lakehouse needs the full
+        generation CAS because its partitions are not self-healing in
+        the same way.) Residual simultaneous-write window: at most the
+        rival's newest entries, rebuilt by its next read."""
+        current = self._jit_manifest_load(murl)
+        current.update(updates)
+        for k in deletes:
+            current.pop(k, None)
+        self._jit_manifest_save(murl, current)
+
     def vacuum_jit_orphans(
         self, view_set: str, instance: str, min_age_seconds: float = 3600.0
     ) -> int:
@@ -1196,7 +1216,7 @@ class Engine:
 
         paths = []
         b = begin_ns - begin_ns % bucket_ns
-        changed = False
+        updates: dict[str, dict] = {}
         stale_dirs: list[str] = []
         while b < end_ns:
             key = str(b)
@@ -1211,13 +1231,13 @@ class Engine:
                 df.write.mode("overwrite").parquet(pdir)
                 if ent is not None:
                     stale_dirs.append(ent["path"])
-                manifest[key] = {"hash": cur, "path": pdir}
-                changed = True
+                manifest[key] = updates[key] = {"hash": cur, "path": pdir}
             if cur > 0:
                 paths.append(manifest[key]["path"])
             b += bucket_ns
-        if changed:
-            self._jit_manifest_save(mpath, manifest)
+        if updates:
+            # merge-commit: only THIS run's buckets, on the freshest file
+            self._jit_manifest_save_merged(mpath, updates)
             for d in stale_dirs:  # unreachable after the commit
                 self.fs.rmtree(d)
         if not paths:
@@ -1254,7 +1274,7 @@ class Engine:
         groups = group_blocks_into_partitions(blocks, vs.max_nb_objects)
         paths: list[str] = []
         run_keys: set[str] = set()
-        changed = False
+        updates: dict[str, dict] = {}
         for grp in groups:
             ident = sorted((str(b["block_id"]), int(b["nb_objects"])) for b in grp)
             key = hashlib.sha1(json.dumps(ident).encode()).hexdigest()[:16]
@@ -1291,20 +1311,20 @@ class Engine:
                         df.unpersist(blocking=False)
                 else:
                     df.write.mode("overwrite").parquet(pdir)
-                manifest[key] = {
+                manifest[key] = updates[key] = {
                     "path": pdir,
                     "begin_ns": min(b["begin_ns"] for b in grp),
                     "end_ns": max(b["end_ns"] for b in grp),
                     "insert_min": min(b["insert_ns"] for b in grp),
                     "insert_max": max(b["insert_ns"] for b in grp),
                 }
-                changed = True
             paths.append(manifest[key]["path"])
         # RetireMatch::Overlap — inclusive-bounds insert-range intersection
         # (tstzrange(..., '[]') && ... in the reference: half-open ranges
         # would miss degenerate and touching shapes); partitions this run
         # wrote or reused are protected by identity, not range shape.
         retired_dirs: list[str] = []
+        deletes: list[str] = []
         for key in [k for k in manifest if k not in run_keys]:
             ent = manifest[key]
             stale = any(
@@ -1315,9 +1335,12 @@ class Engine:
             if stale:
                 retired_dirs.append(ent["path"])
                 del manifest[key]
-                changed = True
-        if changed:
-            self._jit_manifest_save(mpath, manifest)
+                deletes.append(key)
+        if updates or deletes:
+            # merge-commit: this run's new partitions + its retirements,
+            # applied on the freshest file (a rival's concurrent entries
+            # survive; any overlap is retired by the next read's scan)
+            self._jit_manifest_save_merged(mpath, updates, deletes)
             for d in retired_dirs:  # unreachable after the commit
                 self.fs.rmtree(d)
         if not paths:

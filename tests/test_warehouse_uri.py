@@ -542,3 +542,20 @@ def test_pruned_partitions_matches_python_filtering(tmp_path):
         if kw.get("end_event_ns") is not None:
             exp = [p for p in exp if p.min_event_ns < kw["end_event_ns"]]
         assert got == exp, f"divergence for {kw}"
+
+
+def test_jit_manifest_merge_commit_preserves_rival_entries(spark, tmp_path):
+    """Two writers on one JIT instance: a save based on a STALE load must
+    not clobber entries a rival committed meanwhile — the merge commit
+    applies only this run's keys on the freshest file."""
+    eng = Engine(spark, warehouse=f"file://{tmp_path}/wh_jitmerge")
+    mpath = eng._jit_manifest("vset", "i1")
+    # rival commits bucket 0 after our (empty) load
+    eng._jit_manifest_save(mpath, {"0": {"hash": 1, "path": "p0"}})
+    # our run, based on the stale empty view, commits bucket 1
+    eng._jit_manifest_save_merged(mpath, {"1": {"hash": 2, "path": "p1"}})
+    got = eng._jit_manifest_load(mpath)
+    assert set(got) == {"0", "1"}  # both survive
+    # deletions ride the same merge (blocks-mode retirement)
+    eng._jit_manifest_save_merged(mpath, {}, deletes=["0"])
+    assert set(eng._jit_manifest_load(mpath)) == {"1"}
