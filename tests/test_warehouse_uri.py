@@ -559,3 +559,44 @@ def test_jit_manifest_merge_commit_preserves_rival_entries(spark, tmp_path):
     # deletions ride the same merge (blocks-mode retirement)
     eng._jit_manifest_save_merged(mpath, {}, deletes=["0"])
     assert set(eng._jit_manifest_load(mpath)) == {"1"}
+
+
+def test_cas_delta_commits_survive_thread_contention(tmp_path, monkeypatch):
+    """Stress the read-reapply-claim loop: four flock-less writers (each
+    its own Lakehouse instance and lock domain key disabled) hammer one
+    view with delta commits; every appended partition must be in the
+    final catalog — the CAS may retry, never lose."""
+    import threading
+
+    from micromegas_spark.materialize.batch import Partition
+
+    monkeypatch.setattr(WarehouseFS, "local_path", lambda self, *rel: None)
+    # _commit_delta is called directly (no _view_lock), so nothing
+    # serializes the writers — only the CAS arbitrates, as it would for
+    # four separate processes on an object store
+    wh = f"file://{tmp_path}/wh_cas_stress"
+    lakes = [Lakehouse(None, wh) for _ in range(4)]
+    errors: list = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(25):
+                p = Partition(
+                    w * 1000 + i * 10, w * 1000 + i * 10 + 10, 1,
+                    0, 10, f"{wh}/v/{w}_{i}",
+                )
+                lakes[w]._commit_delta("v", add=[p])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    got = {
+        (p.begin_insert_ns, p.end_insert_ns)
+        for p in lakes[0].list_partitions("v")
+    }
+    assert len(got) == 100  # zero lost updates under live contention
