@@ -473,7 +473,7 @@ def simhash_near_duplicates(
     from pyspark import StorageLevel
 
     sh = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    parts = []
+    chunk_structs = []
     for c in range(chunks):
         start = c * chunk_bits
         # the LAST chunk absorbs the 64 % chunks remainder bits (chunks=5:
@@ -490,10 +490,20 @@ def simhash_near_duplicates(
         chunk = F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        parts.append(sh.select(F.lit(c).alias("chunk"), chunk.alias("ckey"), id_col, "simhash"))
-    allc = parts[0]
-    for extra in parts[1:]:
-        allc = allc.unionByName(extra)
+        chunk_structs.append(
+            F.struct(F.lit(c).alias("chunk"), chunk.alias("ckey"))
+        )
+    # one explode instead of a chunks-way union of projections: the union
+    # spelling re-read the persisted signature relation once PER CHUNK on
+    # BOTH consumers (bucket aggregate + cap count) — 8 cache scans, 8x
+    # the map tasks (measured: 1024-task stages at bench scale). The
+    # exploded chunk array produces the identical (chunk, ckey, id, hash)
+    # rows in one scan per consumer (guide §2.4: remove redundant passes).
+    allc = sh.select(
+        F.explode(F.array(*chunk_structs)).alias("_cc"), F.col(id_col), F.col("simhash")
+    ).select(
+        F.col("_cc.chunk").alias("chunk"), F.col("_cc.ckey").alias("ckey"), id_col, "simhash"
+    )
     buckets = (
         _df_capped(allc, ("chunk", "ckey"), max_bucket_size, min_size=2)
         .groupBy("chunk", "ckey")

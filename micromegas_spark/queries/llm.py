@@ -2459,7 +2459,7 @@ def docs_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot express."""
     from micromegas_spark.operators.sketch import kmv_hashes, kmv_merge_estimates, kmv_sketches
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     side = F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, "A").otherwise("B")
     pairs = docs.select(
         side.alias("side"), F.explode(kmv_hashes(F.col("text"))).alias("h")
@@ -2510,7 +2510,7 @@ def docs_kmv_overlap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from micromegas_spark.streaming.incremental import one_shot_stream_table
     from micromegas_spark.streaming.stateful import streaming_kmv_sketches
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     side = F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, "A").otherwise("B")
     pairs = docs.select(
         F.col("doc_id"), side.alias("side"), F.explode(kmv_hashes(F.col("text"))).alias("h")

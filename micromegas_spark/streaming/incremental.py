@@ -490,7 +490,12 @@ def one_shot_stream_table(
     t0 = _time.time()
     seen: set[str] = set()
     for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("append").parquet(land)
+        # repartition(1), NOT coalesce(1): coalesce folds the WHOLE upstream
+        # computation of the batch into the single write task (a kmv batch's
+        # md5-shingle explode ran serially there — guide §2.5 input skew,
+        # self-inflicted); repartition keeps the compute at full parallelism
+        # and only the final exchange lands on one writer.
+        b.repartition(1).write.mode("append").parquet(land)
         for entry in os.listdir(land):
             path = os.path.join(land, entry)
             if path in seen or not entry.endswith(".parquet"):
