@@ -171,8 +171,16 @@ def semdedup(
     import pandas as pd
 
     assigned, _ = kmeans(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
-    a = assigned.join(df.select(id_col, vec_col), id_col).select(
-        F.col(id_col), F.col("cluster").cast("int"), "sq_dist", F.col(vec_col)
+    # persisted: the assigned relation is consumed THREE times below (the
+    # oversized-cluster count, the passthrough semi-join, and the pruned
+    # anti-join side) and its lineage contains the Python assign UDF over
+    # every embedding — without the persist that UDF stage executes once
+    # per consumer (measured: 7 ArrowEvalPython nodes in the final plan;
+    # guide §1.2/§4 — don't pay the Python boundary twice for one result)
+    a = (
+        assigned.join(df.select(id_col, vec_col), id_col)
+        .select(F.col(id_col), F.col("cluster").cast("int"), "sq_dist", F.col(vec_col))
+        .persist()
     )
     oversized = (
         a.groupBy("cluster")

@@ -1099,10 +1099,19 @@ def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent links themselves are what's being checked, not just durations.
     Output: per (stream, depth) span counts, inclusive and exclusive
     totals."""
+    from pyspark import StorageLevel
+
     from micromegas_spark.operators.spans import build_thread_spans, span_self_times
 
     ev = load_table(spark, sf_dir, "events")
-    spans = build_thread_spans(_synth_nested_events(ev), 0, 2**62)
+    # persisted: span_self_times self-joins spans against its own child-sum
+    # aggregate — without the persist the applyInPandas stack machine (and
+    # the three synth windows feeding it) executes on BOTH sides of the
+    # join (measured: 2 FlatMapGroupsInPandas + 6 Window nodes in the plan;
+    # guide §1.2 — don't compute the expensive subtree twice)
+    spans = build_thread_spans(_synth_nested_events(ev), 0, 2**62).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     s = span_self_times(spans, key_cols=["stream_id"]).select(
         "stream_id", "depth", "duration", "self_time"
     )
@@ -1683,6 +1692,7 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typing import Iterator
 
     import pandas as pd
+    from pyspark.sql import Window
 
     from micromegas_spark.operators.spans import trace_chunks
     from micromegas_spark.sources.perfetto import (
@@ -1735,22 +1745,32 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(roundtrip(asyncs, "async"))
         .unionByName(roundtrip(thread.unionByName(asyncs), "both"))
     )
-    begins = (
-        decoded.where(F.col("etype") == TYPE_SLICE_BEGIN)
-        .groupBy("span_type", "stream_id", "name")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.min("ts").alias("min_begin_us"),
-            F.max("ts").alias("max_begin_us"),
-        )
+    # ONE pass over the decoded stream: begins and ends previously hung off
+    # `decoded` as two separate aggregations, which re-executed the whole
+    # encode+decode chain (3 exports x 2 mapInPandas each) on both sides of
+    # the final join — 12 Python stages instead of 6 (guide §1.2 "don't
+    # compute things twice"). ENDs carry no name on the wire (name IS NULL),
+    # BEGINs always do, so a single (span_type, stream_id, name) aggregate
+    # with etype-conditioned measures separates the two exactly; the ends
+    # rollup then re-aggregates that already-tiny relation.
+    g = decoded.groupBy("span_type", "stream_id", "name").agg(
+        F.count(F.when(F.col("etype") == TYPE_SLICE_BEGIN, 1)).alias("n_spans"),
+        F.min(F.when(F.col("etype") == TYPE_SLICE_BEGIN, F.col("ts"))).alias("min_begin_us"),
+        F.max(F.when(F.col("etype") == TYPE_SLICE_BEGIN, F.col("ts"))).alias("max_begin_us"),
+        F.count(F.when(F.col("etype") == TYPE_SLICE_END, 1)).alias("_n_end"),
+        F.max(F.when(F.col("etype") == TYPE_SLICE_END, F.col("ts"))).alias("_max_end"),
     )
-    ends = (
-        decoded.where(F.col("etype") == TYPE_SLICE_END)
-        .groupBy("span_type", "stream_id")
-        .agg(F.count("*").alias("n_ends"), F.max("ts").alias("max_end_us"))
-    )
+    # the per-track END rollup rides a window over the already-tiny grouped
+    # relation instead of a second aggregation + join — a begins.join(ends)
+    # spelling re-executes g's whole lineage (the decode chain) on both
+    # sides; the window keeps it one pass and one extra exchange of ~100
+    # rows. Every decoded span emits BEGIN and END in the same chunk, so
+    # per-stream END totals over all name groups equal the old inner join.
+    w = Window.partitionBy("span_type", "stream_id")
     return (
-        begins.join(ends, ["span_type", "stream_id"])
+        g.withColumn("n_ends", F.sum("_n_end").over(w).cast("bigint"))
+        .withColumn("max_end_us", F.max("_max_end").over(w))
+        .where(F.col("n_spans") > 0)
         .select(
             "span_type", "stream_id", "name", "n_spans",
             "min_begin_us", "max_begin_us", "n_ends", "max_end_us",
