@@ -56,11 +56,21 @@ def edit_distance_pairs(
     """All unordered pairs (id_a < id_b) with levenshtein(a, b) <= k,
     plus the exact distance. See module docstring for the candidate
     scheme and scale shape."""
-    s = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_n"),
-    ).where(F.col("_n") >= k + 1)
+    # persisted: s feeds FOUR independent consumers (segment index, probe
+    # explode, and both rename sides of the verify join); without the
+    # persist the caller's upstream lineage — typically a dedup groupBy
+    # over the corpus — re-executes once per consumer (measured on
+    # docs_fuzzy_join: 8 parquet scans in one plan; guide §1.2). The
+    # relation is (id, text, len) — corpus-sized, never wider.
+    s = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            F.length(text_col).alias("_n"),
+        )
+        .where(F.col("_n") >= k + 1)
+        .persist()
+    )
 
     # ---- index: the k+1 segments of every string, bucket-collected
     iidx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i")

@@ -2519,8 +2519,13 @@ def docs_kmv_overlap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions = one_shot_stream_table(
         spark,
         [
-            pairs.where(F.col("doc_id") % 2 == 0).select("side", "h"),
-            pairs.where(F.col("doc_id") % 2 == 1).select("side", "h"),
+            # per-batch distinct: KMV state is the k smallest DISTINCT
+            # hashes (set semantics, monotone), so duplicate (side, h)
+            # rows within a wave change nothing downstream — dedup before
+            # landing cuts the written/streamed volume by the corpus's
+            # shingle repetition factor (guide §2.3: shuffle fewer bytes)
+            pairs.where(F.col("doc_id") % 2 == 0).select("side", "h").distinct(),
+            pairs.where(F.col("doc_id") % 2 == 1).select("side", "h").distinct(),
         ],
         schema,
         lambda s: streaming_kmv_sketches(s, k=256),
