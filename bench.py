@@ -39,6 +39,49 @@ def main() -> None:
     spark.range(par * 4).repartition(par).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # Structured-Streaming warmup, same rationale: the first *_stream query
+    # otherwise pays the one-time micro-batch-engine + state-store class
+    # loading/JIT inside its timed region (measured ~1-2 s on the
+    # alphabetically first stream query). One 4-row availableNow tick with
+    # keyed state warms the whole path; nothing here touches the measured
+    # data or caches any query result.
+    import shutil
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    # class loading/JIT is partition-count independent, but each state-store
+    # PARTITION instantiated pays checkpoint file I/O — warm with 8, not the
+    # session's scale default (cpus*8); restored before any timed query.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        from micromegas_spark.streaming.stateful import streaming_counter_increments
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.createDataFrame(
+            [(i, i, i * 1_000_000, float(i)) for i in range(4)],
+            "user_id long, event_id long, ts_us long, value double",
+        ).coalesce(1).write.parquet(f"{wdir}/src")
+        q = (
+            streaming_counter_increments(
+                spark.readStream.schema(
+                    "user_id long, event_id long, ts_us long, value double"
+                ).parquet(f"{wdir}/src")
+            )
+            .writeStream.format("memory")
+            .queryName("bench_warm_stream_tbl")
+            .option("checkpointLocation", f"{wdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView("bench_warm_stream_tbl")
+    except Exception:
+        pass  # warmup is best-effort; the bench itself must not be blocked
+    finally:
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(wdir, ignore_errors=True)
 
     # best-of-N per query (default 2): this box shares cores with other
     # tenants and single-shot timings swing ±30% under load; the minimum
