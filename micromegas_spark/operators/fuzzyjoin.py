@@ -62,6 +62,15 @@ def edit_distance_pairs(
     # over the corpus — re-executes once per consumer (measured on
     # docs_fuzzy_join: 8 parquet scans in one plan; guide §1.2). The
     # relation is (id, text, len) — corpus-sized, never wider.
+    # coalesce(defaultParallelism): the caller's corpus is typically a
+    # UNION of shuffle outputs (canonical ∪ mutated), whose partition
+    # count is the SUM of the branches' shuffle partitions (512 at the
+    # bench profile) — and AQE cannot coalesce through a persist, so all
+    # four consumers would scan that many tiny cached blocks (measured:
+    # ~4000 near-empty tasks per docs_fuzzy_join run). Shuffle-free
+    # coalesce to one partition per core keeps every consumer stage at
+    # full, not inflated, parallelism at any scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
     s = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -69,6 +78,7 @@ def edit_distance_pairs(
             F.length(text_col).alias("_n"),
         )
         .where(F.col("_n") >= k + 1)
+        .coalesce(par)
         .persist()
     )
 

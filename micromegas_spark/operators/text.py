@@ -855,8 +855,17 @@ def nb_classify(
         .agg(F.sum(F.col("tf") * F.col("_w")).alias("_s"))
     )
 
+    # doc length = sum(tf) over the materialized (doc, term) relation —
+    # NOT a second token_count() pass, which would re-tokenize the whole
+    # corpus text a second time (guide §1.2: don't recompute what a prior
+    # pass already produced). Docs whose text tokenizes to [] have no g
+    # rows, so a left join + 0.0 default keeps them scored (lp + 0*base),
+    # identical to token_count's 0.
+    lens = g.groupBy(id_col).agg(F.sum("tf").cast("double").alias("_dl"))
     scored = (
-        docs.select(F.col(id_col), token_count(F.col(text_col)).alias("_dl"))
+        docs.select(F.col(id_col))
+        .join(lens, [id_col], "left")
+        .select(F.col(id_col), F.coalesce(F.col("_dl"), F.lit(0.0)).alias("_dl"))
         .crossJoin(F.broadcast(stats))
         .join(partial, [id_col, "_y"], "left")
         .select(
