@@ -488,20 +488,39 @@ def one_shot_stream_table(
     import time as _time
 
     t0 = _time.time()
-    seen: set[str] = set()
-    for i, b in enumerate(batches):
-        # repartition(1), NOT coalesce(1): coalesce folds the WHOLE upstream
-        # computation of the batch into the single write task (a kmv batch's
-        # md5-shingle explode ran serially there — guide §2.5 input skew,
-        # self-inflicted); repartition keeps the compute at full parallelism
-        # and only the final exchange lands on one writer.
-        b.repartition(1).write.mode("append").parquet(land)
-        for entry in os.listdir(land):
-            path = os.path.join(land, entry)
-            if path in seen or not entry.endswith(".parquet"):
+    # The batch builds are INDEPENDENT Spark jobs (each reads its own slice
+    # of the source); running them sequentially leaves the cluster idle in
+    # each job's scheduling/commit tail. Overlap them from a small thread
+    # pool (guide §2.6 — actions are only sequential because driver code
+    # calls them sequentially), each landing in its own staging dir, then
+    # move the files into the landing dir in batch order with pinned
+    # ascending mtimes — ordering is established entirely AFTER the
+    # parallel phase, so it is exactly as deterministic as the old
+    # sequential write+utime loop.
+    # repartition(1), NOT coalesce(1): coalesce folds the WHOLE upstream
+    # computation of the batch into the single write task (a kmv batch's
+    # md5-shingle explode ran serially there — guide §2.5 input skew,
+    # self-inflicted); repartition keeps the compute at full parallelism
+    # and only the final exchange lands on one writer.
+    import shutil as _shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(i: int) -> str:
+        stage = f"{land}.stage{i}"
+        batches[i].repartition(1).write.mode("overwrite").parquet(stage)
+        return stage
+
+    os.makedirs(land, exist_ok=True)
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(batches)))) as pool:
+        stages = list(pool.map(_build, range(len(batches))))
+    for i, stage in enumerate(stages):
+        for entry in sorted(os.listdir(stage)):
+            if not entry.endswith(".parquet") or entry.startswith(("_", ".")):
                 continue
-            seen.add(path)
-            os.utime(path, (t0 + 10 * i, t0 + 10 * i))
+            dst = os.path.join(land, f"b{i:05d}-{entry}")
+            _shutil.move(os.path.join(stage, entry), dst)
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+        _shutil.rmtree(stage, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
     )
