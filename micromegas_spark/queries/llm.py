@@ -1145,8 +1145,33 @@ def docs_minhash_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run processes them as two ordered micro-batches (availableNow honors
     # read limits), so the cross-batch discovery path is exercised without
     # a per-tick streaming-query startup
-    for batch_pred in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
-        d.where(batch_pred).coalesce(1).write.mode("append").parquet(src)
+    # overlapped builds (guide §2.6) + repartition(1) not coalesce(1) so the
+    # scan/filter stays parallel and only the final exchange lands on one
+    # writer; files move into src in batch order with ascending mtimes, so
+    # the maxFilesPerTrigger=1 micro-batch order is exactly as before
+    import os
+    import shutil as _shutil
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(i: int) -> str:
+        pred = F.col("doc_id") % 2 == i
+        stage = f"{src}.stage{i}"
+        d.where(pred).repartition(1).write.mode("overwrite").parquet(stage)
+        return stage
+
+    os.makedirs(src, exist_ok=True)
+    t0 = _time.time()
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _stages = list(_pool.map(_build, range(2)))
+    for i, stage in enumerate(_stages):
+        for entry in sorted(os.listdir(stage)):
+            if not entry.endswith(".parquet") or entry.startswith(("_", ".")):
+                continue
+            dst = os.path.join(src, f"b{i:05d}-{entry}")
+            _shutil.move(os.path.join(stage, entry), dst)
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+        _shutil.rmtree(stage, ignore_errors=True)
     bands_tbl = f"mh_bands_{_uuid.uuid4().hex[:10]}"
     try:
         q = stream_minhash_neardup(
