@@ -817,10 +817,16 @@ def nb_classify(
     # re-aggregation — without this the corpus is tokenized and exploded
     # once per consumer (exchange reuse across differently-projected
     # subtrees is not guaranteed; measured 3 scans).
+    # EAGER: the model tables below reach g through broadcast-exchange
+    # subqueries, which Spark launches on concurrent driver threads — with
+    # a lazy checkpoint they race its first materialization and each
+    # recomputes the full tokenize/explode/aggregate lineage (measured:
+    # four identical 49-task jobs at ~0.65 s each in one run). Blocking
+    # once here makes every consumer read the materialized blocks.
     g = (
         toks.groupBy(id_col, "_y", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     tf = g.select(id_col, "term", "tf")
     # the model table: (term, class) occurrence counts — vocab-bound

@@ -379,10 +379,21 @@ def stream_minhash_neardup(
             cands = cands.distinct()
 
             all_sigs = sig.select(id_col, "sh")
+            # pin the store side of the verify join to the files present
+            # BEFORE this tick's appends: the sig write below may run
+            # concurrently with the verify job (see the write overlap), and
+            # a directory read racing that append could double-count the
+            # batch's own signatures
             if os.path.isdir(sig_dir):
-                all_sigs = all_sigs.unionByName(
-                    spark.read.parquet(sig_dir).select(id_col, "sh")
+                prior_sig_files = sorted(
+                    os.path.join(sig_dir, e)
+                    for e in os.listdir(sig_dir)
+                    if e.endswith(".parquet") and not e.startswith(("_", "."))
                 )
+                if prior_sig_files:
+                    all_sigs = all_sigs.unionByName(
+                        spark.read.parquet(*prior_sig_files).select(id_col, "sh")
+                    )
             a = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sha"))
             b = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_shb"))
             verified = (
@@ -397,14 +408,26 @@ def stream_minhash_neardup(
             )
             if store_files is not None:
                 verified = verified.repartition(store_files)
-            verified.write.mode("append").parquet(pairs_dir)
-            out_sig = sig.repartition(store_files) if store_files is not None else sig
-            out_sig.write.mode("append").parquet(sig_dir)
-            if band_store_table is not None:
-                # append AFTER the join so a tick never matches itself via
-                # the store; bucket layout is preserved across appends
+
+            def _write_pairs() -> None:
+                verified.write.mode("append").parquet(pairs_dir)
+
+            def _write_sigs() -> None:
+                out_sig = (
+                    sig.repartition(store_files) if store_files is not None else sig
+                )
+                out_sig.write.mode("append").parquet(sig_dir)
+
+            def _write_bands() -> None:
+                # pre-shuffle to the bucket spec: repartition(N, cols) and
+                # bucketBy(N, cols) hash identically (pmod(murmur3, N)), so
+                # each write task holds exactly ONE bucket and the append
+                # lands N files per tick instead of tasks x buckets — the
+                # store's file count (and every later tick's bucketed-scan
+                # listing) stays proportional to tick count, not task count
                 (
                     band_keys.select("band", "bkey", id_col)
+                    .repartition(band_store_buckets, "band", "bkey")
                     .write.mode("append")
                     .bucketBy(band_store_buckets, "band", "bkey")
                     .format("parquet")
@@ -414,6 +437,34 @@ def stream_minhash_neardup(
                 # refresh the NEXT tick (and the caller) would read a
                 # stale snapshot missing this append
                 spark.catalog.refreshTable(band_store_table)
+
+            if band_store_table is not None:
+                # the three tick outputs are mutually independent jobs:
+                # pairs reads the sig cache + the PINNED prior-file store
+                # snapshot, sigs reads only the cache, bands reads only the
+                # cache. Running them sequentially leaves the cluster idle
+                # in each job's scheduling/commit tail (guide §2.6). The
+                # verify job racing the band append is benign by
+                # construction: any own-batch pair surfaced via freshly
+                # appended band rows is already produced by the intra-batch
+                # path and collapsed by cands.distinct(), and appends never
+                # remove files, so a concurrent listing sees a subset —
+                # results are byte-identical to the sequential order.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    futs = [
+                        pool.submit(f)
+                        for f in (_write_pairs, _write_sigs, _write_bands)
+                    ]
+                    for fu in futs:
+                        fu.result()
+            else:
+                # plain-store path: the candidate side derives band keys
+                # from sig_dir itself (not pinned), so the sig append must
+                # stay AFTER the verify job
+                _write_pairs()
+                _write_sigs()
         finally:
             sig.unpersist()
 
