@@ -473,6 +473,14 @@ def simhash_near_duplicates(
     from pyspark import StorageLevel
 
     sh = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # read the cache at core width: the signature agg keeps the session's
+    # scale shuffle partitioning through the persist (AQE cannot coalesce
+    # a cached plan's output), so each consumer stage would launch one
+    # task per shuffle partition (measured: the three dominant jobs were
+    # 290-task at bench scale). A shuffle-free post-cache coalesce merges
+    # blocks ~8:1 at any scale; the agg itself keeps its full partition
+    # count (and memory headroom) — only the consumer scans narrow.
+    sh_r = sh.coalesce(df.sparkSession.sparkContext.defaultParallelism)
     chunk_structs = []
     for c in range(chunks):
         start = c * chunk_bits
@@ -499,7 +507,7 @@ def simhash_near_duplicates(
     # the map tasks (measured: 1024-task stages at bench scale). The
     # exploded chunk array produces the identical (chunk, ckey, id, hash)
     # rows in one scan per consumer (guide §2.4: remove redundant passes).
-    allc = sh.select(
+    allc = sh_r.select(
         F.explode(F.array(*chunk_structs)).alias("_cc"), F.col(id_col), F.col("simhash")
     ).select(
         F.col("_cc.chunk").alias("chunk"), F.col("_cc.ckey").alias("ckey"), id_col, "simhash"
@@ -943,8 +951,14 @@ def exact_substring_overlaps(
     # persisted because _df_capped's count and collect sides both read the
     # posting — without the cache the window-hash HOF (the expensive part)
     # would evaluate twice (measured 1.8x at sf1)
+    # spread BEFORE the HOF: the corpus often arrives as 1-2 parquet
+    # splits at test scale, which serialized the window-hash evaluation
+    # on 2 of 32 cores (measured: the two dominant jobs were 2-task);
+    # no-op at scale when the scan already has >= cores splits
+    from micromegas_spark.operators.util import spread as _spr
+
     w = (
-        df.where(token_count(F.col(text_col)) >= window)
+        _spr(df.where(token_count(F.col(text_col)) >= window))
         .select(F.col(id_col), F.explode(grams).alias("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1132,8 +1146,12 @@ def winnow_overlap_pairs(
     from pyspark import StorageLevel
 
     # persisted: the winnow HOF (an md5 per character position) is the
-    # dominant cost, and _df_capped's two sides both read the posting
-    posting = df.select(
+    # dominant cost, and _df_capped's two sides both read the posting.
+    # spread first: at test scale the corpus is 1-2 parquet splits and the
+    # HOF would run on as many cores (no-op at scale — util.spread)
+    from micromegas_spark.operators.util import spread as _spr
+
+    posting = _spr(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = (

@@ -927,6 +927,12 @@ def perplexity_buckets(
     from pyspark import StorageLevel
 
     ce = unigram_logprob(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # post-cache coalesce to core width (see simhash_near_duplicates): the
+    # per-doc score agg keeps the scale shuffle partitioning through the
+    # persist, so the cutoff aggregate and the labeling scan each launched
+    # one task per shuffle partition (measured 291-task jobs at bench
+    # scale); shuffle-free block merge for the consumers only.
+    ce = ce.coalesce(df.sparkSession.sparkContext.defaultParallelism)
     # exact percentile buffers values per partition — right for the
     # oracle-checked path at test scale; at 100 TB pass
     # exact_cutoffs=False for the sketch-based estimate (bounded memory,
