@@ -584,12 +584,20 @@ def one_shot_stream_table(
     # file I/O — the session's scale default (cpus*8, right for big batch
     # sorts) made every micro-batch pay ~256 tiny state commits (measured:
     # the *_stream oracle queries regressed 1.4-3x). Pin the streaming
-    # query's partitioning to the actual parallelism; the conf is read at
-    # start() and baked into the query's checkpoint, then restored.
+    # query's partitioning BELOW the core count: each state partition's
+    # micro-batch task is latency-bound (store open/replay/commit, ~0 CPU
+    # measured — 2 s executor CPU against 226 task-seconds on stage 39 of
+    # a sessionize run), so instances cost fixed time regardless of rows.
+    # cores/4 with a floor of 8 (the floor keeps the low-core driver runs
+    # at their previous value; the ratio scales the instance count with
+    # the cluster). Interleaved min-of-3 at 32 cores: sessionize
+    # 9.1 -> 5.8 s, counter-rate 7.2 -> 4.0, sliding 3.8 -> 2.4 at 8
+    # partitions. The conf is read at start() and baked into the query's
+    # checkpoint, then restored.
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
+        str(max(8, spark.sparkContext.defaultParallelism // 4)),
     )
     try:
         q = (
