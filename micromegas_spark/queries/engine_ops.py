@@ -140,7 +140,12 @@ def _synth_nested_events(ev: DataFrame) -> DataFrame:
         F.col("event_id"),
         F.col("ts_us").alias("time_ns"),
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("cnt"),
+        # full-frame count on the SAME ordered spec as row_number: one
+        # Window node computes both (a separate unordered spec planned a
+        # second Window pass over the partition; identical rows verified)
+        F.count("*")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("cnt"),
     ).where(F.col("rn") <= (F.col("cnt") / 8).cast("bigint") * 8)
     delta = F.when(((F.col("rn") - 1) % 8).isin(0, 1, 3, 6), F.lit(1)).otherwise(
         F.lit(-1)
