@@ -61,6 +61,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="alternations of the two arms; per-query min "
+                         "per arm (storm robustness)")
     args = ap.parse_args()
 
     # Subject-anchored: --grep matches the full message, and round-9
@@ -86,9 +89,25 @@ def main() -> int:
     try:
         # prev first, then current — same order every round so any
         # warmup asymmetry (page cache on the parquet inputs) biases the
-        # SAME direction each time
+        # SAME direction each time. --rounds N alternates the arms N
+        # times and keeps each query's MIN per arm: this box's invisible
+        # co-tenant storms last minutes and poison whole stretches of a
+        # single run (measured: untouched scan-agg queries at 6.5x in
+        # one arm); the per-arm min over alternated runs needs a storm
+        # to cover the SAME query in BOTH of an arm's runs to survive.
         prev = _run_bench(WORKTREE, env_extra)
         cur = _run_bench(REPO, env_extra)
+        for _ in range(args.rounds - 1):
+            p2 = _run_bench(WORKTREE, env_extra)
+            c2 = _run_bench(REPO, env_extra)
+            for q, v in p2["queries"].items():
+                if q in prev["queries"]:
+                    prev["queries"][q] = min(prev["queries"][q], v)
+            for q, v in c2["queries"].items():
+                if q in cur["queries"]:
+                    cur["queries"][q] = min(cur["queries"][q], v)
+            prev["value"] = round(sum(prev["queries"].values()), 4)
+            cur["value"] = round(sum(cur["queries"].values()), 4)
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", WORKTREE],
                        cwd=REPO, capture_output=True)
