@@ -196,6 +196,32 @@ def _df_capped(posting: DataFrame, keys, max_size: int, min_size: int = 1) -> Da
     return posting.join(ok, kcols)
 
 
+def _window_capped(posting: DataFrame, keys, max_size: int, min_size: int = 1) -> DataFrame:
+    """Same contract as _df_capped (posting rows whose key frequency lies in
+    [min_size, max_size]) computed in ONE pass over the posting: a count
+    window over the key exchange, then a filter. _df_capped's count-then-join
+    executes the posting lineage TWICE (count side + join side) — the right
+    trade when the posting is a cheap explode of a cached relation, but for
+    the LSH band paths the lineage above the last exchange is the MinHash
+    signature fold (an interpreted HOF, the dominant map cost), and a second
+    execution doubles it. Here the posting crosses one hash exchange on the
+    key; the window sort is on the (already clustered) key only, and the
+    caller's immediate groupBy on the SAME key reuses the exchange, so the
+    net plan is one fold + one exchange vs two folds + an exchange + a
+    broadcast. Use only where posting rows are key-bound (≈ docs × bands),
+    not for exploded shingle postings whose full width would cross the
+    exchange that the count-then-join shape never shuffles."""
+    from pyspark.sql import Window
+
+    kcols = list(keys)
+    w = Window.partitionBy(*kcols)
+    return (
+        posting.withColumn("_df", F.count("*").over(w))
+        .where((F.col("_df") >= min_size) & (F.col("_df") <= max_size))
+        .drop("_df")
+    )
+
+
 def _bucket_pairs(buckets: DataFrame, list_col: str, key=None) -> DataFrame:
     """Explode each bucket's collected element list into ordered (a, b)
     pairs via a higher-order cross — the shared pair-generation step of
@@ -253,8 +279,11 @@ def minhash_lsh_candidates(
     # aggregation materializes each bucket's id list once; in-bucket pairs
     # come from a higher-order cross of the (small) list. Buckets are small
     # by construction — they contain only near-duplicate clusters.
+    # window-capped, not count-then-join: the band posting's lineage above
+    # the shingle exchange is the signature fold, and _df_capped would run
+    # it once per side (measured ~1 s/execution warm at sf0.1)
     buckets = (
-        _df_capped(all_bands, ("band", "bkey"), max_bucket_size, min_size=2)
+        _window_capped(all_bands, ("band", "bkey"), max_bucket_size, min_size=2)
         .groupBy("band", "bkey")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
     )
@@ -354,7 +383,9 @@ def cross_near_duplicates(
         F.col(id_col).alias("_ta"), "band", "bkey"
     )
     bb = (
-        _df_capped(
+        # window-capped for the same reason as minhash_lsh_candidates: the
+        # benchmark posting's lineage is the signature fold over shb
+        _window_capped(
             _banded_keys(shb, id_col, n_hashes, bands),
             ("band", "bkey"),
             max_bucket_size,
@@ -512,8 +543,11 @@ def simhash_near_duplicates(
     ).select(
         F.col("_cc.chunk").alias("chunk"), F.col("_cc.ckey").alias("ckey"), id_col, "simhash"
     )
+    # window-capped: one cache scan + one exchange (shared with the bucket
+    # groupBy on the same keys) instead of _df_capped's two cache scans +
+    # exchange + broadcast-back — chunk-key rows are docs×chunks, key-bound
     buckets = (
-        _df_capped(allc, ("chunk", "ckey"), max_bucket_size, min_size=2)
+        _window_capped(allc, ("chunk", "ckey"), max_bucket_size, min_size=2)
         .groupBy("chunk", "ckey")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("ms"))
     )

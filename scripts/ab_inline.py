@@ -1,0 +1,89 @@
+"""Interleaved in-session A/B for a monkeypatchable operator change.
+
+Alternates OLD/NEW arms round-robin in ONE SparkSession (the only reliable
+measurement on this noise-prone box), min-of-N per arm per query, noop sink,
+cleared cache between runs. The patch is applied/removed around each arm via
+the PATCHES registry below — edit that mapping per experiment.
+
+Usage: python scripts/ab_inline.py <patch_name> <rounds> <query...>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _patch_window_capped():
+    """OLD arm = _df_capped shape at the three window-capped call sites."""
+    import micromegas_spark.operators.dedup as dd
+
+    orig = dd._window_capped
+    dd._window_capped = lambda posting, keys, max_size, min_size=1: dd._df_capped(
+        posting, keys, max_size, min_size
+    )
+    return lambda: setattr(dd, "_window_capped", orig)
+
+
+PATCHES = {
+    "window_capped": _patch_window_capped,
+}
+
+
+def main() -> None:
+    patch_name, rounds = sys.argv[1], int(sys.argv[2])
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from micromegas_spark.queries import REGISTRY
+    from micromegas_spark.session import get_spark
+
+    spark = get_spark("ab-inline")
+    spark.sparkContext.setLogLevel("ERROR")
+    REGISTRY["events_hourly_errors"].spark(spark, sf_dir).collect()
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    best: dict[str, dict[str, float]] = {n: {} for n in names}
+
+    def run_arm(arm: str) -> None:
+        unpatch = PATCHES[patch_name]() if arm == "old" else (lambda: None)
+        try:
+            for n in names:
+                spark.sparkContext.setJobDescription(f"ab:{arm}:{n}")
+                t0 = time.perf_counter()
+                REGISTRY[n].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                cur = best[n].get(arm)
+                best[n][arm] = dt if cur is None else min(cur, dt)
+                spark.catalog.clearCache()
+        finally:
+            unpatch()
+
+    for r in range(rounds):
+        for arm in ("old", "new") if r % 2 == 0 else ("new", "old"):
+            run_arm(arm)
+            print(f"round {r} arm {arm} done", flush=True)
+
+    out = {
+        n: {
+            "old": round(v["old"], 3),
+            "new": round(v["new"], 3),
+            "ratio": round(v["new"] / v["old"], 3),
+        }
+        for n, v in best.items()
+    }
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
