@@ -305,7 +305,18 @@ def _jit_thread_spans_setup(spark: SparkSession, sf_dir: str):
     ]
     events = _synth_nested_events(ev.where(F.col("user_id").isin(ids)))
     w = Window.partitionBy("stream_id").orderBy("time_ns", "event_id")
-    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    # post-window coalesce before the persist: the ntile window leaves the
+    # session's scale shuffle partitioning, the persist pins it (AQE cannot
+    # coalesce a cached plan), and every consumer job (meta collect, each
+    # view_instance's build_blocks scan) would pay one task per shuffle
+    # partition for a 4-stream fixture (measured: 261-task jobs at bench
+    # scale). Shuffle-free merge to core width; the window itself keeps
+    # its full partition count.
+    evb = (
+        events.withColumn("blk", F.ntile(3).over(w))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     meta = evb.groupBy("stream_id", "blk").agg(
         F.min("time_ns").alias("lo"),
         F.max("time_ns").alias("hi"),
@@ -1227,7 +1238,14 @@ def events_jit_net_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
     )
     w = Window.partitionBy("connection_name").orderBy("offset_bits", "event_id")
-    evb = events.withColumn("blk", F.ntile(3).over(w)).persist()
+    # post-window coalesce before the persist — same rationale as the
+    # jit_thread_spans fixture: don't pin the scale shuffle partitioning
+    # into a 4-connection cached relation
+    evb = (
+        events.withColumn("blk", F.ntile(3).over(w))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     try:
         meta = evb.groupBy("connection_name", "blk").agg(
             F.min("offset_bits").alias("lo"),
