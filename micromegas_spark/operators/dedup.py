@@ -81,7 +81,26 @@ MH_AB: list[tuple[int, int]] = [
 ]
 
 
-def minhash_signature_from_hashes(sh: Column, n_hashes: int = 8) -> Column:
+def _minhash_sig_sql(sh_sql: str, n_hashes: int = 8) -> str:
+    """The signature fold as ONE SQL expression string. Semantically
+    identical to minhash_signature_from_hashes (same fold, same
+    constants); exists because building the fold through Column methods
+    costs hundreds of py4j socket round trips PER BUILD (each F.<fn> is
+    one round trip, ~0.15 ms of driver wall), while F.expr ships the
+    whole expression in one. Use where the input is addressable as SQL
+    (a column name); the Column spelling below remains for expression
+    inputs."""
+    ab = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in MH_AB[:n_hashes]
+    )
+    return (
+        f"aggregate({sh_sql}, array_repeat(CAST({MH_P} AS BIGINT), {n_hashes}), "
+        f"(acc, h) -> zip_with(acc, array({ab}), "
+        f"(m, s) -> least(m, (s.a * h + s.b) % {MH_P}L)))"
+    )
+
+
+def minhash_signature_from_hashes(sh: Column | str, n_hashes: int = 8) -> Column:
     """Array of n_hashes MinHash values over a pre-hashed shingle-set
     column, computed in ONE fold.
 
@@ -89,7 +108,12 @@ def minhash_signature_from_hashes(sh: Column, n_hashes: int = 8) -> Column:
     n separate `array_min(transform(...))` columns would each re-evaluate
     the input subtree (no common-subexpression elimination outside
     codegen) — measured 8x the work. The fold updates all n mins per
-    shingle via zip_with."""
+    shingle via zip_with.
+
+    A plain-string ``sh`` routes through the one-round-trip SQL spelling
+    (_minhash_sig_sql); a Column builds the same fold via the Column API."""
+    if isinstance(sh, str):
+        return F.expr(_minhash_sig_sql(sh, n_hashes))
     ab = F.array(
         *[
             F.struct(
@@ -148,25 +172,25 @@ def _banded_keys(
     shuffle. Shared by self-corpus LSH (minhash_lsh_candidates) and the
     cross-corpus decontamination join (cross_near_duplicates)."""
     rows = n_hashes // bands
+    # both expressions ship as single SQL strings (F.expr): the Column
+    # spelling cost ~10 py4j round trips per band/hash — a measurable
+    # slice of per-query DRIVER wall across the minhash family
     sig = sh.select(
         F.col(id_col),
-        F.explode(
-            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
-        ).alias("mhs"),
+        F.expr(f"explode(array({_minhash_sig_sql('sh', n_hashes)}))").alias("mhs"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', concat_ws(':', {els}))".format(
+            b=b,
+            els=", ".join(
+                f"element_at(mhs, {b * rows + r + 1})" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
     )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
@@ -448,26 +472,32 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             F.conv(F.substring(F.col("_d"), 9, 8), 16, 10).cast("bigint").alias("hhi"),
         )
     )
+    # the 64 vote sums and the 64-term assembly are built as SQL strings,
+    # not Column-method chains: each F.<fn> call is one py4j socket round
+    # trip, and the chained spelling cost ~5,000 round trips ≈ 2 s of
+    # DRIVER wall per build (measured with cProfile — recv_into dominated;
+    # guide §1.1 empirical loop applied to the driver itself). F.expr
+    # parses a whole expression in ONE round trip; the parsed plan —
+    # and therefore the signature — is identical.
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({'hlo' if i < 32 else 'hhi'}, {i % 32})"
+            f" & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{i}")
         for i in range(64)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    sim = None
-    for i in range(64):
-        weight = (1 << i) if i < 63 else -(1 << 63)
-        bit = F.when(F.col(f"s{i}") >= 0, F.lit(weight).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sim = bit if sim is None else sim + bit
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    # bit 63 weighs -2^63: spelled (-(2^63-1) - 1) because the bare
+    # min-int64 literal does not survive the parser's unary minus
+    assembly = " + ".join(
+        f"IF(s{i} >= 0, {1 << i}L, 0L)"
+        if i < 63
+        else "IF(s63 >= 0, (-9223372036854775807L - 1L), 0L)"
+        for i in range(64)
+    )
+    return sums.select(
+        F.col(id_col), F.expr(f"CAST({assembly} AS BIGINT)").alias("simhash")
+    )
 
 
 def simhash_near_duplicates(

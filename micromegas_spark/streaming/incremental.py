@@ -178,18 +178,14 @@ def _signatures(
     persists — band keys are derived from it on demand (cheap array ops,
     no md5 recompute), so one stored relation serves both the candidate
     join and the verify join."""
-    from micromegas_spark.operators.dedup import (
-        _shingle_sets,
-        minhash_signature_from_hashes,
-    )
+    from micromegas_spark.operators.dedup import _minhash_sig_sql, _shingle_sets
 
     sh = _shingle_sets(df, text_col, id_col, shingle_n)
     return sh.select(
         F.col(id_col),
         "sh",
-        F.explode(
-            F.array(minhash_signature_from_hashes(F.col("sh"), n_hashes))
-        ).alias("mhs"),
+        # one-round-trip SQL spelling of the fold (see _minhash_sig_sql)
+        F.expr(f"explode(array({_minhash_sig_sql('sh', n_hashes)}))").alias("mhs"),
     )
 
 
@@ -198,19 +194,20 @@ def _band_keys(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFr
     stored signature array (same composite-key definition as the batch
     operator)."""
     rows = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[F.element_at(F.col("mhs"), b * rows + r + 1) for r in range(rows)],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
+    # single SQL string per build (py4j round-trip economy, same as the
+    # batch _banded_keys)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', concat_ws(':', {els}))".format(
+            b=b,
+            els=", ".join(
+                f"element_at(mhs, {b * rows + r + 1})" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
     )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
@@ -297,7 +294,7 @@ def stream_minhash_neardup(
         from micromegas_spark.operators.dedup import minhash_signature_from_hashes
 
         st = spark.read.parquet(sig_dir)
-        derived = minhash_signature_from_hashes(F.col("sh"), n_hashes)
+        derived = minhash_signature_from_hashes("sh", n_hashes)
         if "mhs" not in st.columns:
             st = st.withColumn("mhs", derived)
         else:
