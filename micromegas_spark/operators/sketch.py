@@ -77,11 +77,32 @@ def kmv_sketches(pairs: DataFrame, k: int, side_col: str = "side", hash_col: str
                 *[F.when(F.col("side") == s, F.lit(t)) for s, t in thr.items()]
             )
             surv = d.where(F.col("h") < thr_expr)
-            ok = {r["side"]: r["n"] for r in surv.groupBy("side").agg(F.count("*").alias("n")).collect()}
+            # ONE aggregate delivers both the slack check and the sketch:
+            # the previous count-check + lazily-returned aggregate shape
+            # executed the verify count over the cache, then — because the
+            # persist is released in the finally below — the CALLER's
+            # consumption re-ran the whole distinct chain from the source
+            # (measured: a second full md5/explode/distinct pass per query).
+            # A sketch is kB-sized BY DESIGN (sides x k x 8 bytes), so
+            # collecting it is bounded at any corpus scale; only the k
+            # smallest per side cross to the driver.
+            surv_agg = surv.groupBy("side").agg(
+                F.count("*").alias("_n"),
+                F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"),
+            )
+            rows = surv_agg.collect()
+            ok = {r["side"]: r["_n"] for r in rows}
             if all(ok.get(s, 0) >= min(k, n) for s, n in counts.items()):
-                return surv.groupBy("side").agg(
-                    F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks")
+                import pandas as pd
+                from pyspark.sql.types import StructType
+
+                schema = StructType(
+                    [surv_agg.schema["side"], surv_agg.schema["ks"]]
                 )
+                pdf = pd.DataFrame(
+                    {"side": [r["side"] for r in rows], "ks": [r["ks"] for r in rows]}
+                )
+                return pairs.sparkSession.createDataFrame(pdf, schema)
             slack *= 8.0  # widen and retry (not expected to trigger)
         # give up on pruning: exact global per-side sort of the distinct set
         return d.groupBy("side").agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
