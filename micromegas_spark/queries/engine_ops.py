@@ -1606,6 +1606,14 @@ def events_transit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from micromegas_spark.streaming.incremental import process_scratch_dir
 
     blocks, meta = _transit_event_blocks(spark, sf_dir)
+    # NOT persisted, deliberately (measured this round): the per-wave
+    # filter is on the encode's GROUPING key, so Catalyst pushes it below
+    # the applyInPandas — each wave encodes only its own half (no
+    # duplicated work to cache away), AQE coalesces the fused
+    # encode+write to a handful of tasks, and a persist would both pin
+    # the scale shuffle partitioning into the cache (260 pickled-row
+    # Python tasks per wave write, measured 1.8 s vs 0.4 s) and add a
+    # blocking materialization pass.
 
     # per-pid scratch with dead-pid reaping (no unbounded /tmp growth
     # across crashed runs; concurrent sessions keep their own trees)
@@ -1731,7 +1739,20 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_trace,
     )
 
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 31 == 0)
+    # persist the (tiny) sampled-event slice: the three exports read their
+    # span inputs SIX times between them (trace_chunks materializes its
+    # input for the boundary/count jobs, then the final numbering pass
+    # recomputes the lineage; 'both' additionally re-derives thread+async)
+    # and user_id % 31 cannot push down to parquet, so each execution was
+    # a full events.parquet scan — measured 8 scan stanzas in the plan.
+    # One cache of the 1/31 slice serves every consumer (guide §1.2/§5).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 31 == 0)
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_id", "user_id", "event_type", "ts_us", "value")
+        .persist()
+    )
 
     def spanify(etype: str, prefix: str, dur_mult: int) -> DataFrame:
         dur = F.round(F.col("value") * 1000000).cast("bigint")
@@ -1770,11 +1791,22 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec, schema="stream_id string, etype int, ts long, name string"
         ).withColumn("span_type", F.lit(span_type))
 
-    decoded = (
-        roundtrip(thread, "thread")
-        .unionByName(roundtrip(asyncs, "async"))
-        .unionByName(roundtrip(thread.unionByName(asyncs), "both"))
-    )
+    # build the three exports from a 3-thread pool (guide §2.6): each
+    # trace_chunks runs two small driver actions (boundary quantiles +
+    # per-bucket counts) before returning, and the three exports are
+    # independent until the final union — serially those six jobs ran
+    # back-to-back on an otherwise idle cluster. The pool only overlaps
+    # the prep jobs; the timed save still executes the union as one job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(roundtrip, thread, "thread"),
+            pool.submit(roundtrip, asyncs, "async"),
+            pool.submit(roundtrip, thread.unionByName(asyncs), "both"),
+        ]
+        parts = [f.result() for f in futs]
+    decoded = parts[0].unionByName(parts[1]).unionByName(parts[2])
     # ONE pass over the decoded stream: begins and ends previously hung off
     # `decoded` as two separate aggregations, which re-executed the whole
     # encode+decode chain (3 exports x 2 mapInPandas each) on both sides of
