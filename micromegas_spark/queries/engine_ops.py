@@ -725,7 +725,10 @@ def media_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(
         gen, schema="media_id bigint, media_type string, payload binary"
     )
-    return pixel_stats(media).orderBy("media_id")
+    # shuffle barrier before the output sort — same rationale and A/B as
+    # media_avi_roundtrip: the sort's range-sampling job would otherwise
+    # re-run the whole map-only encode+decode chain a second time
+    return pixel_stats(media).repartition("media_id").orderBy("media_id")
 
 
 _WAV_STATS_ORACLE = """
@@ -797,7 +800,10 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _gen_wav_media(
         _spr(load_table(spark, sf_dir, "documents").select("doc_id"))
     )
-    return audio_stats(media).orderBy("media_id")
+    # shuffle barrier before the output sort — same rationale and A/B as
+    # media_avi_roundtrip: the sort's range-sampling job would otherwise
+    # re-run the whole map-only encode+decode chain a second time
+    return audio_stats(media).repartition("media_id").orderBy("media_id")
 
 
 @query("media_wav_stream", oracle=_WAV_STATS_ORACLE)
@@ -891,6 +897,12 @@ def events_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blocks = (
         ev.withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(64)))
+        # NOTE (r11, measured): AQE coalesces this exchange to ~11 tasks
+        # by shuffle bytes while the stage cost is per-event Python CBOR
+        # work — but pinning the full 64-bucket width with an explicit
+        # repartition measured WORSE interleaved (2.37 vs 2.18 s min-of-4;
+        # the extra user exchange costs more than the widened stage buys
+        # under worker-pool reuse). Left on the AQE path deliberately.
         .groupBy("bucket")
         .applyInPandas(pack, schema="block_id string, payload binary")
     )
@@ -983,7 +995,17 @@ def media_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(
         gen, schema="media_id bigint, media_type string, payload binary"
     )
-    return video_stats(media).orderBy("media_id")
+    # shuffle barrier between the Python chain and the output sort:
+    # orderBy's range-partitioner SAMPLING job executes the sort's child,
+    # and with a map-only Python chain below there is no materialized
+    # shuffle stage for it to reuse — the whole encode+decode ran TWICE
+    # (measured: two identical 0.86 s jobs). A keyed repartition of the
+    # narrow one-row-per-clip stats makes AQE materialize the chain ONCE
+    # as a shuffle stage that both the sampler and the sort read
+    # (guide §1.2/§2.4). Interleaved min-of-6: none 1.69 / persist 1.18 /
+    # this 1.01 s — the barrier beats a cache (no materialization job,
+    # no memory pinned).
+    return video_stats(media).repartition("media_id").orderBy("media_id")
 
 
 @query(
