@@ -1452,6 +1452,11 @@ def events_otel_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hot_retries"),
             F.round("parent_share", 6).alias("parent_share"),
         )
+        # NOTE (r11, measured): a pre-sort shuffle barrier (the media-
+        # roundtrip pattern) measured 3x WORSE here (2.5 vs 0.8 s warm) —
+        # the jsonb hops above the join are cheap relative to the extra
+        # exchange, and the sampler's re-run starts from the join's
+        # already-materialized shuffle stages. Left barrier-free.
         .orderBy("trace_id", "span_id")
     )
 
