@@ -81,6 +81,14 @@ def edit_distance_pairs(
         .coalesce(par)
         .persist()
     )
+    # EAGER: the index/probe/verify branches reach s through broadcast-
+    # exchange subqueries that Spark evaluates on concurrent driver
+    # threads, and they race the lazy persist's first materialization —
+    # measured on docs_fuzzy_join: FOUR identical 0.35 s jobs, each
+    # re-running the caller's dedup-groupBy lineage (the same race
+    # nb_classify's eager checkpoint closes; guide §1.2). One blocking
+    # count materializes the cache once; every consumer then reads blocks.
+    s.count()
 
     # ---- index: the k+1 segments of every string, bucket-collected
     iidx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i")

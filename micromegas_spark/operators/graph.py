@@ -228,11 +228,21 @@ def pagerank(
     )
     # persist BEFORE the size probe: the probe executes the collapsed-edge
     # aggregation, and without the persist the distributed path would run
-    # that expensive upstream build a second time
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # that expensive upstream build a second time. The post-cache coalesce
+    # merges cache blocks ~8:1 for every consumer (the collapse groupBy
+    # leaves the session's scale shuffle partitioning and the persist pins
+    # it — measured 277-task probe jobs for a 25-node dimension graph,
+    # nations_trade_pagerank). It sits BETWEEN the persist and the
+    # consumers, NOT below the persist: coalescing before the persist
+    # concentrates the agg state per task (the sf10 OOM lesson,
+    # OPTIMIZATION_r11 #12) — this way the agg materializes at full width
+    # and only the cached-block reads merge.
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    e_cached = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e = e_cached.coalesce(par)
     probe = e.limit(local_threshold + 1).collect()
     if len(probe) <= local_threshold:
-        e.unpersist()
+        e_cached.unpersist()
         return _local_pagerank(e, probe, damping, n_iter)
     del probe
     # zero-total-out-weight nodes are DANGLING, not divisors: build the
@@ -240,9 +250,11 @@ def pagerank(
     # NULL and silently drain rank mass each round)
     pos = e.where(F.col("w") > 0)
     outw = pos.groupBy("src").agg(F.sum("w").alias("outw"))
-    trans = pos.join(outw, "src").select(
+    trans_cached = pos.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # post-cache coalesce, same pattern as e above
+    trans = trans_cached.coalesce(par)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -277,8 +289,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    e.unpersist()
-    trans.unpersist()
+    e_cached.unpersist()
+    trans_cached.unpersist()
     nodes.unpersist()
     return ranks
 

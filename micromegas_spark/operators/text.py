@@ -1054,6 +1054,15 @@ def bigram_logprob(
         )
         .select(id_col, "s.w1", "s.bg")
     )
+    # EAGER materialization of the bigram explode: freq2, freq1 and the
+    # scoring join all reach `bi`, and the model-table branches are
+    # evaluated as concurrent broadcast/shuffle stages that each re-ran
+    # the whole tokenize+explode lineage (measured on docs_bigram_logprob:
+    # four escalating 0.2-0.75 s corpus jobs in one run — the nb_classify
+    # race, guide §1.2). One checkpoint; every consumer reads the blocks.
+    # Rows are unchanged, so the scoring/aggregation results (and the
+    # oracle hash) are bit-identical.
+    bi = bi.localCheckpoint(eager=True)
     freq2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
     freq1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
