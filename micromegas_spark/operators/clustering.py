@@ -102,6 +102,12 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (assignments DataFrame [id_col, cluster, sq_dist], final
     centroids). Centroid recomputation is exact (mean of members)."""
+    # NOT spread before the persist, deliberately (r11 A/B): widening the
+    # single-split embeddings scan to core width measured 1.33 -> 2.20 s
+    # on emb_kmeans — the vector-array repartition exchange plus 32-task
+    # scheduling per iteration round costs more than the 2-task
+    # starvation; the per-round jobs are latency-, not compute-bound at
+    # bench scale (at 100 TB the scan has >= cores splits natively).
     df = df.select(id_col, vec_col).persist()
     try:
         centroids = _farthest_point_init(df, k, id_col, vec_col)
@@ -182,6 +188,11 @@ def semdedup(
         .select(F.col(id_col), F.col("cluster").cast("int"), "sq_dist", F.col(vec_col))
         .persist()
     )
+    # EAGER: the oversized-cluster broadcast subquery races the two join
+    # consumers for the lazy cache's first materialization (measured four
+    # racing assign-UDF jobs in one emb_semdedup run — the nb_classify
+    # race); one count materializes the assign stage once
+    a.count()
     oversized = (
         a.groupBy("cluster")
         .agg(F.count("*").alias("_n"))

@@ -257,6 +257,11 @@ def dsir_log_weights(
     ).select(id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket"))
     if cache:
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        # EAGER: the model chain reaches ex through broadcast subqueries
+        # on concurrent driver threads that race the lazy cache's first
+        # materialization — measured THREE identical full feature-stream
+        # executions in one docs_dsir_weights run (the nb_classify race).
+        ex.count()
     counts = ex.groupBy("bucket").agg(
         F.count("*").alias("c_s"),
         F.sum("_t").alias("c_t"),

@@ -926,13 +926,19 @@ def perplexity_buckets(
     join + per-doc agg) would execute twice."""
     from pyspark import StorageLevel
 
-    ce = unigram_logprob(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    ce_cached = unigram_logprob(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # (r11 A/B: an eager count here — the nb_classify race pattern —
+    # measured FLAT-to-slightly-worse interleaved; the two racing
+    # consumers mostly block on the same in-flight cache blocks rather
+    # than recompute, so the extra materialization job buys nothing.)
     # post-cache coalesce to core width (see simhash_near_duplicates): the
     # per-doc score agg keeps the scale shuffle partitioning through the
     # persist, so the cutoff aggregate and the labeling scan each launched
     # one task per shuffle partition (measured 291-task jobs at bench
     # scale); shuffle-free block merge for the consumers only.
-    ce = ce.coalesce(df.sparkSession.sparkContext.defaultParallelism)
+    ce = ce_cached.coalesce(df.sparkSession.sparkContext.defaultParallelism)
     # exact percentile buffers values per partition — right for the
     # oracle-checked path at test scale; at 100 TB pass
     # exact_cutoffs=False for the sketch-based estimate (bounded memory,
