@@ -543,6 +543,13 @@ def bm25_topk(
     the id; per-term df and the corpus stats (N, avglen) ride in as
     broadcast aggregates. Final ranking is TakeOrderedAndProject — no
     global sort."""
+    # NOT spread, deliberately (r11 cross-tree A/B): widening the
+    # single-split corpus scan measured WORSE here (bm25 1.20 -> 1.33 s,
+    # hybrid_rrf 1.60 -> 1.84 s min-of-6) — the query-term isin filter
+    # makes the explode cheap enough that the full-text repartition
+    # exchange dominates, unlike the kmv/HOF map stages where the
+    # per-row work is heavy. At 100 TB the scan has >= cores splits
+    # natively and needs no help.
     lterms = [t.lower() for t in terms]
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
