@@ -235,18 +235,40 @@ def test_media_pipelines_shuffle_free(spark):
     """The multimodal decode pipelines (generate → encode → decode →
     stats) must be pure map chains: at 100 TB corpus width a shuffle of
     raw media payloads is the difference between feasible and not. The
-    only allowed Exchange is the final presentation orderBy."""
+    allowed Exchanges are the final presentation orderBy, the r11 barrier
+    hash repartition of the NARROW per-clip stats rows (it sits above
+    every Python decode stage, so no payload bytes cross it — it exists
+    so the sort's range-sampling job reuses the chain instead of running
+    it twice), and the RoundRobin spread of bare doc_ids."""
     for name in ("media_ppm_roundtrip", "media_wav_roundtrip", "media_avi_roundtrip"):
         plan = _plan(spark, name)
-        # allowed: the final orderBy's rangepartitioning, plus the spread
-        # RoundRobin of BARE doc_ids before any payload exists (it sits
-        # below the generator mapInPandas, so only 8-byte ids move);
-        # forbidden: any hash exchange of payload-bearing rows
-        ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        lines = plan.splitlines()
+        # forbidden: any exchange of payload-bearing rows. Allowed, and
+        # only these: the final orderBy's rangepartitioning; ONE keyed
+        # barrier hashpartitioning(media_id) of the post-decode stats
+        # relation (above all Python stages); the spread RoundRobin of
+        # BARE doc_ids before any payload exists (below the generator
+        # mapInPandas, so only 8-byte ids move).
+        ex = [ln for ln in lines if "Exchange" in ln]
         assert all(
-            "rangepartitioning" in ln or "RoundRobinPartitioning" in ln for ln in ex
+            "rangepartitioning" in ln
+            or "RoundRobinPartitioning" in ln
+            or "hashpartitioning(media_id" in ln
+            for ln in ex
         ), (name, ex)
         assert sum("rangepartitioning" in ln for ln in ex) == 1, (name, ex)
+        assert sum("hashpartitioning" in ln for ln in ex) <= 1, (name, ex)
+        # every Python stage carries payload bytes; the stats barrier must
+        # sit ABOVE all of them (less indented), proving it shuffles only
+        # the narrow per-clip stats rows, never media payloads
+        py = [ln for ln in lines if "MapInPandas" in ln or "ArrowEvalPython" in ln]
+        assert py, name
+        hx = [ln for ln in ex if "hashpartitioning" in ln]
+        if hx:
+            h_ind = len(hx[0]) - len(hx[0].lstrip(" :+-"))
+            assert all(
+                h_ind < len(p) - len(p.lstrip(" :+-")) for p in py
+            ), (name, hx, py)
         # the RoundRobin must be deeper in the tree (below the decode
         # stages), i.e. more indented than the range exchange
         rr = [ln for ln in ex if "RoundRobinPartitioning" in ln]
