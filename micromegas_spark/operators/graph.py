@@ -164,7 +164,11 @@ def _local_components_from_rows(e: DataFrame, rows_in) -> DataFrame:
     # of a Python-RDD-backed plan (whose every downstream action spins the
     # Python runner; measured 3x on the tiny result)
     pdf = pd.DataFrame(rows, columns=["node", "component"])
-    return e.sparkSession.createDataFrame(pdf, schema)
+    # coalesce(1): Arrow createDataFrame slices even a tiny pandas frame
+    # into cores-many near-empty partitions, and every downstream sort/
+    # window then schedules cores-many tasks for a driver-bounded result
+    # (measured ~0.2 s of 32-task jobs per dedup_clusters consumer)
+    return e.sparkSession.createDataFrame(pdf, schema).coalesce(1)
 
 
 def dedup_clusters(
@@ -335,4 +339,6 @@ def _local_pagerank(
         [StructField("node", node_t), StructField("rank", DoubleType())]
     )
     pdf = pd.DataFrame([(v, rank[v]) for v in nodes], columns=["node", "rank"])
-    return e.sparkSession.createDataFrame(pdf, schema)
+    # coalesce(1): see _local_components_from_rows — one slice for a
+    # driver-bounded result instead of cores-many near-empty partitions
+    return e.sparkSession.createDataFrame(pdf, schema).coalesce(1)

@@ -588,8 +588,15 @@ def mmr_rerank(
         ]
     )
     pool = cosine_topk(df, query_id, k=pool_n, id_col=id_col, vec_col=vec_col)
+    # broadcast the pool_n-row pool into the vector fetch: the bare join
+    # planned sort-merge and shuffled the ENTIRE embeddings table to
+    # attach 20 rows (measured: two 0.47 s 32-task jobs per run — the
+    # shuffle map + reduce of the corpus). The pool is k-bounded by
+    # construction, so the broadcast is safe at any corpus size and the
+    # fetch is one scan with no exchange (guide §3.1).
     rows = (
-        pool.join(df.select(id_col, vec_col), id_col)
+        df.select(id_col, vec_col)
+        .join(F.broadcast(pool), id_col)
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .collect()
     )
@@ -620,4 +627,11 @@ def mmr_rerank(
         selected.append((len(selected) + 1, c, rel[c], score))
         remaining.remove(c)
 
-    return spark.createDataFrame(selected, out_schema)
+    # one slice, not defaultParallelism: createDataFrame parallelizes the
+    # local list into cores-many near-empty partitions, and the caller's
+    # output sort then pays a 32-task sample + a 32-task sort for k≈5
+    # rows (measured: two identical 0.32 s jobs — pure task-scheduling
+    # overhead). The selection is k-bounded, one slice is its real size.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(selected, 1), out_schema
+    )

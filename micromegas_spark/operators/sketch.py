@@ -102,7 +102,9 @@ def kmv_sketches(pairs: DataFrame, k: int, side_col: str = "side", hash_col: str
                 pdf = pd.DataFrame(
                     {"side": [r["side"] for r in rows], "ks": [r["ks"] for r in rows]}
                 )
-                return pairs.sparkSession.createDataFrame(pdf, schema)
+                # coalesce(1): one slice for a sides-bounded sketch table
+                # (Arrow createDataFrame otherwise slices it cores-ways)
+                return pairs.sparkSession.createDataFrame(pdf, schema).coalesce(1)
             slack *= 8.0  # widen and retry (not expected to trigger)
         # give up on pruning: exact global per-side sort of the distinct set
         return d.groupBy("side").agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
