@@ -56,7 +56,13 @@ def kmv_sketches(pairs: DataFrame, k: int, side_col: str = "side", hash_col: str
     min(k, n_distinct)).
     """
     d = pairs.select(F.col(side_col).alias("side"), F.col(hash_col).alias("h")).distinct()
-    d = d.persist()
+    d_cached = d.persist()
+    # post-cache coalesce (OPTIMIZATION_r11 #12 pattern): the distinct's
+    # shuffle leaves the session's scale partitioning and the persist pins
+    # it (AQE cannot coalesce a cached plan's output) — every consumer ran
+    # cores*8 near-empty tasks at bench scale. Merging cache blocks ~8:1
+    # at read time keeps the distinct itself at full width.
+    d = d_cached.coalesce(pairs.sparkSession.sparkContext.defaultParallelism)
     try:
         # per-side distinct counts: one small agg over the distinct relation
         counts = {r["side"]: r["n"] for r in d.groupBy("side").agg(F.count("*").alias("n")).collect()}
@@ -109,7 +115,7 @@ def kmv_sketches(pairs: DataFrame, k: int, side_col: str = "side", hash_col: str
         # give up on pruning: exact global per-side sort of the distinct set
         return d.groupBy("side").agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
     finally:
-        d.unpersist()
+        d_cached.unpersist()
 
 
 def kmv_merge_estimates(sketches: DataFrame, k: int, side_a: str = "A", side_b: str = "B") -> DataFrame:
