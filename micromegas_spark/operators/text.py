@@ -837,8 +837,18 @@ def nb_classify(
     )
     tf = g.select(id_col, "term", "tf")
     # the model table: (term, class) occurrence counts — vocab-bound
-    # (Zipf), not corpus-bound; aggregated from the materialized g
-    tc = g.groupBy("term", "_y").agg(F.sum("tf").alias("ctc"))
+    # (Zipf), not corpus-bound; aggregated from the materialized g.
+    # EAGER too: ctot, the scalars' distinct-term count and the scoring
+    # join all consume tc, and each reached it through its own broadcast
+    # subquery thread — with no checkpoint the (read g → re-aggregate)
+    # lineage ran once PER consumer (measured: four identical 15-task
+    # ~0.4 s job pairs per run). The materialized tc is the model itself,
+    # vocab x classes rows.
+    tc = (
+        g.groupBy("term", "_y")
+        .agg(F.sum("tf").alias("ctc"))
+        .localCheckpoint(eager=True)
+    )
     classes = docs.groupBy("_y").agg(F.count("*").alias("n_docs"))
     ctot = tc.groupBy("_y").agg(F.sum("ctc").alias("t_c"))
     scalars = tc.select("term").distinct().agg(
