@@ -146,7 +146,15 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax cascade; output is the (labeled, predicted) confusion matrix.
     (On the synthetic corpus all langs share one word pool — the mechanism,
     not accuracy, is under test.)"""
-    d = load_table(spark, sf_dir, "documents")
+    from micromegas_spark.operators.util import spread
+
+    # spread: the marker-score cascade is ~25 token-array probes PER ROW
+    # and the corpus arrives as 1-2 parquet splits at bench scale — the
+    # scoring ran on 2 of 32 cores (measured 0.42 s 2-task job; the
+    # per-row work is heavy enough that the widening exchange pays,
+    # unlike bm25's filtered explode — see text.py's rejection note).
+    # Interleaved min-of-6: 0.49 -> 0.30 s. No-op at 100 TB split counts.
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select("lang", text.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
