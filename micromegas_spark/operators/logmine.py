@@ -35,8 +35,21 @@ def mine_templates(
     with the same token count, it carries more than ``max_distinct``
     distinct tokens (constant-ish slots like level names survive; ids,
     numbers and payloads get masked)."""
+    from pyspark import StorageLevel
+
     toks = F.split(F.trim(F.col(msg_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("toks")).withColumn("n_toks", F.size("toks"))
+    # persisted: the tokenized relation feeds BOTH the per-slot mask
+    # aggregate (reached through a broadcast subquery) and the final
+    # template rebuild — without the cache the scan+split ran once per
+    # consumer (measured: two ~0.27 s twin jobs per query; interleaved
+    # min-of-6 0.81 -> 0.71 s with the persist). Stays cached for the
+    # session like the dedup shingle relations (same rationale and
+    # caveat: a long-lived driver should unpersist between corpora).
+    base = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pos = base.select("n_toks", F.posexplode("toks").alias("pos", "tok"))
     decisions = pos.groupBy("n_toks", "pos").agg(
         (F.count_distinct("tok") > max_distinct).alias("masked")
