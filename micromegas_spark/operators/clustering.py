@@ -22,6 +22,8 @@ Output feeds ivf_topk as a trained coarse quantizer.
 
 from __future__ import annotations
 
+from micromegas_spark.cachereg import track
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -188,6 +190,7 @@ def semdedup(
         .select(F.col(id_col), F.col("cluster").cast("int"), "sq_dist", F.col(vec_col))
         .persist()
     )
+    track(a)
     # EAGER: the oversized-cluster broadcast subquery races the two join
     # consumers for the lazy cache's first materialization (measured four
     # racing assign-UDF jobs in one emb_semdedup run — the nb_classify

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from micromegas_spark.cachereg import track
+
 
 def _seg_geometry(n, i, k: int):
     """Balanced split of a length-``n`` string into k+1 segments:
@@ -67,20 +69,24 @@ def edit_distance_pairs(
     # count is the SUM of the branches' shuffle partitions (512 at the
     # bench profile) — and AQE cannot coalesce through a persist, so all
     # four consumers would scan that many tiny cached blocks (measured:
-    # ~4000 near-empty tasks per docs_fuzzy_join run). Shuffle-free
-    # coalesce to one partition per core keeps every consumer stage at
-    # full, not inflated, parallelism at any scale.
+    # ~4000 near-empty tasks per docs_fuzzy_join run). The coalesce sits
+    # ABOVE the persist (cache at inherited width, merge cached blocks at
+    # read time) — coalescing BELOW the persist would propagate core-width
+    # down into the caller's union/groupBy reduce side and concentrate
+    # upstream per-task state at scale (the pagerank/simhash sf10 OOM
+    # lesson; VERDICT r11 "What's wrong" #1).
     par = df.sparkSession.sparkContext.defaultParallelism
-    s = (
+    s_cached = (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(text_col).alias("_t"),
             F.length(text_col).alias("_n"),
         )
         .where(F.col("_n") >= k + 1)
-        .coalesce(par)
         .persist()
     )
+    track(s_cached)
+    s = s_cached.coalesce(par)
     # EAGER: the index/probe/verify branches reach s through broadcast-
     # exchange subqueries that Spark evaluates on concurrent driver
     # threads, and they race the lazy persist's first materialization —
@@ -88,7 +94,7 @@ def edit_distance_pairs(
     # re-running the caller's dedup-groupBy lineage (the same race
     # nb_classify's eager checkpoint closes; guide §1.2). One blocking
     # count materializes the cache once; every consumer then reads blocks.
-    s.count()
+    s_cached.count()
 
     # ---- index: the k+1 segments of every string, bucket-collected
     iidx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i")

@@ -244,7 +244,11 @@ def pagerank(
     par = edges.sparkSession.sparkContext.defaultParallelism
     e_cached = e.persist(StorageLevel.MEMORY_AND_DISK)
     e = e_cached.coalesce(par)
-    probe = e.limit(local_threshold + 1).collect()
+    # probe via e_cached, not the coalesced view (ADVICE r11 #4): on the
+    # small-graph fast path the limit short-circuits before the cache fully
+    # materializes, and probing the coalesced view left partial blocks
+    # pinned until the unpersist; the distributed path below still reads e.
+    probe = e_cached.limit(local_threshold + 1).collect()
     if len(probe) <= local_threshold:
         e_cached.unpersist()
         return _local_pagerank(e, probe, damping, n_iter)

@@ -20,6 +20,8 @@ analytics stack (Drain3, LogMine) bolts on top.
 
 from __future__ import annotations
 
+from micromegas_spark.cachereg import track
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,7 @@ def mine_templates(
         .withColumn("n_toks", F.size("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(base)
     pos = base.select("n_toks", F.posexplode("toks").alias("pos", "tok"))
     decisions = pos.groupBy("n_toks", "pos").agg(
         (F.count_distinct("tok") > max_distinct).alias("masked")

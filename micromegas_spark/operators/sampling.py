@@ -26,6 +26,7 @@ named by the project brief.
 from __future__ import annotations
 
 from micromegas_spark.flightsql.errors import InvalidArgument
+from micromegas_spark.cachereg import track
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -256,7 +257,7 @@ def dsir_log_weights(
         F.explode(feats(F.col(text_col))).alias("_g"),
     ).select(id_col, "_t", (token_hash32(F.col("_g")) % n_buckets).alias("bucket"))
     if cache:
-        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        ex = track(ex.persist(StorageLevel.MEMORY_AND_DISK))
         # EAGER: the model chain reaches ex through broadcast subqueries
         # on concurrent driver threads that race the lazy cache's first
         # materialization — measured THREE identical full feature-stream

@@ -19,6 +19,7 @@ and oracle-comparable.
 from __future__ import annotations
 
 from micromegas_spark.flightsql.errors import InvalidArgument
+from micromegas_spark.cachereg import track
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -244,7 +245,7 @@ def embedding_near_duplicates(
         F.sqrt(norm2(F.col(vec_col))).alias("_norm"),
     )
     if cache:
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        b = track(b.persist(StorageLevel.MEMORY_AND_DISK))
     a_ = b.alias("a")
     # shuffle_hash: sort-merge would sort rows carrying the full embedding
     # arrays; a hash build per bucket partition skips that (AQE still

@@ -15,6 +15,7 @@ queries/llm.py, so both engines produce byte-identical results:
 from __future__ import annotations
 
 from micromegas_spark.flightsql.errors import InvalidArgument
+from micromegas_spark.cachereg import track
 
 import pandas as pd
 from pyspark.sql import Column
@@ -824,6 +825,12 @@ def nb_classify(
     # re-aggregation — without this the corpus is tokenized and exploded
     # once per consumer (exchange reuse across differently-projected
     # subtrees is not guaranteed; measured 3 scans).
+    # CAVEAT (ADVICE r11 #3): localCheckpoint blocks are executor-local and
+    # non-reliable — an executor loss makes the query fail unrecoverably
+    # (same trade pagerank documents). Fine for a per-query driver; a
+    # production 100 TB run should set a reliable checkpoint dir and use
+    # checkpoint()/persist instead. Applies to every eager localCheckpoint
+    # in this module (nb_classify g/tc, tfidf_keywords tf, bigram bi).
     # EAGER: the model tables below reach g through broadcast-exchange
     # subqueries, which Spark launches on concurrent driver threads — with
     # a lazy checkpoint they race its first materialization and each
@@ -943,8 +950,8 @@ def perplexity_buckets(
     join + per-doc agg) would execute twice."""
     from pyspark import StorageLevel
 
-    ce_cached = unigram_logprob(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ce_cached = track(
+        unigram_logprob(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     )
     # (r11 A/B: an eager count here — the nb_classify race pattern —
     # measured FLAT-to-slightly-worse interleaved; the two racing

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
 from micromegas_spark.sources.tables import load_table
 
 # exact-decimal money sum, emitted as DOUBLE (see registry conventions)
@@ -73,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(ordered, "l_returnflag", "l_linestatus")
     )
 
 
@@ -103,7 +103,7 @@ def events_hourly_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("value").cast(_DEC2)).cast("double").alias("sum_value"),
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )
 
 
@@ -134,7 +134,7 @@ def events_datebin_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (F.sum(F.col("value").cast(_DEC2)).cast("double") / F.count("*")).alias("avg_value"),
         )
-        .orderBy("bin_epoch", "event_type")
+        .transform(ordered, "bin_epoch", "event_type")
     )
 
 
@@ -164,7 +164,7 @@ def log_stats_merge_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         extract.groupBy("bin_epoch", "event_type")
         .agg(F.sum("n").alias("n"))
-        .orderBy("bin_epoch", "event_type")
+        .transform(ordered, "bin_epoch", "event_type")
     )
     return merged
 
@@ -205,7 +205,7 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s / n).alias("avg_value"),
             F.sqrt((ss - s * s / n) / (n - F.lit(1))).alias("stddev_value"),
         )
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )
 
 
@@ -344,7 +344,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(ordered, F.desc("revenue"), "n_name")
     )
 
 
@@ -367,7 +367,7 @@ def customer_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_customers"))
-        .orderBy("c_nationkey")
+        .transform(ordered, "c_nationkey")
     )
 
 
@@ -539,7 +539,7 @@ def events_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("keep_reason")
+        .transform(ordered, "keep_reason")
     )
 
 
@@ -733,7 +733,7 @@ def orders_union_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = o.where(F.col("o_orderpriority") == "1-URGENT").unionByName(
         o.where(F.col("o_totalprice") > 200000)
     )
-    return u.groupBy("o_orderstatus").agg(F.count("*").alias("n")).orderBy("o_orderstatus")
+    return u.groupBy("o_orderstatus").agg(F.count("*").alias("n")).transform(ordered, "o_orderstatus")
 
 
 @query(
@@ -759,7 +759,7 @@ def lineitem_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.count("*").alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered, "l_returnflag")
     )
 
 
@@ -791,7 +791,7 @@ def events_property_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(k.isNotNull())
         .groupBy(((k / 10).cast("bigint") * 10).alias("k_decile"))
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
-        .orderBy("k_decile")
+        .transform(ordered, "k_decile")
     )
 
 
@@ -823,7 +823,7 @@ def events_property_get_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(k.isNotNull())
         .groupBy(((k / 10).cast("bigint") * 10).alias("k_decile"))
         .agg(F.count("*").alias("n"))
-        .orderBy("k_decile")
+        .transform(ordered, "k_decile")
     )
 
 
@@ -845,7 +845,7 @@ def lineitem_bin_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy((F.floor(F.col("l_quantity") / 5.0 + 0.5) * 5.0).alias("qty_bin"))
         .agg(F.count("*").alias("n"))
-        .orderBy("qty_bin")
+        .transform(ordered, "qty_bin")
     )
 
 
@@ -951,7 +951,7 @@ def lineitem_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_H_START + (F.col("bin_idx") + 0.5) * _H_WIDTH).alias("bin_center"),
             "n",
         )
-        .orderBy("bin_idx")
+        .transform(ordered, "bin_idx")
     )
 
 
@@ -1129,7 +1129,7 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("retention"),
         )
-        .orderBy("day")
+        .transform(ordered, "day")
     )
 
 
@@ -1199,7 +1199,7 @@ def orders_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_items"),
             F.sum(F.col("l_extendedprice").cast(_DEC2)).cast("double").alias("revenue"),
         )
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -1256,7 +1256,7 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_users")
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )
 
 
@@ -1364,7 +1364,7 @@ def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("reset").cast("bigint").alias("n_resets"),
             F.round(F.sum("inc").cast("double") / 3600, 6).alias("rate_per_sec"),
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )
 
 
@@ -1547,7 +1547,7 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean"),
             F.count("*").cast("bigint").alias("n"),
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )
 
 
@@ -1624,7 +1624,7 @@ def events_histogram_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min_by(p95, F.col("b")), 6).alias("p95"),
             F.min("total").cast("bigint").alias("n"),
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )
 
 
@@ -1676,5 +1676,5 @@ def events_counter_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("reset").cast("bigint").alias("n_resets"),
             F.round(increase / 3600, 6).alias("rate_per_sec"),
         )
-        .orderBy("hour_epoch")
+        .transform(ordered, "hour_epoch")
     )

@@ -9,7 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micromegas_spark.functions.color import _COLORMAPS, color_scale
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
+from micromegas_spark.cachereg import track
 from micromegas_spark.sources.tables import load_table
 
 
@@ -185,7 +186,7 @@ def _span_stats(spans: DataFrame) -> DataFrame:
             F.min("duration").alias("min_duration"),
             F.sum("duration").alias("total_duration"),
         )
-        .orderBy("stream_id")
+        .transform(ordered, "stream_id")
     )
 
 
@@ -545,7 +546,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
         )
-        .orderBy("cluster")
+        .transform(ordered, "cluster")
     )
 
 
@@ -611,7 +612,7 @@ def docs_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(norm), 4).alias("avg_feature_norm"),
             F.countDistinct("content_hash").alias("n_distinct"),
         )
-        .orderBy("source")
+        .transform(ordered, "source")
     )
 
 
@@ -665,7 +666,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
         )
-        .orderBy("cluster")
+        .transform(ordered, "cluster")
     )
 
 
@@ -920,7 +921,7 @@ def events_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value_micros"
             ),
         )
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )
 
 
@@ -1154,8 +1155,10 @@ def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three synth windows feeding it) executes on BOTH sides of the
     # join (measured: 2 FlatMapGroupsInPandas + 6 Window nodes in the plan;
     # guide §1.2 — don't compute the expensive subtree twice)
-    spans = build_thread_spans(_synth_nested_events(ev), 0, 2**62).persist(
-        StorageLevel.MEMORY_AND_DISK
+    spans = track(
+        build_thread_spans(_synth_nested_events(ev), 0, 2**62).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     s = span_self_times(spans, key_cols=["stream_id"]).select(
         "stream_id", "depth", "duration", "self_time"
@@ -1167,7 +1170,7 @@ def events_span_selftime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("duration").cast("bigint").alias("total_duration"),
             F.sum("self_time").cast("bigint").alias("total_self"),
         )
-        .orderBy("stream_id", "depth")
+        .transform(ordered, "stream_id", "depth")
     )
 
 
@@ -1324,14 +1327,15 @@ def events_jit_net_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cid in sorted(blocks)
         ]
         if not parts:  # degenerate tiny-SF fallback: no balanced streams
-            return bandwidth_rollup(build_net_spans(events)).orderBy(
-                "connection_name", "kind", "is_outgoing"
+            return ordered(
+                bandwidth_rollup(build_net_spans(events)),
+                "connection_name", "kind", "is_outgoing",
             )
         spans = parts[0]
         for p in parts[1:]:
             spans = spans.unionByName(p)
-        return bandwidth_rollup(spans).orderBy(
-            "connection_name", "kind", "is_outgoing"
+        return ordered(
+            bandwidth_rollup(spans), "connection_name", "kind", "is_outgoing"
         )
     finally:
         evb.unpersist(blocking=False)
@@ -1574,7 +1578,7 @@ def _transit_agg(parsed: DataFrame) -> DataFrame:
             F.min("v").alias("min_value"),
             F.max("v").alias("max_value"),
         )
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )
 
 
@@ -1780,6 +1784,12 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts_us", "value")
         .persist()
     )
+    track(ev)
+    # EAGER: the three export threads below would otherwise race the lazy
+    # cache's first materialization and each re-run the 1/31 sampled scan
+    # (the nb_classify/fuzzyjoin broadcast-thread race; ADVICE r11 #1) —
+    # one blocking count materializes the slice once.
+    ev.count()
 
     def spanify(etype: str, prefix: str, dur_mult: int) -> DataFrame:
         dur = F.round(F.col("value") * 1000000).cast("bigint")
@@ -1864,5 +1874,5 @@ def events_perfetto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_type", "stream_id", "name", "n_spans",
             "min_begin_us", "max_begin_us", "n_ends", "max_end_us",
         )
-        .orderBy("span_type", "stream_id", "name")
+        .transform(ordered, "span_type", "stream_id", "name")
     )

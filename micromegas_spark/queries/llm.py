@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from micromegas_spark.operators import dedup, similarity, text
 from micromegas_spark.operators.util import spread as _spread
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
 from micromegas_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -159,7 +159,7 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", text.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "pred_lang")
+        .transform(ordered, "lang", "pred_lang")
     )
 
 
@@ -191,7 +191,7 @@ def docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_unique"),
             F.min("fp").alias("min_fp"),
         )
-        .orderBy("source")
+        .transform(ordered, "source")
     )
 
 
@@ -554,8 +554,8 @@ def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set, per-query window ranking
     (operators/similarity.cosine_topk_batch)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_batch(e, query_ids=[0, 1, 2], k=5).orderBy(
-        "query_id", F.desc("cos_sim"), "vec_id"
+    return similarity.cosine_topk_batch(e, query_ids=[0, 1, 2], k=5).transform(
+        ordered, "query_id", F.desc("cos_sim"), "vec_id"
     )
 
 
@@ -621,7 +621,7 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.centroids(e)
         .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
-        .orderBy("label", "dim")
+        .transform(ordered, "label", "dim")
     )
 
 
@@ -789,7 +789,7 @@ def docs_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_kept"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
-        .orderBy("source")
+        .transform(ordered, "source")
     )
 
 
@@ -967,7 +967,7 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(counts["ssn"]).alias("n_ssn"),
             F.sum(F.when(total > 0, 1).otherwise(0)).cast("bigint").alias("n_docs_with_pii"),
         )
-        .orderBy("source")
+        .transform(ordered, "source")
     )
 
 
@@ -1921,7 +1921,7 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_entropy")
         )
     )
-    return by_source.join(ent, "source").orderBy("source")
+    return by_source.join(ent, "source").transform(ordered, "source")
 
 
 @query(
@@ -2108,7 +2108,7 @@ def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
             F.sum(F.length("text")).alias("sum_chars"),
         )
-        .orderBy("source")
+        .transform(ordered, "source")
     )
 
 
@@ -2328,7 +2328,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the greedy selection is a pool-bounded driver step, recomputed
     round-for-round by the unrolled oracle CTE chain."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.mmr_rerank(e, query_id=0, k=5, pool_n=20).orderBy("rank")
+    return similarity.mmr_rerank(e, query_id=0, k=5, pool_n=20).transform(ordered, "rank")
 
 
 @query(
@@ -2432,7 +2432,7 @@ def docs_cascade_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_final")
     )
     return (
-        n_docs.join(n_exact, "source").join(n_final, "source").orderBy("source")
+        n_docs.join(n_exact, "source").join(n_final, "source").transform(ordered, "source")
     )
 
 

@@ -18,6 +18,30 @@ class QueryDef:
     doc: str | None = None
 
 
+def ordered(df: DataFrame, *cols) -> DataFrame:
+    """Final presentation sort for a result that is BOUNDED by construction.
+
+    ``orderBy`` plans ``Exchange rangepartitioning`` whose range sampler is a
+    separate Spark job that re-executes the sort's child stage — a measured
+    ~0.17 s/query fixed tax at bench scale, and a pointless global exchange
+    of an already-tiny relation at any scale (guide §2.4: an orderBy used
+    only to make output deterministic is an accidental shuffle).
+    ``coalesce(1).sortWithinPartitions`` yields the identical ordered rows
+    (one partition holding every row, sorted by the same keys) with no
+    sampling job and no exchange.
+
+    ONLY for results whose row count is bounded by the query's construction
+    — a fixed grouping domain (years, nations, priorities, histogram
+    buckets, confusion cells), an explicit top-k, or a driver-bounded probe
+    — NOT for per-entity outputs that grow with the data (per-document,
+    per-part, per-supplier rows keep their global ``orderBy``: at 100 TB
+    those sorts need range parallelism). The coalesce(1) merges the final
+    (post-shuffle, partial-agg-collapsed) stage into one task, which for a
+    bounded group domain is O(groups × map_tasks) rows — small at any SF.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     """Register a driver-contract query.
 

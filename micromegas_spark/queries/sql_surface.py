@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
 from micromegas_spark.sources.tables import load_table
 
 
@@ -40,7 +40,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
-        .orderBy(
+        .transform(ordered,
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
         )
@@ -232,7 +232,7 @@ def orders_with_lineitems_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -420,7 +420,7 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users",
             "n",
         )
-        .orderBy("event_type")
+        .transform(ordered, "event_type")
     )
 
 
@@ -515,7 +515,7 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus",
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in renames.values()],
-    ).orderBy("o_orderstatus")
+    ).transform(ordered, "o_orderstatus")
 
 
 @query(
@@ -670,5 +670,5 @@ def events_sliding_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win_start").cast("double").cast("bigint").alias("win_start"),
             F.col("n_events").cast("bigint").alias("n_events"),
         )
-        .orderBy("event_type", "win_start")
+        .transform(ordered, "event_type", "win_start")
     )

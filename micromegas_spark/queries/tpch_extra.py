@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
 from micromegas_spark.sources.tables import load_table
 
 _DEC2 = "decimal(18,2)"
@@ -77,7 +77,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(ordered, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -164,7 +164,7 @@ def q12_priority_shipmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
-        .orderBy("ship_month")
+        .transform(ordered, "ship_month")
     )
 
 
@@ -257,7 +257,7 @@ def q22_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("numcust"),
             F.sum(F.col("c_acctbal").cast(_DEC2)).cast("double").alias("totacctbal"),
         )
-        .orderBy("segment")
+        .transform(ordered, "segment")
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from micromegas_spark.queries.registry import query
+from micromegas_spark.queries.registry import ordered, query
 from micromegas_spark.sources.tables import load_table
 
 _DEC2 = "decimal(18,2)"
@@ -119,7 +119,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, late, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(ordered, "o_orderpriority")
     )
 
 
@@ -217,7 +217,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(v).cast("double")
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .transform(ordered, "o_year")
     )
 
 
@@ -261,7 +261,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(F.sum(profit).cast("double").alias("profit"))
-        .orderBy("nation", F.col("o_year").desc())
+        .transform(ordered, "nation", F.col("o_year").desc())
     )
 
 
@@ -345,7 +345,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").cast("bigint").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .transform(ordered, F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -423,7 +423,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .transform(ordered, F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 

@@ -19,18 +19,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _patch_window_capped():
-    """OLD arm = _df_capped shape at the three window-capped call sites."""
+    """OLD arm = the r11 window-only shape (no hot-key guard, no persist)."""
     import micromegas_spark.operators.dedup as dd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def window_only(posting, keys, max_size, min_size=1):
+        kcols = list(keys)
+        w = Window.partitionBy(*kcols)
+        return (
+            posting.withColumn("_df", F.count("*").over(w))
+            .where((F.col("_df") >= min_size) & (F.col("_df") <= max_size))
+            .drop("_df")
+        )
 
     orig = dd._window_capped
-    dd._window_capped = lambda posting, keys, max_size, min_size=1: dd._df_capped(
-        posting, keys, max_size, min_size
-    )
+    dd._window_capped = window_only
     return lambda: setattr(dd, "_window_capped", orig)
+
+
+def _patch_ordered():
+    """OLD arm = plain global orderBy at every `ordered` call site."""
+    import micromegas_spark.queries as qpkg
+
+    mods = [qpkg.core, qpkg.engine_ops, qpkg.llm, qpkg.sql_surface,
+            qpkg.tpch_extra, qpkg.tpch_full]
+    olds = {}
+    fallback = lambda df, *cols: df.orderBy(*cols)  # noqa: E731
+    for m in mods:
+        if hasattr(m, "ordered"):
+            olds[m] = m.ordered
+            m.ordered = fallback
+
+    def undo():
+        for m, v in olds.items():
+            m.ordered = v
+
+    return undo
 
 
 PATCHES = {
     "window_capped": _patch_window_capped,
+    "ordered": _patch_ordered,
 }
 
 
