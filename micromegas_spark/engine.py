@@ -1231,7 +1231,12 @@ class Engine:
                 df.write.mode("overwrite").parquet(pdir)
                 if ent is not None:
                     stale_dirs.append(ent["path"])
-                manifest[key] = updates[key] = {"hash": cur, "path": pdir}
+                # schema in the manifest: warm reads skip per-call parquet
+                # footer/schema inference (a measured ~0.1 s driver cost
+                # per view_instance on the JIT trio)
+                manifest[key] = updates[key] = {
+                    "hash": cur, "path": pdir, "schema": df.schema.json()
+                }
             if cur > 0:
                 paths.append(manifest[key]["path"])
             b += bucket_ns
@@ -1242,10 +1247,26 @@ class Engine:
                 self.fs.rmtree(d)
         if not paths:
             return self.spark.range(0).select()
-        df = self.spark.read.parquet(*paths)
+        used = [e for e in manifest.values() if e.get("path") in set(paths)]
+        df = self._read_manifest_parquet(paths, used)
         return df.where(
             (F.col(vs.time_column) >= begin_ns) & (F.col(vs.time_column) < end_ns)
         )
+
+    def _read_manifest_parquet(self, paths: list[str], entries: list[dict]):
+        """Read cached JIT partitions, using the manifest-recorded schema
+        when every entry agrees — skips the per-call footer/schema
+        inference a plain spark.read.parquet pays (driver-side listing +
+        footer reads, measured ~0.1 s per warm view_instance). Entries
+        written before the schema field (or disagreeing) fall back to
+        inference."""
+        from pyspark.sql.types import StructType
+
+        sjs = {e.get("schema") for e in entries}
+        if len(sjs) == 1 and None not in sjs:
+            schema = StructType.fromJson(json.loads(sjs.pop()))
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)
 
     def _view_instance_blocks(
         self, vs: JitViewSet, instance: str, begin_ns: int, end_ns: int
@@ -1317,6 +1338,7 @@ class Engine:
                     "end_ns": max(b["end_ns"] for b in grp),
                     "insert_min": min(b["insert_ns"] for b in grp),
                     "insert_max": max(b["insert_ns"] for b in grp),
+                    "schema": df.schema.json(),
                 }
             paths.append(manifest[key]["path"])
         # RetireMatch::Overlap — inclusive-bounds insert-range intersection
@@ -1345,7 +1367,8 @@ class Engine:
                 self.fs.rmtree(d)
         if not paths:
             return self.spark.range(0).select()
-        df = self.spark.read.parquet(*paths)
+        used = [e for e in manifest.values() if e.get("path") in set(paths)]
+        df = self._read_manifest_parquet(paths, used)
         return df.where(
             (F.col(vs.time_column) >= begin_ns) & (F.col(vs.time_column) < end_ns)
         )
