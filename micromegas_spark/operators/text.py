@@ -770,6 +770,15 @@ def bpe_segment(
     return seg(text)
 
 
+def _nb_materialize(df):
+    """Eager materialization point for nb_classify's model relations.
+    localCheckpoint, NOT persist: an interleaved A/B (r12) measured the
+    stat-preserving persist+count variant 1.52x SLOWER overall (two extra
+    blocking jobs + columnar cache reads for four row-oriented consumers
+    outweigh the planner's better join-side statistics)."""
+    return df.localCheckpoint(eager=True)
+
+
 def nb_classify(
     df: DataFrame,
     label_col: str = "source",
@@ -837,10 +846,8 @@ def nb_classify(
     # recomputes the full tokenize/explode/aggregate lineage (measured:
     # four identical 49-task jobs at ~0.65 s each in one run). Blocking
     # once here makes every consumer read the materialized blocks.
-    g = (
-        toks.groupBy(id_col, "_y", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    g = _nb_materialize(
+        toks.groupBy(id_col, "_y", "term").agg(F.count("*").alias("tf"))
     )
     tf = g.select(id_col, "term", "tf")
     # the model table: (term, class) occurrence counts — vocab-bound
@@ -851,11 +858,7 @@ def nb_classify(
     # lineage ran once PER consumer (measured: four identical 15-task
     # ~0.4 s job pairs per run). The materialized tc is the model itself,
     # vocab x classes rows.
-    tc = (
-        g.groupBy("term", "_y")
-        .agg(F.sum("tf").alias("ctc"))
-        .localCheckpoint(eager=True)
-    )
+    tc = _nb_materialize(g.groupBy("term", "_y").agg(F.sum("tf").alias("ctc")))
     classes = docs.groupBy("_y").agg(F.count("*").alias("n_docs"))
     ctot = tc.groupBy("_y").agg(F.sum("ctc").alias("t_c"))
     scalars = tc.select("term").distinct().agg(
@@ -875,10 +878,26 @@ def nb_classify(
         )
     )
 
-    # observed-pair contributions only: tf ⨝ tc on the term
+    # observed-pair contributions only: tf ⨝ tc on the term.
+    # EXPLICIT broadcast of the model side (r12): the checkpointed inputs
+    # carry no size statistics, and the planner assigned the 155-row model
+    # relation as the PROBE side at its pinned 1-partition checkpoint
+    # width — the whole scoring join + partial aggregate ran as ONE
+    # 970 ms task (SQL-tab node metrics at sf0.1; job profile showed the
+    # recurring 1.2-1.6 s single-task job). Shipping the model to the data
+    # is the standard classifier-scoring shape; tc is vocabulary-bounded
+    # (Zipf), x |classes| — far under the broadcast cap for any pruned
+    # production vocabulary. With the hint, tf probes at checkpoint width
+    # and the partial aggregate is map-side parallel (83-task job, no
+    # single-task stage).
     partial = (
         tf.join(
-            tc.select("term", "_y", F.log((F.col("ctc") + F.lit(alpha)) / F.lit(alpha)).alias("_w")),
+            F.broadcast(
+                tc.select(
+                    "term", "_y",
+                    F.log((F.col("ctc") + F.lit(alpha)) / F.lit(alpha)).alias("_w"),
+                )
+            ),
             "term",
         )
         .groupBy(id_col, "_y")

@@ -58,9 +58,23 @@ def _patch_ordered():
     return undo
 
 
+def _patch_nb_materialize():
+    """OLD arm = r11 localCheckpoint materialization of g/tc in nb_classify."""
+    import micromegas_spark.operators.text as T
+
+    orig = T._nb_materialize
+
+    def checkpoint_materialize(df):
+        return df.localCheckpoint(eager=True)
+
+    T._nb_materialize = checkpoint_materialize
+    return lambda: setattr(T, "_nb_materialize", orig)
+
+
 PATCHES = {
     "window_capped": _patch_window_capped,
     "ordered": _patch_ordered,
+    "nb_materialize": _patch_nb_materialize,
 }
 
 
