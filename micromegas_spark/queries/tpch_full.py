@@ -626,28 +626,36 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
         ).alias("is_late"),
     )
-    # ONE grouped pass (r12): the probe side (late rows) and the per-order
-    # distinct counts previously consumed `ol` as the two sides of a
-    # self-join — the lineitem⋈orders join executed twice and shuffled by
-    # l_orderkey twice. Collecting the late suppliers (duplicates kept —
-    # COUNT(*) counts late ROWS, not suppliers) into the same aggregate and
-    # exploding after the filter keeps the multiset identical while
-    # computing and shuffling ol exactly once. The list is bounded by
-    # lineitems-per-order (≤7 in the TPC-H shape) — never corpus-scale.
-    per_order = ol.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-        F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("_late"),
+    # ONE grouped pass, NO distinct-Expand (r12): the r11 shape consumed
+    # `ol` as the two sides of a self-join (lineitem⋈orders computed twice,
+    # shuffled by l_orderkey twice) and its two COUNT(DISTINCT)s planned an
+    # Expand (rows ×3). A first mid-rewrite (count_distincts +
+    # collect_list of late suppliers in one aggregate) measured 2.07× in
+    # the controlled A/B — collect_list over the expanded rows forces
+    # ObjectHashAggregate off the codegen path. This shape instead
+    # aggregates twice hierarchically, all codegen HashAggregates:
+    #   1. per (order, supplier): count of late rows — collapses the fact;
+    #   2. per order: n_supp = group count (≡ COUNT(DISTINCT l_suppkey)),
+    #      n_late_supp = groups with any late row, and — valid exactly
+    #      because the filter keeps n_late_supp == 1 — the lone late
+    #      supplier (max over the only non-null) and ITS late-row count.
+    # numwait = Σ late rows of the lone supplier over surviving orders,
+    # identical to the old COUNT(*) over the probe-join rows.
+    per_os = ol.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("is_late"), F.lit(1))).alias("_lr")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("_lr") > 0, F.lit(1))).alias("n_late_supp"),
+        F.max(F.when(F.col("_lr") > 0, F.col("l_suppkey"))).alias("_lone"),
+        F.max(F.when(F.col("_lr") > 0, F.col("_lr"))).alias("_lone_rows"),
     )
     return (
         per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select(F.explode("_late").alias("l_suppkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(s), F.col("_lone") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("_lone_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -71,10 +71,100 @@ def _patch_nb_materialize():
     return lambda: setattr(T, "_nb_materialize", orig)
 
 
+def _patch_q21():
+    """OLD arm = the r11 q21 (ol self-join + two COUNT DISTINCTs)."""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.queries import REGISTRY
+    from micromegas_spark.sources.tables import load_table
+
+    def q21_r11(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+        s = load_table(spark, sf_dir, "supplier")
+        n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+        ol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+        per_order = ol.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+        )
+        return (
+            ol.where(F.col("is_late"))
+            .join(per_order, ol.l_orderkey == F.col("_ok"))
+            .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100)
+        )
+
+    qd = REGISTRY["q21_late_suppliers"]
+    orig = qd.spark
+    qd.spark = q21_r11
+    return lambda: setattr(qd, "spark", orig)
+
+
+def _patch_q11():
+    """OLD arm = the r11 q11 (second lineitem scan for the global total,
+    plain orderBy final sort)."""
+    from pyspark.sql import functions as F
+
+    from micromegas_spark.queries import REGISTRY
+    from micromegas_spark.sources.tables import load_table
+
+    def q11_r11(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier")
+        n = load_table(spark, sf_dir, "nation")
+        dec = F.col("l_extendedprice").cast("decimal(18,2)")
+        val = (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+            .agg(F.sum(dec).alias("_pv"))
+        )
+        total = li.agg(F.sum(dec).cast("double").alias("_total"))
+        return (
+            val.crossJoin(F.broadcast(total))
+            .where(F.col("_pv").cast("double") > 0.00015 * F.col("_total"))
+            .select(
+                "nation", "l_partkey", F.col("_pv").cast("double").alias("part_value")
+            )
+            .orderBy(F.col("part_value").desc(), "nation", "l_partkey")
+        )
+
+    qd = REGISTRY["q11_important_stock"]
+    orig = qd.spark
+    qd.spark = q11_r11
+    return lambda: setattr(qd, "spark", orig)
+
+
+def _patch_fuzzy_coalesce():
+    """OLD arm = r11 coalesce-below-persist in edit_distance_pairs."""
+    import micromegas_spark.operators.fuzzyjoin as fj
+
+    fj._COALESCE_BELOW_PERSIST = True
+    return lambda: setattr(fj, "_COALESCE_BELOW_PERSIST", False)
+
+
 PATCHES = {
     "window_capped": _patch_window_capped,
     "ordered": _patch_ordered,
     "nb_materialize": _patch_nb_materialize,
+    "q21": _patch_q21,
+    "q11": _patch_q11,
+    "fuzzy_coalesce": _patch_fuzzy_coalesce,
 }
 
 

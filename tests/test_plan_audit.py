@@ -281,14 +281,17 @@ def test_media_pipelines_shuffle_free(spark):
 
 def test_cbor_roundtrip_minimal_exchanges(spark):
     """events_cbor_roundtrip: one hash exchange into the per-bucket block
-    packer, one partial+final agg pair after parsing, one presentation
-    sort — nothing else (no payload re-shuffle between pack and parse)."""
+    packer, one partial+final agg pair after parsing — nothing else (no
+    payload re-shuffle between pack and parse). The presentation sort is
+    the r12 bounded-result shape: Coalesce(1) + sortWithinPartitions, so
+    NO rangepartitioning exchange (and no range-sampler job) exists."""
     plan = _plan(spark, "events_cbor_roundtrip")
     ex = [ln.strip() for ln in plan.splitlines() if "Exchange" in ln]
     kinds = [("hash" if "hashpartitioning" in ln else
               "range" if "rangepartitioning" in ln else "other") for ln in ex]
     assert kinds.count("other") == 0, ex
-    assert kinds.count("hash") <= 2 and kinds.count("range") == 1, ex
+    assert kinds.count("hash") <= 2 and kinds.count("range") == 0, ex
+    assert "Coalesce" in plan, plan
     # partial aggregation before the final agg exchange (map-side combine)
     assert "partial" in plan.lower()
 
